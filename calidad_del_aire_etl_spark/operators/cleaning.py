@@ -1,0 +1,211 @@
+"""Data-cleaning operators: interpolation, IQR outlier clipping, dedup.
+
+Reference semantics (dags/airflow_dag_calidad_aire.py:156-180) re-expressed
+as distributed window/aggregate plans. The reference runs these per 10k-row
+pandas chunk on one core; here each operator is a single Spark plan whose
+shuffle keys are the group columns, so the work scales with the number of
+groups × in-partition sort, not with total rows on one machine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    limit: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group positional linear interpolation of NULLs.
+
+    Mirrors reference dag:162-168 (pandas ``interpolate(method='linear',
+    limit=3)`` per station): a NULL run between two non-NULL neighbours is
+    filled on a straight line by row position; runs longer than ``limit``
+    and NULLs at either end of a group stay (partially) unfilled — a NULL
+    is filled only if its distance from the previous non-NULL row is at
+    most ``limit``.
+
+    Implementation: one shuffle on ``group_cols``; inside each partition
+    two ignore-nulls window scans (backward last, forward first) — no
+    Python, no iteration.
+    """
+    out_col = out_col or value_col
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    val = F.col(value_col)
+
+    # Stage 1: materialize row position (window args cannot nest windows).
+    staged = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__rn_nn", F.when(val.isNotNull(), F.col("__rn"))
+    )
+
+    w_rn = Window.partitionBy(*group_cols).orderBy("__rn")
+    w_back = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w_rn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    prev_val = F.last(val, ignorenulls=True).over(w_back)
+    prev_rn = F.last(F.col("__rn_nn"), ignorenulls=True).over(w_back)
+    next_val = F.first(val, ignorenulls=True).over(w_fwd)
+    next_rn = F.first(F.col("__rn_nn"), ignorenulls=True).over(w_fwd)
+
+    rn = F.col("__rn")
+    filled = prev_val + (next_val - prev_val) * (
+        (rn - prev_rn).cast("double") / (next_rn - prev_rn).cast("double")
+    )
+    interp = F.when(val.isNotNull(), val).otherwise(
+        F.when(
+            prev_val.isNotNull()
+            & next_val.isNotNull()
+            & ((rn - prev_rn) <= F.lit(limit)),
+            F.round(filled, 4),
+        )
+    )
+    return staged.withColumn(out_col, interp).drop("__rn", "__rn_nn")
+
+
+def interpolate_linear_sql(
+    table_sql: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    limit: int = 3,
+    out_col: str | None = None,
+    passthrough: Sequence[str] = (),
+) -> str:
+    """DuckDB-oracle twin of :func:`interpolate_linear` as a CTE-able
+    SELECT producing ``passthrough`` columns plus ``out_col``."""
+    out_col = out_col or value_col
+    part = ", ".join(group_cols)
+    order = ", ".join(order_cols)
+    rn_w = f"PARTITION BY {part} ORDER BY rn"
+    cols = ", ".join(passthrough)
+    return f"""
+    SELECT {cols}{',' if cols else ''}
+      CASE
+        WHEN {value_col} IS NOT NULL THEN {value_col}
+        WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+             AND (rn - prev_rn) <= {limit}
+          THEN ROUND(prev_val + (next_val - prev_val)
+                     * CAST(rn - prev_rn AS DOUBLE)
+                     / CAST(next_rn - prev_rn AS DOUBLE), 4)
+      END AS {out_col}
+    FROM (
+      SELECT *,
+        LAST_VALUE({value_col} IGNORE NULLS) OVER
+          ({rn_w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        LAST_VALUE(rn_nn IGNORE NULLS) OVER
+          ({rn_w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rn,
+        FIRST_VALUE({value_col} IGNORE NULLS) OVER
+          ({rn_w} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        FIRST_VALUE(rn_nn IGNORE NULLS) OVER
+          ({rn_w} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+      FROM (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) AS rn,
+          CASE WHEN {value_col} IS NOT NULL THEN
+            ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) END AS rn_nn
+        FROM {table_sql}
+      )
+    )
+    """
+
+
+def iqr_clip(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Clip columns to [Q1 − k·IQR, Q3 + k·IQR] using exact percentiles.
+
+    Mirrors reference dag:170-177 (k=3 fences). The reference computes
+    quantiles per pandas chunk — an artifact of single-node memory limits;
+    the engine computes them over the whole dataset (or per ``group_cols``)
+    with Spark's exact ``percentile`` aggregate, then joins the tiny
+    bounds relation back with a broadcast, so no second shuffle of the
+    fact table.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}"))
+        aggs.append(F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}"))
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(*aggs)
+        joined = df.join(F.broadcast(bounds), on=list(group_cols), how="left")
+    else:
+        bounds = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(bounds))
+
+    out = joined
+    for c in cols:
+        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
+        lo = q1 - F.lit(k) * (q3 - q1)
+        hi = q3 + F.lit(k) * (q3 - q1)
+        out = out.withColumn(
+            c,
+            F.round(F.when(F.col(c) < lo, lo).when(F.col(c) > hi, hi).otherwise(F.col(c)), 4),
+        )
+    return out.drop(*[f"__q{q}_{c}" for c in cols for q in (1, 3)])
+
+
+def iqr_clip_sql(
+    table_sql: str,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+    passthrough: Sequence[str] = (),
+) -> str:
+    """DuckDB-oracle twin of :func:`iqr_clip` (quantile_cont == Spark's
+    exact interpolated ``percentile``)."""
+    qcols = ", ".join(
+        f"quantile_cont({c}, 0.25) AS __q1_{c}, quantile_cont({c}, 0.75) AS __q3_{c}"
+        for c in cols
+    )
+    clip_exprs = []
+    for c in cols:
+        lo = f"(__q1_{c} - {k} * (__q3_{c} - __q1_{c}))"
+        hi = f"(__q3_{c} + {k} * (__q3_{c} - __q1_{c}))"
+        clip_exprs.append(
+            f"ROUND(CASE WHEN t.{c} < {lo} THEN {lo} WHEN t.{c} > {hi} THEN {hi} "
+            f"ELSE t.{c} END, 4) AS {c}"
+        )
+    cols_sql = ", ".join(passthrough)
+    if group_cols:
+        keys = ", ".join(group_cols)
+        join = f"LEFT JOIN b ON " + " AND ".join(f"t.{g} = b.{g}" for g in group_cols)
+        bounds = f"SELECT {keys}, {qcols} FROM {table_sql} GROUP BY {keys}"
+    else:
+        join = "CROSS JOIN b"
+        bounds = f"SELECT {qcols} FROM {table_sql}"
+    return f"""
+    WITH b AS ({bounds})
+    SELECT {cols_sql}{',' if cols_sql else ''} {', '.join(clip_exprs)}
+    FROM {table_sql} t {join}
+    """
+
+
+def dedup_exact(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    tiebreak_cols: Sequence[str],
+) -> DataFrame:
+    """Keep exactly one row per key, deterministically (first by tiebreak).
+
+    Mirrors reference dag:179-180 (``drop_duplicates(['timestamp',
+    'station'])``) but with a defined survivor: pandas keeps the first row
+    in file order, which is not reproducible under distribution; the
+    engine keeps the row minimal under ``tiebreak_cols`` via one window
+    shuffle on the key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in tiebreak_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

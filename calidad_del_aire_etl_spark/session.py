@@ -1,0 +1,50 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs one JVM (``local[N]``); production posture is a
+multi-executor cluster — every knob here is safe for both. The oracle
+comparison (DuckDB) uses UTC-naive timestamps, so the session timezone
+is pinned to UTC.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_oracle_compat(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs that keep results comparable with DuckDB.
+
+    Called by every registry query because the driver owns the session
+    and may not have configured it.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The testdata writes `events.ts` as TIMESTAMP(NANOS); Spark has no
+    # nanosecond timestamp type, so read it as a long and convert in the
+    # loader (values are µs-aligned — verified in tools/compare.py runs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import cleaning
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_interpolate_fills_interior_gap(spark):
+    rows = [
+        ("a", _ts(0), 1.0),
+        ("a", _ts(1), None),
+        ("a", _ts(2), 3.0),
+        ("b", _ts(0), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = cleaning.interpolate_linear(df, "v", ["g"], ["ts"], limit=3)
+    got = {(r["g"], r["ts"].hour): r["v"] for r in out.collect()}
+    assert got[("a", 1)] == 2.0
+    assert got[("b", 0)] == 10.0
+
+
+def test_interpolate_respects_limit_and_edges(spark):
+    rows = [("a", _ts(i), None if 1 <= i <= 5 else float(i)) for i in range(8)]
+    rows.append(("a", _ts(8), None))  # trailing NULL: no next neighbour
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = cleaning.interpolate_linear(df, "v", ["g"], ["ts"], limit=3)
+    got = {r["ts"].hour: r["v"] for r in out.collect()}
+    assert got[1] == 1.0 and got[2] == 2.0 and got[3] == 3.0  # within limit
+    assert got[4] is None and got[5] is None  # beyond limit of 3
+    assert got[8] is None  # trailing edge stays NULL
+
+
+def test_iqr_clip_bounds(spark):
+    vals = [float(i) for i in range(1, 101)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = cleaning.iqr_clip(df, ["v"], k=3.0)
+    mx = out.agg(F.max("v")).collect()[0][0]
+    # 101 sorted values → Q1 = value at idx 0.25·100 = 26, Q3 = 76,
+    # IQR = 50 → hi = 76 + 3·50 = 226 (linear-interpolated exact percentile)
+    assert mx == 226.0
+
+
+def test_dedup_exact_keeps_min_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 5.0), (2, "k", 6.0), (3, "j", 7.0)], "id long, k string, v double"
+    )
+    out = cleaning.dedup_exact(df, ["k"], ["id"]).collect()
+    assert {(r["id"], r["k"]) for r in out} == {(1, "k"), (3, "j")}

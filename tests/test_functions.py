@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark import functions as fx
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.range(1)
+
+
+def _eval(one, col):
+    return one.select(col.alias("x")).collect()[0]["x"]
+
+
+@pytest.mark.parametrize(
+    "pm25,expected",
+    [
+        (0.0, 0.0),
+        (12.0, 50.0),
+        (24.0, round(50 + (50 / 23.3) * (24 - 12.1), 4)),
+        (55.4, round(100 + (50 / 19.9) * (55.4 - 35.5), 4)),
+        (200.0, round(200 + (100 / 99.9) * (200 - 150.5), 4)),
+    ],
+)
+def test_aqi_breakpoints(one, pm25, expected):
+    assert _eval(one, fx.aqi_from_pm25(F.lit(pm25))) == pytest.approx(expected)
+
+
+def test_aqi_null_passthrough(one):
+    assert _eval(one, fx.aqi_from_pm25(F.lit(None).cast("double"))) is None
+
+
+def test_aqi_monotone(spark):
+    df = spark.range(0, 3000).select((F.col("id") / 10.0).alias("pm25"))
+    df = df.select("pm25", fx.aqi_from_pm25(F.col("pm25")).alias("aqi"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("pm25")
+    bad = df.select(
+        (F.col("aqi") < F.lag("aqi").over(w) - 1e-9).alias("dec")
+    ).filter("dec").count()
+    assert bad == 0
+
+
+@pytest.mark.parametrize(
+    "aqi,label",
+    [
+        (None, "Unknown"),
+        (10.0, "Good"),
+        (75.0, "Moderate"),
+        (120.0, "Unhealthy for Sensitive"),
+        (180.0, "Unhealthy"),
+        (300.0, "Very Unhealthy"),
+    ],
+)
+def test_category(one, aqi, label):
+    col = fx.quality_category(F.lit(aqi).cast("double"))
+    assert _eval(one, col) == label
