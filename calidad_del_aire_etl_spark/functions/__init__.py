@@ -35,8 +35,18 @@ RUSH_HOURS = (7, 8, 9, 17, 18, 19)
 
 
 def r4(col: Column) -> Column:
-    """Round to 4 decimals — pins float results for cross-engine hashing."""
-    return F.round(col, 4)
+    """Round to 4 decimals — pins float results for cross-engine hashing.
+
+    The +1e-9 nudge moves exact .00005 ties off the boundary so Spark's
+    BigDecimal HALF_UP and DuckDB's C-style round agree; oracle SQL uses
+    the same ``ROUND(x + 1e-9, 4)`` (see ``r4_sql``).
+    """
+    return F.round(col + F.lit(1e-9), 4)
+
+
+def r4_sql(expr: str) -> str:
+    """DuckDB twin of :func:`r4`."""
+    return f"ROUND({expr} + 1e-9, 4)"
 
 
 def aqi_from_pm25(pm25: Column) -> Column:
@@ -66,7 +76,7 @@ def aqi_sql(col: str) -> str:
             cases.append(f"ELSE {piece}")
         else:
             cases.append(f"WHEN {col} <= {upper} THEN {piece}")
-    return "ROUND(CASE " + " ".join(cases) + " END, 4)"
+    return "ROUND(CASE " + " ".join(cases) + " END + 1e-9, 4)"
 
 
 def quality_category(aqi: Column) -> Column:

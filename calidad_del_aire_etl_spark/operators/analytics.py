@@ -1,0 +1,174 @@
+"""Dashboard analytics operators (reference dashboard_calidad_aire.py).
+
+The reference computes these in matplotlib prep code on a collected
+pandas frame; the engine expresses each as a distributed plan whose
+output is the (tiny) chart-ready relation — at 100 TB only the reduced
+result ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import r4
+
+
+def kpis(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    unhealthy_threshold: float = 35.4,
+) -> DataFrame:
+    """Single-row KPI relation (reference dashboard:81-93): overall
+    avg/max, count of days whose daily mean exceeds the threshold, total
+    days, percentage, and the worst group (argmax of group mean,
+    deterministic tie-break on the group key).
+
+    Three independent 1-row aggregates cross-joined — each reduces
+    map-side; no full-table shuffle.
+    """
+    overall = df.agg(
+        r4(F.avg(value_col)).alias("avg_value"),
+        r4(F.max(value_col)).alias("max_value"),
+    )
+    daily = (
+        df.groupBy(F.to_date(F.col(ts_col)).alias("__d"))
+        .agg(F.avg(value_col).alias("__m"))
+        .agg(
+            F.sum((F.col("__m") > unhealthy_threshold).cast("bigint")).alias(
+                "days_unhealthy"
+            ),
+            F.count(F.lit(1)).alias("total_days"),
+        )
+        .select(
+            "days_unhealthy",
+            "total_days",
+            r4(
+                F.col("days_unhealthy").cast("double")
+                / F.col("total_days").cast("double")
+                * 100.0
+            ).alias("pct_unhealthy"),
+        )
+    )
+    worst = (
+        df.groupBy(group_col)
+        .agg(F.avg(value_col).alias("__gm"))
+        .orderBy(F.col("__gm").desc(), F.col(group_col).asc())
+        .limit(1)
+        .select(F.col(group_col).alias("worst_group"))
+    )
+    return overall.crossJoin(daily).crossJoin(worst)
+
+
+def kpis_sql(
+    table: str,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    unhealthy_threshold: float = 35.4,
+) -> str:
+    """DuckDB oracle twin of :func:`kpis`."""
+    return f"""
+    WITH overall AS (
+      SELECT ROUND(AVG({value_col}) + 1e-9, 4) AS avg_value,
+             ROUND(MAX({value_col}) + 1e-9, 4) AS max_value
+      FROM {table}
+    ), daily0 AS (
+      SELECT CAST({ts_col} AS DATE) AS d, AVG({value_col}) AS m
+      FROM {table} GROUP BY 1
+    ), daily AS (
+      SELECT CAST(SUM(CASE WHEN m > {unhealthy_threshold} THEN 1 ELSE 0 END) AS BIGINT)
+               AS days_unhealthy,
+             CAST(COUNT(*) AS BIGINT) AS total_days
+      FROM daily0
+    ), worst AS (
+      SELECT {group_col} AS worst_group
+      FROM {table} GROUP BY {group_col}
+      ORDER BY AVG({value_col}) DESC, {group_col} ASC LIMIT 1
+    )
+    SELECT overall.avg_value, overall.max_value,
+           daily.days_unhealthy, daily.total_days,
+           ROUND(CAST(daily.days_unhealthy AS DOUBLE)
+                 / CAST(daily.total_days AS DOUBLE) * 100.0 + 1e-9, 4) AS pct_unhealthy,
+           worst.worst_group
+    FROM overall, daily, worst
+    """
+
+
+def rolling_mean(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    window_rows: int = 6,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing N-row rolling mean per group (reference dashboard:110-131
+    uses a 6-hour centered pandas rolling; the engine standardizes on a
+    trailing frame, the streaming-safe shape). One shuffle on the group."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in order_tiebreak])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return df.withColumn("rolling_mean", r4(F.avg(value_col).over(w)))
+
+
+def dow_distribution(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Day-of-week distribution stats (reference dashboard:146-163 violin
+    plot → mean/stddev/quartiles per weekday, Monday=0)."""
+    return (
+        df.groupBy(F.weekday(F.col(ts_col)).cast("int").alias("day_of_week"))
+        .agg(
+            r4(F.avg(value_col)).alias("value_mean"),
+            r4(F.stddev_samp(value_col)).alias("value_std"),
+            r4(F.expr(f"percentile({value_col}, 0.25)")).alias("q1"),
+            r4(F.expr(f"percentile({value_col}, 0.5)")).alias("median"),
+            r4(F.expr(f"percentile({value_col}, 0.75)")).alias("q3"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def group_compare(df: DataFrame, group_col: str, value_col: str, type_col: str, types: Sequence[str]) -> DataFrame:
+    """Per-group multi-metric comparison (reference dashboard:167-192
+    grouped bars): overall mean plus one conditional mean per type."""
+    aggs = [r4(F.avg(value_col)).alias("value_mean")]
+    for t in types:
+        aggs.append(
+            r4(F.avg(F.when(F.col(type_col) == t, F.col(value_col)))).alias(f"mean_{t}")
+        )
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def hourly_pattern(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Hour-of-day profile (reference dashboard:196-219)."""
+    return (
+        df.groupBy(F.hour(F.col(ts_col)).cast("int").alias("hour"))
+        .agg(
+            r4(F.avg(value_col)).alias("value_mean"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            "is_rush_hour",
+            F.col("hour").isin(7, 8, 9, 17, 18, 19).cast("int"),
+        )
+    )
+
+
+def corr_matrix_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation matrix in long form (reference dashboard:
+    223-243 heatmap). One single-row aggregate computes every pair
+    (Spark fuses them into one pass), then an unpivot to
+    (col_a, col_b, corr) rows."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [r4(F.corr(a, b)).alias(f"{a}__{b}") for a, b in pairs]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

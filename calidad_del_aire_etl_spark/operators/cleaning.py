@@ -63,7 +63,7 @@ def interpolate_linear(
             prev_val.isNotNull()
             & next_val.isNotNull()
             & ((rn - prev_rn) <= F.lit(limit)),
-            F.round(filled, 4),
+            F.round(filled + F.lit(1e-9), 4),
         )
     )
     return staged.withColumn(out_col, interp).drop("__rn", "__rn_nn")
@@ -93,7 +93,7 @@ def interpolate_linear_sql(
              AND (rn - prev_rn) <= {limit}
           THEN ROUND(prev_val + (next_val - prev_val)
                      * CAST(rn - prev_rn AS DOUBLE)
-                     / CAST(next_rn - prev_rn AS DOUBLE), 4)
+                     / CAST(next_rn - prev_rn AS DOUBLE) + 1e-9, 4)
       END AS {out_col}
     FROM (
       SELECT *,
@@ -149,7 +149,7 @@ def iqr_clip(
         hi = q3 + F.lit(k) * (q3 - q1)
         out = out.withColumn(
             c,
-            F.round(F.when(F.col(c) < lo, lo).when(F.col(c) > hi, hi).otherwise(F.col(c)), 4),
+            F.round(F.when(F.col(c) < lo, lo).when(F.col(c) > hi, hi).otherwise(F.col(c)) + F.lit(1e-9), 4),
         )
     return out.drop(*[f"__q{q}_{c}" for c in cols for q in (1, 3)])
 
@@ -173,7 +173,7 @@ def iqr_clip_sql(
         hi = f"(__q3_{c} + {k} * (__q3_{c} - __q1_{c}))"
         clip_exprs.append(
             f"ROUND(CASE WHEN t.{c} < {lo} THEN {lo} WHEN t.{c} > {hi} THEN {hi} "
-            f"ELSE t.{c} END, 4) AS {c}"
+            f"ELSE t.{c} END + 1e-9, 4) AS {c}"
         )
     cols_sql = ", ".join(passthrough)
     if group_cols:

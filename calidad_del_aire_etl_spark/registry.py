@@ -5,7 +5,7 @@ DuckDB oracle twin.
 Conventions that keep the two engines hash-identical:
 - session timezone pinned to UTC before every query;
 - every computed double rounded to 4 decimals on BOTH sides (``r4`` /
-  ``ROUND(x, 4)``);
+  ``ROUND(x + 1e-9, 4)``);
 - every integer-typed output explicitly cast so Arrow dtypes agree
   (Spark ``int``/``bigint`` ↔ DuckDB ``INTEGER``/``BIGINT``);
 - aggregate/computed columns aliased to the same name on both sides.
@@ -222,10 +222,10 @@ def q_etl_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_pollution_index",
     """
     SELECT CAST(user_id AS BIGINT) AS user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
-           ROUND(COALESCE(ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 4), 0) / 50.0 * 0.3
-               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 4), 0) / 100.0 * 0.3
-               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 4), 0) / 100.0 * 0.2
-               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 4), 0) / 2.0 * 0.002
+           ROUND(COALESCE(ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4), 0) / 50.0 * 0.3
+               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4), 0) / 100.0 * 0.3
+               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4), 0) / 100.0 * 0.2
+               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4), 0) / 2.0 * 0.002
                + 1e-9, 4) AS pollution_index
     FROM events
     GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
@@ -265,9 +265,9 @@ def q_etl_pollution_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_daily_summary",
     """
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,
-           ROUND(AVG(value), 4) AS value_mean,
-           ROUND(MAX(value), 4) AS value_max,
-           ROUND(MIN(value), 4) AS value_min,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+           ROUND(MAX(value) + 1e-9, 4) AS value_max,
+           ROUND(MIN(value) + 1e-9, 4) AS value_min,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END) AS BIGINT) AS rush_hours
     FROM events GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR), event_type
@@ -284,10 +284,10 @@ def q_etl_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_weekly_summary",
     """
     SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS period_start, event_type,
-           ROUND(AVG(value), 4) AS value_mean,
-           ROUND(MAX(value), 4) AS value_max,
-           ROUND(MIN(value), 4) AS value_min,
-           ROUND(STDDEV_SAMP(value), 4) AS value_std,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+           ROUND(MAX(value) + 1e-9, 4) AS value_max,
+           ROUND(MIN(value) + 1e-9, 4) AS value_min,
+           ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS value_std,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM events GROUP BY 1, 2
     """,
@@ -303,10 +303,10 @@ def q_etl_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_monthly_summary",
     """
     SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS period_start, event_type,
-           ROUND(AVG(value), 4) AS value_mean,
-           ROUND(MAX(value), 4) AS value_max,
-           ROUND(MIN(value), 4) AS value_min,
-           ROUND(STDDEV_SAMP(value), 4) AS value_std,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+           ROUND(MAX(value) + 1e-9, 4) AS value_max,
+           ROUND(MIN(value) + 1e-9, 4) AS value_min,
+           ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS value_std,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM events GROUP BY 1, 2
     """,
@@ -323,7 +323,7 @@ def q_etl_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
            ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) * 1 AS DOUBLE) * 100.0, 4) AS null_percentage,
+                 / CAST(COUNT(*) * 1 AS DOUBLE) * 100.0 + 1e-9, 4) AS null_percentage,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_groups,
            CAST(MIN(ts) AS TIMESTAMP) AS ts_min, CAST(MAX(ts) AS TIMESTAMP) AS ts_max,
            CAST(SUM(CASE WHEN {cat} = 'Good' THEN 1 ELSE 0 END) AS BIGINT) AS records_good
@@ -346,4 +346,143 @@ def q_etl_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = features.with_quality_category(df, "aqi")
     return aggregates.validation_report(
         df, "ts", "user_id", ["value"], category_col="air_quality_category"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dashboard analytics (SURVEY §2 #13-18) — reference dashboard_calidad_aire.py
+# ---------------------------------------------------------------------------
+
+from .operators import analytics  # noqa: E402
+
+_EVENT_TYPES = ["purchase", "view", "click", "error", "signup"]
+
+
+@register(
+    "dash_kpis",
+    analytics.kpis_sql("events", "ts", "user_id", "value", unhealthy_threshold=82.0),
+)
+def q_dash_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #13 — KPI row (ref dashboard:81-93)."""
+    ev = load(spark, sf_dir, "events")
+    return analytics.kpis(ev, "ts", "user_id", "value", unhealthy_threshold=82.0)
+
+
+@register(
+    "dash_rolling_mean",
+    """
+    SELECT event_id, user_id, value,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_mean
+    FROM events
+    """,
+)
+def q_dash_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #14 — trailing 6-row rolling mean (ref dashboard:110-131)."""
+    ev = load(spark, sf_dir, "events")
+    out = analytics.rolling_mean(
+        ev, "ts", "user_id", "value", window_rows=6, order_tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "value", "rolling_mean")
+
+
+@register(
+    "dash_dow_distribution",
+    """
+    SELECT CAST(ISODOW(ts) - 1 AS INTEGER) AS day_of_week,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+           ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS value_std,
+           ROUND(quantile_cont(value, 0.25) + 1e-9, 4) AS q1,
+           ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS median,
+           ROUND(quantile_cont(value, 0.75) + 1e-9, 4) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q_dash_dow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #15 — day-of-week distribution (ref dashboard:146-163)."""
+    ev = load(spark, sf_dir, "events")
+    return analytics.dow_distribution(ev, "ts", "value")
+
+
+@register(
+    "dash_station_compare",
+    """
+    SELECT user_id,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS mean_purchase,
+           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS mean_view,
+           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS mean_click,
+           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS mean_error,
+           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END) + 1e-9, 4) AS mean_signup
+    FROM events GROUP BY user_id
+    """,
+)
+def q_dash_station_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #16 — per-group multi-metric comparison (ref dashboard:167-192)."""
+    ev = load(spark, sf_dir, "events")
+    return analytics.group_compare(ev, "user_id", "value", "event_type", _EVENT_TYPES)
+
+
+@register(
+    "dash_hourly_pattern",
+    """
+    SELECT CAST(HOUR(ts) AS INTEGER) AS hour,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END AS INTEGER)
+             AS is_rush_hour
+    FROM events GROUP BY 1, 4
+    """,
+)
+def q_dash_hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #17 — hour-of-day profile (ref dashboard:196-219)."""
+    ev = load(spark, sf_dir, "events")
+    return analytics.hourly_pattern(ev, "ts", "value")
+
+
+_CORR_PIVOT_SQL = """
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS m_purchase,
+         ROUND(AVG(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS m_view,
+         ROUND(AVG(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS m_click,
+         ROUND(AVG(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS m_error
+  FROM events GROUP BY 1, 2
+"""
+
+_CORR_PAIRS = [
+    ("m_purchase", "m_view"),
+    ("m_purchase", "m_click"),
+    ("m_purchase", "m_error"),
+    ("m_view", "m_click"),
+    ("m_view", "m_error"),
+    ("m_click", "m_error"),
+]
+
+
+@register(
+    "dash_corr_matrix",
+    "WITH p AS ({pivot}) SELECT col_a, col_b, corr FROM (\n".format(pivot=_CORR_PIVOT_SQL)
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(CORR({a}, {b}) + 1e-9, 4) AS corr FROM p"
+        for a, b in _CORR_PAIRS
+    )
+    + "\n)",
+)
+def q_dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #18 — Pearson correlation matrix, long form
+    (ref dashboard:223-243). Metrics are the day×station conditional
+    means of each event type (the engine's pivot of the reference's
+    pollutant columns)."""
+    ev = load(spark, sf_dir, "events")
+
+    def cavg(t: str):
+        return r4(F.avg(F.when(F.col("event_type") == t, F.col("value"))))
+
+    pivoted = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(*[cavg(t).alias(f"m_{t}") for t in ["purchase", "view", "click", "error"]])
+    return analytics.corr_matrix_long(
+        pivoted, ["m_purchase", "m_view", "m_click", "m_error"]
     )
