@@ -1,0 +1,340 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2 #25-29).
+
+Five dedup families, all shuffle-bounded (no O(n²) cross product):
+
+- exact: one groupBy on a content hash;
+- n-gram Jaccard: explode distinct shingles → equi-join on shingle —
+  candidate generation cost is Σ (docs-per-shingle)², bounded by the
+  optional document-frequency cap;
+- MinHash+LSH: constant-size signatures (K hashes) and band buckets —
+  the classic sub-quadratic near-dup path for 100 TB corpora;
+- SimHash: frequency-weighted bit votes → one 16-bit fingerprint per doc;
+- embedding cosine: pairs within a coarse partition (label = IVF-style
+  cell), never across the whole corpus.
+
+Hash portability: signatures are md5 hex strings (identical in Spark and
+DuckDB; string min is byte-lexicographic in both), which is what makes
+the DuckDB oracle twins possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import r4
+
+# --- shared shingle expressions (Spark SQL dialect / DuckDB dialect) -----
+
+def shingles_expr(text_col: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles, Spark SQL."""
+    toks = rf"split(trim({text_col}), '\\s+')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def shingles_sql(text_col: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles, DuckDB SQL."""
+    toks = rf"regexp_split_to_array(trim({text_col}), '\s+')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# --- #25 exact dedup ------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivor rows (min id per content hash) with the hash attached."""
+    hashed = df.select(
+        F.col(id_col), F.md5(F.encode(F.col(text_col), "UTF-8")).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT md5({text_col}) AS content_hash, MIN({id_col}) AS {id_col}
+    FROM {table} GROUP BY 1
+    """
+
+
+# --- #26 n-gram Jaccard pairs --------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) with exact shingle-set Jaccard ≥
+    threshold. ``max_doc_freq`` drops shingles seen in more than that
+    many docs before the self-join — the standard hot-key guard at scale
+    (a stopword shingle otherwise creates a quadratic join island)."""
+    sh = df.select(F.col(id_col).alias("id"), F.expr(shingles_expr(text_col, n)).alias("sh"))
+    counts = sh.select("id", F.size("sh").cast("bigint").alias("ns"))
+    ex = sh.select("id", F.explode("sh").alias("sg"))
+    if max_doc_freq is not None:
+        hot = ex.groupBy("sg").count().filter(F.col("count") > max_doc_freq).select("sg")
+        ex = ex.join(F.broadcast(hot), "sg", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("id").alias("id_a"), F.col("ns").alias("na"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"))
+    j = (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            r4(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def jaccard_pairs_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {shingles_sql(text_col, n)} AS s FROM {table}
+    ), ex AS (SELECT id, unnest(s) AS sg FROM sh),
+       cnt AS (SELECT id, CAST(len(s) AS BIGINT) AS ns FROM sh),
+       inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(na.ns + nb.ns - i AS DOUBLE) + 1e-9, 4) AS jaccard
+    FROM inter
+    JOIN cnt na ON inter.id_a = na.id
+    JOIN cnt nb ON inter.id_b = nb.id
+    WHERE ROUND(CAST(i AS DOUBLE) / CAST(na.ns + nb.ns - i AS DOUBLE) + 1e-9, 4) >= {threshold}
+    """
+
+
+# --- #27 MinHash + LSH ----------------------------------------------------
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash signatures + LSH banding.
+
+    Signature position k = min over shingles of md5("k|shingle") — a
+    portable drop-in for k independent hash functions. Docs sharing any
+    band (contiguous signature slice) become candidates; the output
+    carries the signature-estimated Jaccard (matching positions / K).
+    """
+    rows = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"), F.expr(shingles_expr(text_col, n)).alias("sh"))
+    ex = sh.select("id", F.explode("sh").alias("sg"))
+    seeded = ex.select("id", "sg", F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed"))
+    mh = seeded.groupBy("id", "seed").agg(
+        F.min(F.expr("md5(cast(concat(cast(seed as string), '|', sg) as binary))")).alias("m")
+    )
+    sig = mh.groupBy("id").agg(
+        F.expr("transform(array_sort(collect_list(struct(seed, m))), x -> x.m)").alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("b"),
+    ).withColumn(
+        "bkey",
+        F.expr(f"md5(cast(concat_ws(',', slice(sig, b * {rows} + 1, {rows})) as binary))"),
+    )
+    la, lb = banded.alias("la"), banded.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.b") == F.col("lb.b"))
+            & (F.col("la.bkey") == F.col("lb.bkey"))
+            & (F.col("la.id") < F.col("lb.id")),
+        )
+        .select(
+            F.col("la.id").alias("id_a"),
+            F.col("lb.id").alias("id_b"),
+            F.col("la.sig").alias("sig_a"),
+            F.col("lb.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        f"size(filter(sequence(1, {num_hashes}), "
+        "i -> element_at(sig_a, i) = element_at(sig_b, i)))"
+    ).cast("double") / F.lit(float(num_hashes))
+    return cand.select("id_a", "id_b", r4(est).alias("est_jaccard"))
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    rows = num_hashes // bands
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {shingles_sql(text_col, n)} AS s FROM {table}
+    ), ex AS (SELECT id, unnest(s) AS sg FROM sh),
+       seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
+       mh AS (
+      SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sg)) AS m
+      FROM ex CROSS JOIN seeds GROUP BY 1, 2
+    ), sig AS (
+      SELECT id, list(m ORDER BY seed) AS sig FROM mh GROUP BY id
+    ), banded AS (
+      SELECT id, sig, b,
+             md5(array_to_string(list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), ','))
+               AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+    ), cand AS (
+      SELECT DISTINCT la.id AS id_a, lb.id AS id_b,
+             la.sig AS sig_a, lb.sig AS sig_b
+      FROM banded la
+      JOIN banded lb ON la.b = lb.b AND la.bkey = lb.bkey AND la.id < lb.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_filter(generate_series(1, {num_hashes}),
+                                      i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+                 / {num_hashes}.0 + 1e-9, 4) AS est_jaccard
+    FROM cand
+    """
+
+
+# --- #28 SimHash ----------------------------------------------------------
+
+HEX_ALPHABET = "0123456789abcdef"
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint (``bits`` ≤ 32).
+
+    Each token votes its md5-derived bit pattern; the fingerprint sets
+    bit j where the vote is positive. Plan: explode tokens × bit
+    positions, one groupBy (id, j), one groupBy (id) — all JVM-side.
+    """
+    nibbles = (bits + 3) // 4
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(rf"split(trim({text_col}), '\\s+')")).alias("t"),
+    ).withColumn("h", F.expr(f"substring(md5(cast(t as binary)), 1, {nibbles})"))
+    bitted = tok.select(
+        "id",
+        "h",
+        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"),
+    ).withColumn(
+        "bit",
+        F.expr(
+            f"cast(floor((instr('{HEX_ALPHABET}', substring(h, cast(floor(j / 4) as int) + 1, 1)) - 1) "
+            "/ power(2, j % 4)) as int) % 2"
+        ),
+    )
+    votes = bitted.groupBy("id", "j").agg(F.sum(F.col("bit") * 2 - 1).alias("v"))
+    return (
+        votes.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("cast(power(2, j) as bigint)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+        .select(F.col("id").alias(id_col), "simhash")
+    )
+
+
+def simhash_sql(table: str, id_col: str, text_col: str, bits: int = 16) -> str:
+    nibbles = (bits + 3) // 4
+    return rf"""
+    WITH tok AS (
+      SELECT {id_col} AS id,
+             substr(md5(t), 1, {nibbles}) AS h
+      FROM (SELECT {id_col}, unnest(regexp_split_to_array(trim({text_col}), '\s+')) AS t
+            FROM {table})
+    ), bitted AS (
+      SELECT id, j,
+             CAST(FLOOR((strpos('{HEX_ALPHABET}', substr(h, CAST(FLOOR(j / 4) AS INTEGER) + 1, 1)) - 1)
+                        / POWER(2, j % 4)) AS INTEGER) % 2 AS bit
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j)
+    ), votes AS (
+      SELECT id, j, SUM(bit * 2 - 1) AS v FROM bitted GROUP BY 1, 2
+    )
+    SELECT id AS {id_col},
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY 1
+    """
+
+
+# --- #29 embedding-cosine near-dups --------------------------------------
+
+COSINE_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), cast(0 as double), (acc, x) -> acc + x))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), cast(0 as double), (acc, x) -> acc + x)))"
+)
+
+COSINE_DUCK = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    part_col: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, only within the coarse
+    partition ``part_col`` (an IVF-cell stand-in): at 100 TB the
+    all-pairs product is impossible; partition-local comparison is the
+    scalable shape (recall is bounded by the partitioner, as with IVF)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(part_col).alias("p")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.expr(COSINE_SPARK.format(a="a.v", b="b.v"))
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            r4(cos).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_sql(
+    table: str, id_col: str, vec_col: str, part_col: str, threshold: float = 0.35
+) -> str:
+    cos = COSINE_DUCK.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           ROUND({cos} + 1e-9, 4) AS cosine
+    FROM {table} a JOIN {table} b
+      ON a.{part_col} = b.{part_col} AND a.{id_col} < b.{id_col}
+    WHERE ROUND({cos} + 1e-9, 4) >= {threshold}
+    """

@@ -1,0 +1,228 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2 #32-35).
+
+All operators are pure Catalyst expressions (split / higher-order array
+functions / string ops) — no Python in the hot path, so they run inside
+whole-stage codegen and scale linearly with document bytes. Every one
+has a DuckDB SQL twin built from the same primitives, used as the
+correctness oracle.
+
+Portability notes (Spark ↔ DuckDB):
+- occurrence counts use the non-overlapping replace() trick — identical
+  left-to-right semantics in both engines, no regex dialect drift;
+- md5() yields the same lowercase hex in both; string min/max is byte
+  lexicographic in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language, scored by padded-occurrence counts.
+# Deterministic tie-break: earlier languages win.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in"]
+PUNCT_CHARS = [".", ",", "!", "?", ";", ":"]
+
+
+def padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), text, F.lit(" "))
+
+
+def occ_count(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of ``needle`` via replace()."""
+    pat = f" {needle} "
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("bigint")
+
+
+def occ_count_sql(text_expr: str, needle: str) -> str:
+    pat = f" {needle} "
+    return (
+        f"CAST((LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{pat}', '')))"
+        f" / {len(pat)} AS BIGINT)"
+    )
+
+
+def char_count(text: Column, ch: str) -> Column:
+    return F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+
+
+def char_count_sql(text_expr: str, ch: str) -> str:
+    return f"(LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{ch}', '')))"
+
+
+def lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Add one ``score_<lang>`` column per language profile."""
+    p = padded(F.col(text_col))
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = occ_count(p, m)
+            score = c if score is None else score + c
+        df = df.withColumn(f"score_{lang}", score)
+    return df
+
+
+def lang_pick() -> Column:
+    """Argmax over the score columns with fixed priority order."""
+    langs = list(LANG_MARKERS)
+    expr = F.when(
+        sum((F.col(f"score_{lg}") for lg in langs), F.lit(0)) == 0, F.lit("und")
+    )
+    for i, lg in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"score_{lg}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        for prev in langs[:i]:
+            c = F.col(f"score_{lg}") > F.col(f"score_{prev}")
+            cond = c if cond is None else (cond & c)
+        expr = expr.when(cond if cond is not None else F.lit(True), F.lit(lg))
+    return expr.otherwise(F.lit("und"))
+
+
+def lang_id_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of lang_scores + lang_pick."""
+    langs = list(LANG_MARKERS)
+    p = f"(' ' || {text_col} || ' ')"
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        score_exprs.append(
+            "(" + " + ".join(occ_count_sql(p, m) for m in markers) + f") AS score_{lang}"
+        )
+    total = " + ".join(f"score_{lg}" for lg in langs)
+    cases = [f"WHEN ({total}) = 0 THEN 'und'"]
+    for i, lg in enumerate(langs):
+        conds = [f"score_{lg} >= score_{o}" for o in langs[i + 1 :]]
+        conds += [f"score_{lg} > score_{p_}" for p_ in langs[:i]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lg}'")
+    pick = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    scores = ", ".join(f"score_{lg}" for lg in langs)
+    return f"""
+    SELECT {id_col}, {pick} AS detected_lang, {scores} FROM (
+      SELECT {id_col}, {', '.join(score_exprs)} FROM {table}
+    )
+    """
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokens plus BPE-ish class counts (alpha / numeric /
+    symbol runs)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(F.split(F.trim(t), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]+")).cast("bigint").alias("alpha_tokens"),
+        F.regexp_count(t, F.lit(r"[0-9]+")).cast("bigint").alias("num_tokens"),
+        F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint").alias("symbol_tokens"),
+        F.length(t).cast("bigint").alias("n_chars_measured"),
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+    SELECT {id_col},
+           CAST(len(regexp_split_to_array(trim({t}), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all({t}, '[A-Za-z]+')) AS BIGINT) AS alpha_tokens,
+           CAST(len(regexp_extract_all({t}, '[0-9]+')) AS BIGINT) AS num_tokens,
+           CAST(len(regexp_extract_all({t}, '[^A-Za-z0-9\s]')) AS BIGINT) AS symbol_tokens,
+           CAST(LENGTH({t}) AS BIGINT) AS n_chars_measured
+    FROM {table}
+"""
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0, 1]: rewards reasonable length and
+    stopword density, penalizes punctuation soup. Weights are the
+    engine's own (the reference has no text ops; SURVEY §2 mandates
+    this family for the training-data pipeline)."""
+    t = F.col(text_col)
+    p = padded(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        c = occ_count(p, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    punct = None
+    for ch in PUNCT_CHARS:
+        c = char_count(t, ch)
+        punct = c if punct is None else punct + c
+    n_chars = F.length(t).cast("double")
+    stop_ratio = stop_hits.cast("double") / n_words
+    punct_ratio = punct.cast("double") / n_chars
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.greatest(F.lit(1.0) - punct_ratio * 10.0, F.lit(0.0)) * 0.3
+    )
+    from ..functions import r4
+
+    return df.select(
+        "*",
+        n_words.cast("bigint").alias("n_words"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(punct_ratio).alias("punct_ratio"),
+        r4(score).alias("quality_score"),
+    )
+
+
+def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
+    t = text_col
+    p = f"(' ' || {t} || ' ')"
+    n_words = rf"CAST(len(regexp_split_to_array(trim({t}), '\s+')) AS DOUBLE)"
+    stop_hits = " + ".join(occ_count_sql(p, w) for w in STOPWORDS_EN)
+    punct = " + ".join(char_count_sql(t, ch) for ch in PUNCT_CHARS)
+    return f"""
+    SELECT {id_col},
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(stop_ratio + 1e-9, 4) AS stopword_ratio,
+           ROUND(punct_ratio + 1e-9, 4) AS punct_ratio,
+           ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+                 + LEAST(stop_ratio * 5.0, 1.0) * 0.3
+                 + GREATEST(1.0 - punct_ratio * 10.0, 0.0) * 0.3 + 1e-9, 4)
+             AS quality_score
+    FROM (
+      SELECT {id_col},
+             {n_words} AS n_words,
+             CAST(({stop_hits}) AS DOUBLE) / {n_words} AS stop_ratio,
+             CAST(({punct}) AS DOUBLE) / CAST(LENGTH({t}) AS DOUBLE) AS punct_ratio
+      FROM {table}
+    )
+    """
+
+
+def fingerprint(df: DataFrame, text_col: str, gram: int = 8) -> DataFrame:
+    """Winnowing-lite document fingerprint: the minimum md5 over all
+    character ``gram``-shingles — one stable 32-hex-char id per doc that
+    is invariant to shingle order and robust to small appends."""
+    sh = (
+        f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)), "
+        f"i -> md5(cast(substring({text_col}, i, {gram}) as binary)))"
+    )
+    return df.select(
+        "*",
+        F.expr(f"array_min({sh})").alias("fingerprint"),
+        F.expr(f"size(array_distinct({sh}))").cast("bigint").alias("n_shingles"),
+    )
+
+
+def fingerprint_sql(table: str, id_col: str, text_col: str, gram: int = 8) -> str:
+    sh = (
+        f"list_transform(generate_series(1, greatest(length({text_col}) - {gram - 1}, 1)), "
+        f"i -> md5(substr({text_col}, i, {gram})))"
+    )
+    return f"""
+    SELECT {id_col}, list_min({sh}) AS fingerprint,
+           CAST(len(list_distinct({sh})) AS BIGINT) AS n_shingles
+    FROM {table}
+    """

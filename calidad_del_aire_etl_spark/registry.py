@@ -486,3 +486,114 @@ def q_dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.corr_matrix_long(
         pivoted, ["m_purchase", "m_view", "m_click", "m_error"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (SURVEY §2 #25-29), similarity search (#30-31), and text
+# analysis (#32-35) — the LLM-data-pipeline operators on documents/embeddings.
+# ---------------------------------------------------------------------------
+
+from .operators import ann, dedup, text  # noqa: E402
+
+
+@register("dedup_exact_docs", dedup.exact_dedup_sql("documents", "doc_id", "text"))
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #25 — exact dedup by content hash."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #26 — word-3-gram Jaccard near-dup pairs (j ≥ 0.5)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=3, num_hashes=16, bands=4),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #27 — MinHash(16) + LSH(4 bands) candidate pairs."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
+
+
+@register("dedup_simhash", dedup.simhash_sql("documents", "doc_id", "text", bits=16))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #28 — 16-bit frequency-weighted SimHash fingerprints."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "dedup_embedding_cosine",
+    dedup.embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", "label", 0.35),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #29 — partition-local embedding near-dup pairs (cos ≥ 0.35)."""
+    em = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(em, "vec_id", "embedding", "label", 0.35)
+
+
+@register(
+    "ann_bruteforce_topk",
+    ann.bruteforce_topk_sql("embeddings", "vec_id", "embedding", "q.vec_id < 10", k=5),
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #30 — exact cosine top-5 for query vectors vec_id < 10."""
+    em = load(spark, sf_dir, "embeddings")
+    return ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+
+
+@register("ann_lsh_topk", None)  # rows-only: recall asserted in tests/test_ann.py
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31 — LSH-bucketed cosine top-5 (approximate scale path)."""
+    em = load(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+
+
+@register("text_lang_id", text.lang_id_sql("documents", "doc_id", "text"))
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #32 — stopword-profile language ID."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.lang_scores(docs.select("doc_id", "text"), "text")
+    langs = list(text.LANG_MARKERS)
+    return scored.select(
+        "doc_id",
+        text.lang_pick().alias("detected_lang"),
+        *[f"score_{lg}" for lg in langs],
+    )
+
+
+@register("text_quality_score", text.quality_score_sql("documents", "doc_id", "text"))
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #33 — length/stopword/punctuation quality score."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.quality_score(docs.select("doc_id", "text"), "text")
+    return out.select("doc_id", "n_words", "stopword_ratio", "punct_ratio", "quality_score")
+
+
+@register(
+    "text_token_count",
+    text.TOKEN_COUNTS_SQL.format(table="documents", id_col="doc_id", t="text"),
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #34 — whitespace + BPE-ish class token counts."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.token_counts(docs.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id", "ws_tokens", "alpha_tokens", "num_tokens", "symbol_tokens", "n_chars_measured"
+    )
+
+
+@register("text_fingerprint", text.fingerprint_sql("documents", "doc_id", "text", gram=8))
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #35 — min-md5 char-8-gram document fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.fingerprint(docs.select("doc_id", "text"), "text", gram=8)
+    return out.select("doc_id", "fingerprint", "n_shingles")

@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+from calidad_del_aire_etl_spark.operators import ann
+from calidad_del_aire_etl_spark.registry import load
+from calidad_del_aire_etl_spark.session import pin_oracle_compat
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """The LSH path trades recall for candidate-set size; on the testdata
+    it must still recover a reasonable share of true neighbors and every
+    returned neighbor must be genuinely in the query's bucket ordering."""
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    bf = ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+    ls = ann.lsh_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ls.collect()}
+    assert len(approx) > 0
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_bruteforce_ranks_are_dense_and_bounded(spark, sf_dir):
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    rows = ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 3, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words about spark engines here"),
+        (5, "el perro corre por la calle de la ciudad"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_identical(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4, 5]  # doc 2 collapsed into 1 (min id survives)
+
+
+def test_jaccard_identical_is_one(docs):
+    out = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0  # near dup, shared prefix shingles
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out}
+    assert got[(1, 2)] == 1.0  # identical signature
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**16
+    # near-dup should be close in hamming distance, far doc should differ
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[3]) <= ham(out[1], out[4])
+
+
+def test_lang_id_real_sentences(spark):
+    rows = [
+        (1, "the cat is on the roof of the house and the barn"),
+        (2, "el gato está en el tejado de la casa que vemos"),
+        (3, "der Hund ist gross und die Katze ist klein das stimmt"),
+        (4, "le chat est sur le toit et les oiseaux est une chose"),
+        (5, "xyzzy plugh foobar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = text.lang_scores(df, "text")
+    out = {r["doc_id"]: r["lang"] for r in scored.select("doc_id", text.lang_pick().alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "abc 123 x-y!")], "doc_id long, text string")
+    r = text.token_counts(df, "text").collect()[0]
+    assert r["ws_tokens"] == 3
+    assert r["alpha_tokens"] == 3  # abc, x, y
+    assert r["num_tokens"] == 1  # 123
+    assert r["symbol_tokens"] == 2  # '-', '!'
+
+
+def test_fingerprint_stable_and_distinct(docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs, "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    assert len(out[1]) == 32
