@@ -1,0 +1,309 @@
+"""General analytics operators on the TPC-H-ish tables (SURVEY §2 #19-24).
+
+Engine-completeness demonstrations: multi-agg scans, star joins with
+broadcast dimensions, window top-k, sessionization, pivot. Money math
+runs in DECIMAL so sums are exact and order-independent — the only way
+a distributed sum can hash-match a single-threaded oracle bit-for-bit
+(double sums differ by summation order at 10⁵+ rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import r4
+
+DEC = "decimal(18,2)"
+
+
+def _d(col: str):
+    return F.col(col).cast(DEC)
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1 shape: one partial-aggregating scan, eight aggregates.
+
+    Catalyst plan: parquet scan with the shipdate filter pushed down →
+    partial HashAggregate (map-side) → single shuffle on the 6-value
+    grouping key → final HashAggregate. Nothing here grows with data
+    size except the scan."""
+    disc_price = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    charge = (
+        _d("l_extendedprice")
+        * (F.lit(1).cast(DEC) - _d("l_discount"))
+        * (F.lit(1).cast(DEC) + _d("l_tax"))
+    ).cast("decimal(28,8)")
+    out = (
+        lineitem.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d("l_quantity")).alias("__sq"),
+            F.sum(_d("l_extendedprice")).alias("__sbp"),
+            F.sum(disc_price).alias("__sdp"),
+            F.sum(charge).alias("__sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        F.col("__sbp").cast("double").alias("sum_base_price"),
+        r4(F.col("__sdp").cast("double")).alias("sum_disc_price"),
+        r4(F.col("__sc").cast("double")).alias("sum_charge"),
+        r4(F.col("__sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        r4(F.col("__sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) + 1e-9, 4)
+         AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) + 1e-9, 4)
+         AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) + 1e-9, 4)
+         AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) + 1e-9, 4)
+         AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    topn: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension broadcast into the fact scan.
+
+    customer (filtered) is broadcast; orders joins it without a shuffle;
+    lineitem↔orders is the one real shuffle (AQE handles skew). Top-N
+    runs on the already-aggregated relation."""
+    revenue = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", revenue.alias("__rev")
+    )
+    joined = li.join(
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+        li.l_orderkey == ords.o_orderkey,
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(F.sum("__rev").alias("__r"))
+    return (
+        agg.orderBy(F.col("__r").desc(), F.col("o_orderkey").asc())
+        .limit(topn)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            r4(F.col("__r").cast("double")).alias("revenue"),
+        )
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       ROUND(CAST(rev AS DOUBLE) + 1e-9, 4) AS revenue
+FROM (
+  SELECT o.o_orderkey, o.o_orderdate,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+    AND o.o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+  GROUP BY 1, 2
+  ORDER BY rev DESC, o_orderkey ASC
+  LIMIT {topn}
+)
+"""
+
+
+def q5_local_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, every dimension broadcast.
+
+    region→nation→{customer, supplier} are all tiny: the physical plan
+    is lineitem⋈orders (one shuffle) with four BroadcastHashJoins
+    layered on — the canonical 100 TB star-join shape."""
+    revenue = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", revenue.alias("__rev"))
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum("__rev").alias("__r"))
+        .select("n_name", r4(F.col("__r").cast("double")).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(CAST(rev AS DOUBLE) + 1e-9, 4) AS revenue
+FROM (
+  SELECT n.n_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{region_name}'
+    AND o.o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '{date_hi} 00:00:00'
+  GROUP BY 1
+)
+"""
+
+
+def topk_per_group(
+    orders: DataFrame, group_col: str = "o_orderpriority", k: int = 3
+) -> DataFrame:
+    """Window top-k per group — the standard row_number pattern; one
+    shuffle on the group key."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+FROM orders
+QUALIFY rank <= {k}
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: lag + conditional running sum — one
+    shuffle on user_id, two in-partition window passes. Emits per-session
+    stats with exact microsecond durations."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "__new",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > F.lit(gap_us)
+        )
+        .cast("bigint")
+        .alias("__new"),
+    ).withColumn("__new", F.coalesce(F.col("__new"), F.lit(1)))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.sum(_d("value")).cast("double").alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)) > {gap_us}
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+GROUP BY 1, 2
+"""
+
+
+def pivot_event_types(events: DataFrame, types: list[str]) -> DataFrame:
+    """Wide pivot: one row per user, per-type counts and exact sums.
+
+    Implemented as conditional aggregation rather than ``.pivot()`` so
+    the plan is a single groupBy (pivot's two-pass type discovery is
+    skipped — types are declared)."""
+    aggs = []
+    for t in types:
+        is_t = F.col("event_type") == t
+        aggs.append(F.sum(is_t.cast("bigint")).alias(f"n_{t}"))
+        aggs.append(
+            F.sum(F.when(is_t, _d("value")).otherwise(F.lit(0).cast(DEC)))
+            .cast("double")
+            .alias(f"sum_{t}")
+        )
+    return events.groupBy("user_id").agg(*aggs)
+
+
+def pivot_sql(types: list[str]) -> str:
+    cols = []
+    for t in types:
+        cols.append(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) "
+            f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_{t}"
+        )
+    return f"SELECT user_id, {', '.join(cols)} FROM events GROUP BY user_id"

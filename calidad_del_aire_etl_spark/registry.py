@@ -36,9 +36,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # values are µs-aligned, so the floor division below is lossless.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division — `/` would route through a double and lose
+            # µs precision at 10^18 ns magnitudes
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -597,3 +597,98 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = text.fingerprint(docs.select("doc_id", "text"), "text", gram=8)
     return out.select("doc_id", "fingerprint", "n_shingles")
+
+
+# ---------------------------------------------------------------------------
+# General analytics on TPC-H-ish tables (SURVEY §2 #19-24) and multimodal
+# binary columns (#36-37).
+# ---------------------------------------------------------------------------
+
+from .operators import general, multimodal  # noqa: E402
+
+
+@register("tpch_q1_pricing", general.Q1_SQL.format(cutoff="2001-09-01"))
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #19 — TPC-H Q1-shape pricing summary (exact decimal sums)."""
+    return general.q1_pricing_summary(load(spark, sf_dir, "lineitem"), "2001-09-01")
+
+
+@register(
+    "tpch_q3_shipping",
+    general.Q3_SQL.format(segment="BUILDING", cutoff="1998-03-15", topn=10),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #20 — TPC-H Q3-shape top-N revenue with broadcast dims."""
+    return general.q3_shipping(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        segment="BUILDING",
+        cutoff="1998-03-15",
+        topn=10,
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    general.Q5_SQL.format(region_name="ASIA", date_lo="1996-01-01", date_hi="1998-01-01"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #21 — TPC-H Q5-shape 6-way star join, all dims broadcast."""
+    return general.q5_local_supplier(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        region_name="ASIA",
+        date_lo="1996-01-01",
+        date_hi="1998-01-01",
+    )
+
+
+@register("topk_per_group", general.TOPK_SQL.format(k=3))
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #22 — window top-3 orders per priority class."""
+    return general.topk_per_group(load(spark, sf_dir, "orders"), k=3)
+
+
+@register("sessionize", general.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000))
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23 — 30-minute-gap sessionization of the event stream."""
+    return general.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register("pivot_event_types", general.pivot_sql(["purchase", "view", "click", "error", "signup"]))
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24 — long→wide pivot with declared types (single groupBy)."""
+    return general.pivot_event_types(
+        load(spark, sf_dir, "events"), ["purchase", "view", "click", "error", "signup"]
+    )
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+    FROM documents
+    """,
+)
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #36 — binary payload + typed metadata (length/digest/magic)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    withbin = multimodal.with_binary_payload(docs, "text")
+    return multimodal.binary_meta(withbin).select("doc_id", "byte_len", "sha256", "magic_hex")
+
+
+@register("mm_feature_extract", None)  # rows-only: plumbing tested in pytest
+def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #37 — Arrow-batched mapInPandas feature extraction over
+    binary payloads (decode stubbed deterministically)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    withbin = multimodal.with_binary_payload(docs, "text")
+    return multimodal.feature_extract(withbin, "doc_id")

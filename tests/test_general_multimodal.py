@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import general, multimodal
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, 10.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, 20.0),
+        (3, t0 + dt.timedelta(minutes=50), 1, 30.0),  # 40-min gap → new session
+        (4, t0, 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = general.sessionize(df, gap_minutes=30).collect()
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"]) for r in out}
+    assert got[(1, 1)] == (2, 600_000_000)
+    assert got[(1, 2)] == (1, 0)
+    assert got[(2, 1)] == (1, 0)
+
+
+def test_q1_decimal_sums_exact(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = general.q1_pricing_summary(li).collect()
+    assert len(out) > 0
+    for r in out:
+        # exact decimal → sum of 2-decimal inputs has at most 2 decimals
+        assert abs(r["sum_qty"] * 100 - round(r["sum_qty"] * 100)) < 1e-6
+        assert r["count_order"] > 0
+
+
+def test_topk_dense_ranks(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = general.topk_per_group(orders, k=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["o_orderpriority"], []).append(r["rank"])
+    for g, ranks in by_g.items():
+        assert sorted(ranks) == [1, 2, 3]
+
+
+def test_multimodal_feature_extract_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "zzz"), (3, "")], "doc_id long, text string"
+    )
+    withbin = multimodal.with_binary_payload(df, "text")
+    out = {r["doc_id"]: r for r in multimodal.feature_extract(withbin, "doc_id").collect()}
+    assert out[1]["ok"] and out[2]["ok"]
+    assert not out[3]["ok"]  # empty payload → stubbed decoder raises, flagged not killed
+    assert len(out[1]["features"]) == multimodal.FEATURE_DIM
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-3  # normalized histogram
+    assert out[1]["byte_len"] == 11
+
+
+def test_binary_meta(spark):
+    df = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    r = multimodal.binary_meta(multimodal.with_binary_payload(df, "text")).collect()[0]
+    assert r["byte_len"] == 4
+    assert r["magic_hex"] == "61626364"
+    assert len(r["sha256"]) == 64
