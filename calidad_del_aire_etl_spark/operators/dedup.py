@@ -61,6 +61,40 @@ def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+# --- portable md5→bigint shingle hashing ---------------------------------
+# Join/group on 60-bit ints instead of shingle strings: ~10× less shuffle
+# width and cheap comparisons, while staying engine-portable (both parse
+# the first 15 hex chars of the same md5). Collision odds at 2^60 are
+# irrelevant for dedup candidates.
+
+MINHASH_P = 1_000_000_007
+
+
+def hashed_shingles_expr(text_col: str, n: int = 3) -> str:
+    """Spark SQL: distinct word n-gram shingles as bigint hashes."""
+    return (
+        f"transform({shingles_expr(text_col, n)}, "
+        "s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))"
+    )
+
+
+def hashed_shingles_sql(text_col: str, n: int = 3) -> str:
+    """DuckDB SQL twin of :func:`hashed_shingles_expr`."""
+    return (
+        f"list_transform({shingles_sql(text_col, n)}, "
+        "s -> (('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    )
+
+
+def _minhash_lambda(num_hashes: int) -> str:
+    """Shared per-seed hash family (identical text in both dialects):
+    h_k = ((h mod P) · (2k+1) + ((k+1) · 2654435761) mod P) mod P."""
+    p = MINHASH_P
+    return (
+        f"(((h % {p}) * (2 * k + 1) + ((k + 1) * 2654435761) % {p}) % {p})"
+    )
+
+
 # --- #26 n-gram Jaccard pairs --------------------------------------------
 
 def jaccard_pairs(
@@ -74,8 +108,11 @@ def jaccard_pairs(
     """Near-dup pairs (id_a < id_b) with exact shingle-set Jaccard ≥
     threshold. ``max_doc_freq`` drops shingles seen in more than that
     many docs before the self-join — the standard hot-key guard at scale
-    (a stopword shingle otherwise creates a quadratic join island)."""
-    sh = df.select(F.col(id_col).alias("id"), F.expr(shingles_expr(text_col, n)).alias("sh"))
+    (a stopword shingle otherwise creates a quadratic join island).
+    Shingles travel as 60-bit md5-derived ints, not strings."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.expr(hashed_shingles_expr(text_col, n)).alias("sh")
+    )
     counts = sh.select("id", F.size("sh").cast("bigint").alias("ns"))
     ex = sh.select("id", F.explode("sh").alias("sg"))
     if max_doc_freq is not None:
@@ -108,7 +145,7 @@ def jaccard_pairs_sql(
 ) -> str:
     return f"""
     WITH sh AS (
-      SELECT {id_col} AS id, {shingles_sql(text_col, n)} AS s FROM {table}
+      SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS s FROM {table}
     ), ex AS (SELECT id, unnest(s) AS sg FROM sh),
        cnt AS (SELECT id, CAST(len(s) AS BIGINT) AS ns FROM sh),
        inter AS (
@@ -137,28 +174,32 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash signatures + LSH banding.
 
-    Signature position k = min over shingles of md5("k|shingle") — a
-    portable drop-in for k independent hash functions. Docs sharing any
-    band (contiguous signature slice) become candidates; the output
+    One md5 per shingle (hashed to a 60-bit int), then the K-hash family
+    is cheap integer math — the signature is a single narrow projection
+    per document (no seed explode, no extra groupBy shuffle):
+    sig_k = min over shingles of ((h·(2k+1) + b_k) mod P). Docs sharing
+    any band (contiguous signature slice) become candidates; the output
     carries the signature-estimated Jaccard (matching positions / K).
     """
     rows = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"), F.expr(shingles_expr(text_col, n)).alias("sh"))
-    ex = sh.select("id", F.explode("sh").alias("sg"))
-    seeded = ex.select("id", "sg", F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed"))
-    mh = seeded.groupBy("id", "seed").agg(
-        F.min(F.expr("md5(cast(concat(cast(seed as string), '|', sg) as binary))")).alias("m")
+    sig_expr = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"k -> array_min(transform(hs, h -> {_minhash_lambda(num_hashes)})))"
     )
-    sig = mh.groupBy("id").agg(
-        F.expr("transform(array_sort(collect_list(struct(seed, m))), x -> x.m)").alias("sig")
-    )
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(hashed_shingles_expr(text_col, n)).alias("hs"),
+    ).select("id", F.expr(sig_expr).alias("sig"))
     banded = sig.select(
         "id",
         "sig",
         F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("b"),
     ).withColumn(
         "bkey",
-        F.expr(f"md5(cast(concat_ws(',', slice(sig, b * {rows} + 1, {rows})) as binary))"),
+        F.expr(
+            f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+            "x -> cast(x as string)), ',')"
+        ),
     )
     la, lb = banded.alias("la"), banded.alias("lb")
     cand = (
@@ -193,18 +234,17 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     rows = num_hashes // bands
     return f"""
-    WITH sh AS (
-      SELECT {id_col} AS id, {shingles_sql(text_col, n)} AS s FROM {table}
-    ), ex AS (SELECT id, unnest(s) AS sg FROM sh),
-       seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
-       mh AS (
-      SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sg)) AS m
-      FROM ex CROSS JOIN seeds GROUP BY 1, 2
+    WITH hs AS (
+      SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS hs FROM {table}
     ), sig AS (
-      SELECT id, list(m ORDER BY seed) AS sig FROM mh GROUP BY id
+      SELECT id,
+             list_transform(generate_series(0, {num_hashes - 1}),
+               k -> list_min(list_transform(hs, h -> {_minhash_lambda(num_hashes)})))
+               AS sig
+      FROM hs
     ), banded AS (
       SELECT id, sig, b,
-             md5(array_to_string(list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), ','))
+             array_to_string(list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), ',')
                AS bkey
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
     ), cand AS (

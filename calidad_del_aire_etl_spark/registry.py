@@ -692,3 +692,85 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     withbin = multimodal.with_binary_payload(docs, "text")
     return multimodal.feature_extract(withbin, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the full ETL pipeline composed end-to-end (SURVEY §2 #12).
+# interpolate → IQR-clip → dedup → AQI/category/temporal → daily rollup,
+# exactly the reference task order (dag:441), as ONE Catalyst plan.
+# ---------------------------------------------------------------------------
+
+_FULL_PIPE_SQL = f"""
+WITH gappy AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), interp AS (
+{cleaning.interpolate_linear_sql(
+    "gappy",
+    value_col="value",
+    group_cols=["user_id"],
+    order_cols=["ts", "event_id"],
+    limit=3,
+    passthrough=["event_id", "ts", "user_id", "event_type"],
+)}
+), clipped AS (
+{cleaning.iqr_clip_sql(
+    "interp",
+    cols=["value"],
+    group_cols=["event_type"],
+    k=3.0,
+    passthrough=[
+        "t.event_id AS event_id",
+        "t.ts AS ts",
+        "t.user_id AS user_id",
+        "t.event_type AS event_type",
+    ],
+)}
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      ORDER BY event_id) AS __rn
+    FROM clipped
+  ) WHERE __rn = 1
+), feat AS (
+  SELECT *, {aqi_sql("value")} AS aqi,
+         CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END AS rush
+  FROM deduped
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(AVG(value) + 1e-9, 4) AS value_mean,
+       ROUND(AVG(aqi) + 1e-9, 4) AS aqi_mean,
+       CAST(SUM(CASE WHEN {quality_category_sql("aqi")} = 'Good' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_good,
+       CAST(SUM(rush) AS BIGINT) AS rush_hours
+FROM feat
+GROUP BY 1, 2
+"""
+
+
+@register("etl_full_pipeline", _FULL_PIPE_SQL)
+def q_etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #12 — the composed reference pipeline as one lazy plan."""
+    df = _gappy_events(spark, sf_dir)
+    df = cleaning.interpolate_linear(
+        df, "value", group_cols=["user_id"], order_cols=["ts", "event_id"], limit=3
+    )
+    df = cleaning.iqr_clip(df, ["value"], group_cols=["event_type"], k=3.0)
+    df = df.withColumn("__hr", F.date_trunc("hour", F.col("ts")))
+    df = cleaning.dedup_exact(
+        df, key_cols=["user_id", "event_type", "__hr"], tiebreak_cols=["event_id"]
+    )
+    df = features.with_aqi(df, "value", out_col="aqi")
+    df = features.with_quality_category(df, "aqi")
+    return df.groupBy(
+        F.to_date("ts").cast("string").alias("date"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.avg("value")).alias("value_mean"),
+        r4(F.avg("aqi")).alias("aqi_mean"),
+        F.sum((F.col("air_quality_category") == "Good").cast("bigint")).alias("n_good"),
+        F.sum(F.hour("ts").isin(7, 8, 9, 17, 18, 19).cast("bigint")).alias("rush_hours"),
+    )

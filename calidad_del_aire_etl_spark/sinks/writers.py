@@ -1,0 +1,46 @@
+"""Load-phase sinks (SURVEY §2 #43; reference dag:287-359).
+
+The reference writes one CSV + one parquet file and has a chunked
+PostgreSQL path. Spark-first: writes are partitioned jobs — the "chunk"
+is the task partition; ``partition_by`` date columns give partition-
+pruned reads downstream; snappy parquet matches the reference's
+compression choice (dag:265).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **options
+) -> None:
+    """JDBC sink (reference dag:323-348's PostgreSQL path). Requires a
+    driver jar; raises a clear error when absent."""
+    try:
+        w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save()
+    except Exception as e:  # pragma: no cover - no jdbc driver in test image
+        raise RuntimeError(
+            "JDBC sink unavailable (no driver jar on the classpath); "
+            "add e.g. postgresql.jar via spark.jars"
+        ) from e

@@ -1,0 +1,51 @@
+"""Schema'd readers (SURVEY §2 #41).
+
+Explicit schemas everywhere — schema inference is a full extra pass at
+100 TB. JDBC is gated behind a capability probe since the test image
+carries no database drivers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def normalize_nanos_ts(df: DataFrame, ts_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Convert long-nanosecond columns (from TIMESTAMP(NANOS) parquet read
+    under ``spark.sql.legacy.parquet.nanosAsLong``) to µs timestamps.
+    Integer division — a double round-trip loses µs precision at 10^18."""
+    for c in ts_cols:
+        fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if fields.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source (reference loads to PostgreSQL, dag:323-348). Needs a
+    driver jar on the classpath; raises a clear error when absent."""
+    try:
+        reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    except Exception as e:  # pragma: no cover - no jdbc driver in test image
+        raise RuntimeError(
+            "JDBC source unavailable (no driver jar on the classpath); "
+            "add e.g. postgresql.jar via spark.jars"
+        ) from e

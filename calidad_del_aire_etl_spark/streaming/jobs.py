@@ -1,0 +1,110 @@
+"""Structured Streaming jobs (SURVEY §2 #38-40).
+
+The reference's "real-time alternative" is a 15-minute Airflow cron
+(README §Scheduling). Spark-first that's a streaming query: file-source
+ingest → watermark → windowed aggregation, with
+``applyInPandasWithState`` for the custom stateful operator the DSL
+can't express. Tests drive these with the file source +
+``processAllAvailable()`` so semantics (late data, state carry-over
+across batches) are asserted synchronously.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """#38 — schema'd file-source stream (one file per micro-batch in
+    tests; swap for kafka/kinesis in production — same downstream plan)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def windowed_value_agg(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """#39 — watermarked (sliding) window aggregation: late rows beyond
+    the watermark are dropped, the streaming-correctness contract."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, batches int"
+SESSION_STATE_SCHEMA = "n bigint, s double, batches int"
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user aggregate that survives across micro-batches —
+    the state is the engine's, not the batch's."""
+    n, s, batches = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    batches += 1
+    state.update((n, s, batches))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)], "batches": [batches]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """#40 — applyInPandasWithState: arbitrary per-key state (running
+    totals + batch counter) with Arrow-batched group input."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+    """Drive a streaming DataFrame into an in-memory table synchronously."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from calidad_del_aire_etl_spark.plans import air_quality
+from calidad_del_aire_etl_spark.sources.generator import generate_air_quality
+
+
+@pytest.fixture(scope="module")
+def generated(spark):
+    return generate_air_quality(spark, num_days=7).cache()
+
+
+def test_generator_shape_and_determinism(spark, generated):
+    assert generated.count() == 7 * 24 * 5
+    again = generate_air_quality(spark, num_days=7)
+    assert generated.exceptAll(again).count() == 0  # hash-noise is reproducible
+    cols = set(generated.columns)
+    assert {"ts", "station", "pm25", "pm10", "no2", "o3", "co"} <= cols
+
+
+def test_generator_has_missing_and_diurnal_pattern(spark, generated):
+    from pyspark.sql import functions as F
+
+    nulls = generated.filter(F.col("pm25").isNull()).count()
+    total = generated.count()
+    assert 0 < nulls / total < 0.05  # ~2% missing
+    byhour = {
+        r["h"]: r["m"]
+        for r in generated.groupBy(F.hour("ts").alias("h"))
+        .agg(F.avg("pm25").alias("m"))
+        .collect()
+    }
+    assert byhour[8] > byhour[3]  # rush hour > overnight
+
+
+def test_full_pipeline_runs_and_validates(spark):
+    out = tempfile.mkdtemp(prefix="aq_out_")
+    try:
+        report = air_quality.run_full_pipeline(spark, out, num_days=30)
+        assert report["total_records"] >= 1000
+        assert report["unique_groups"] == 5
+        assert report["null_percentage"] < 5
+        hourly = spark.read.parquet(f"{out}/hourly")
+        assert hourly.count() > 0
+        assert "aqi_pm25" in hourly.columns
+        daily = spark.read.parquet(f"{out}/daily")
+        assert daily.count() == 30 * 5
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

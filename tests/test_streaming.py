@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.streaming import jobs
+
+
+@pytest.fixture()
+def input_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_in_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, d, rows, idx):
+    # land a single flat parquet file in the watched dir (the file source
+    # does not recurse into non-partition subdirectories)
+    import glob
+    import os
+
+    tmp = f"{d}/.staging{idx}"
+    df = spark.createDataFrame(rows, jobs.EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.replace(part, f"{d}/batch{idx}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _t(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def test_windowed_agg_over_file_stream(spark, input_dir):
+    rows = [
+        (1, _t(0), 1, "click", 10.0),
+        (2, _t(1), 1, "click", 20.0),
+        (3, _t(6), 2, "view", 5.0),
+    ]
+    _write_batch(spark, input_dir, rows, 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    agg = jobs.windowed_value_agg(stream, window="5 minutes")
+    q = jobs.run_to_memory(agg, "win_out", output_mode="update")
+    try:
+        out = spark.sql("SELECT * FROM win_out").collect()
+    finally:
+        q.stop()
+    got = {(r["window_start"].minute, r["event_type"]): (r["n"], r["sum_value"]) for r in out}
+    assert got[(0, "click")] == (2, 30.0)
+    assert got[(5, "view")] == (1, 5.0)
+
+
+def test_stateful_totals_carry_state_across_batches(spark, input_dir):
+    _write_batch(spark, input_dir, [(1, _t(0), 7, "click", 1.5)], 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    totals = jobs.stateful_user_totals(stream)
+    q = jobs.run_to_memory(totals, "state_out", output_mode="update")
+    try:
+        _write_batch(spark, input_dir, [(2, _t(1), 7, "click", 2.5)], 1)
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT * FROM state_out ORDER BY batches DESC LIMIT 1"
+        ).collect()[0]
+    finally:
+        q.stop()
+    assert out["user_id"] == 7
+    assert out["n_events"] == 2  # state survived the batch boundary
+    assert out["sum_value"] == 4.0
+    assert out["batches"] == 2
