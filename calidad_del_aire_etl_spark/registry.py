@@ -30,7 +30,9 @@ from .operators import aggregates, cleaning, features
 from .session import pin_oracle_compat
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # `events.ts` arrives as long nanoseconds (see session.pin_oracle_compat);
     # values are µs-aligned, so the floor division below is lossless.
@@ -39,6 +41,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division — `/` would route through a double and lose
             # µs precision at 10^18 ns magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        # CPU-heavy narrow transforms (shingle md5s, cosine products) run
+        # map-side BEFORE any shuffle, so a table that arrives as a single
+        # small file would pin them to one core. Fan such scans out to the
+        # cluster; a no-op at real scale where the scan already has ≥
+        # defaultParallelism splits, so no extra shuffle at 100 TB.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
@@ -499,7 +510,7 @@ from .operators import ann, dedup, text  # noqa: E402
 @register("dedup_exact_docs", dedup.exact_dedup_sql("documents", "doc_id", "text"))
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #25 — exact dedup by content hash."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
@@ -509,7 +520,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #26 — word-3-gram Jaccard near-dup pairs (j ≥ 0.5)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
@@ -519,14 +530,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #27 — MinHash(16) + LSH(4 bands) candidate pairs."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
 
 
 @register("dedup_simhash", dedup.simhash_sql("documents", "doc_id", "text", bits=16))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #28 — 16-bit frequency-weighted SimHash fingerprints."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.simhash(docs, "doc_id", "text", bits=16)
 
 
@@ -536,7 +547,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #29 — partition-local embedding near-dup pairs (cos ≥ 0.35)."""
-    em = load(spark, sf_dir, "embeddings")
+    em = load(spark, sf_dir, "embeddings", spread=True)
     return dedup.embedding_cosine_pairs(em, "vec_id", "embedding", "label", 0.35)
 
 
@@ -546,21 +557,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #30 — exact cosine top-5 for query vectors vec_id < 10."""
-    em = load(spark, sf_dir, "embeddings")
+    em = load(spark, sf_dir, "embeddings", spread=True)
     return ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
 
 
 @register("ann_lsh_topk", None)  # rows-only: recall asserted in tests/test_ann.py
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #31 — LSH-bucketed cosine top-5 (approximate scale path)."""
-    em = load(spark, sf_dir, "embeddings")
+    em = load(spark, sf_dir, "embeddings", spread=True)
     return ann.lsh_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
 
 
 @register("text_lang_id", text.lang_id_sql("documents", "doc_id", "text"))
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #32 — stopword-profile language ID."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     scored = text.lang_scores(docs.select("doc_id", "text"), "text")
     langs = list(text.LANG_MARKERS)
     return scored.select(
@@ -573,7 +584,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_quality_score", text.quality_score_sql("documents", "doc_id", "text"))
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #33 — length/stopword/punctuation quality score."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     out = text.quality_score(docs.select("doc_id", "text"), "text")
     return out.select("doc_id", "n_words", "stopword_ratio", "punct_ratio", "quality_score")
 
@@ -584,7 +595,7 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #34 — whitespace + BPE-ish class token counts."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     out = text.token_counts(docs.select("doc_id", "text"), "text")
     return out.select(
         "doc_id", "ws_tokens", "alpha_tokens", "num_tokens", "symbol_tokens", "n_chars_measured"
@@ -594,7 +605,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_fingerprint", text.fingerprint_sql("documents", "doc_id", "text", gram=8))
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #35 — min-md5 char-8-gram document fingerprint."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     out = text.fingerprint(docs.select("doc_id", "text"), "text", gram=8)
     return out.select("doc_id", "fingerprint", "n_shingles")
 
@@ -680,7 +691,7 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #36 — binary payload + typed metadata (length/digest/magic)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     withbin = multimodal.with_binary_payload(docs, "text")
     return multimodal.binary_meta(withbin).select("doc_id", "byte_len", "sha256", "magic_hex")
 
@@ -689,7 +700,7 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #37 — Arrow-batched mapInPandas feature extraction over
     binary payloads (decode stubbed deterministically)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     withbin = multimodal.with_binary_payload(docs, "text")
     return multimodal.feature_extract(withbin, "doc_id")
 
