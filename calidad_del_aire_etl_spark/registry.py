@@ -769,7 +769,11 @@ def q_etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cleaning.interpolate_linear(
         df, "value", group_cols=["user_id"], order_cols=["ts", "event_id"], limit=3
     )
-    df = cleaning.iqr_clip(df, ["value"], group_cols=["event_type"], k=3.0)
+    # window method: the interpolation subtree above is expensive; the
+    # default join method would recompute it for the bounds branch.
+    df = cleaning.iqr_clip(
+        df, ["value"], group_cols=["event_type"], k=3.0, method="window"
+    )
     df = df.withColumn("__hr", F.date_trunc("hour", F.col("ts")))
     df = cleaning.dedup_exact(
         df, key_cols=["user_id", "event_type", "__hr"], tiebreak_cols=["event_id"]
