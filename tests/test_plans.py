@@ -1,0 +1,93 @@
+"""Plan-shape regression tests: the scale properties the operators were
+designed for, asserted on the optimizer's output so they can't silently
+regress.
+
+Each guard pins a property that was explicitly engineered (and in two
+cases, a pathology that was explicitly fixed — see operators/dedup.py
+docstrings):
+
+- dimension joins broadcast, never sort-merge;
+- filters reach the parquet scan (PushedFilters non-empty);
+- the MinHash signature's md5 shingle hash appears in the plan exactly
+  once per join side (Catalyst project-collapse would inline it into the
+  K-iteration lambda → K× recompute);
+- no inferred `size(shingles) > 0` filter re-evaluating the shingle
+  expression below the spread repartition;
+- single-shuffle window ops stay single-shuffle.
+
+Counts are against `explain("formatted")` text, which mentions each
+physical node twice (tree + detail section); bounds account for that.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from calidad_del_aire_etl_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q5_star_join_all_broadcast(spark):
+    p = plan(spark, "tpch_q5_local_supplier")
+    assert p.count("BroadcastHashJoin") >= 10  # 5 joins × 2 mentions
+    assert "SortMergeJoin" not in p
+    # exactly one shuffle: the final aggregation
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_q1_filter_pushdown_and_codegen(spark):
+    p = plan(spark, "tpch_q1_pricing")
+    assert "LessThanOrEqual(l_shipdate" in p  # inside Scan's PushedFilters
+    assert p.count("Exchange") <= 2  # one agg shuffle
+
+
+def test_minhash_signature_computed_once_per_side(spark):
+    p = plan(spark, "dedup_minhash_lsh")
+    # one md5 mention per self-join side; project-collapse inlining the
+    # shingle hash into the K-lambda (or an inferred size()>0 filter)
+    # would add more
+    assert p.count("md5") <= 2
+    assert "Condition : (size(transform" not in p
+
+
+def test_jaccard_no_inferred_generate_filter(spark):
+    p = plan(spark, "dedup_ngram_jaccard")
+    # 2 join sides + 2 size-count branches (the legitimate ns = size(sh)
+    # projections); the InferFiltersFromGenerate regression doubled this
+    # with pushed-down FILTER re-evaluations of the shingle expression
+    assert p.count("md5") <= 4
+    assert "Condition : (size(transform" not in p
+
+
+def test_rolling_mean_single_window_shuffle(spark):
+    p = plan(spark, "dash_rolling_mean")
+    assert p.count("Exchange") <= 2
+
+
+def test_full_pipeline_no_duplicate_branches(spark):
+    p = plan(spark, "etl_full_pipeline")
+    # interpolation windows (user_id) + IQR window (event_type) + final
+    # agg = 3 exchanges; the join-method bounds branch would re-plan the
+    # interpolation subtree and add more
+    assert p.count("Exchange") <= 6
+    assert p.count("Scan parquet") <= 2  # events read exactly once
+
+
+def test_iqr_join_method_broadcasts_bounds(spark):
+    df = registry.load(spark, SF, "events")
+    from calidad_del_aire_etl_spark.operators import cleaning
+
+    out = cleaning.iqr_clip(df, ["value"], group_cols=["event_type"], k=3.0)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
