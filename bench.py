@@ -33,6 +33,8 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "dedup_cluster_resolve",
 ]
 
 

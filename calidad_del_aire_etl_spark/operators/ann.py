@@ -94,6 +94,116 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
     return F.expr(" + ".join(terms))
 
 
+def ivf_centroids(df: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
+    """IVF codebook: element-wise mean vector per coarse cell.
+
+    posexplode → partial-agg groupBy (cell, dim) → reassemble. The
+    exploded relation is N×dim rows but map-side combine collapses it to
+    |cells|×dim before the (tiny) shuffle, so this scales to any corpus
+    with a bounded codebook.
+    """
+    ex = df.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x"))
+    cent = ex.groupBy("cell", "pos").agg(F.avg("x").alias("c"))
+    return cent.groupBy("cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("cv")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_ids_pred,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: codebook = per-``cell_col`` centroids (a
+    deterministic stand-in for a k-means training pass); every vector is
+    re-assigned to its NEAREST centroid; each query probes its ``nprobe``
+    nearest cells and ranks only those cells' vectors.
+
+    Scan fraction per query ≈ nprobe / |cells|. All joins against the
+    codebook and the probe list broadcast; ties on the rounded cosine
+    break by cell/neighbor id so both engines agree exactly.
+    """
+    cents = ivf_centroids(df, vec_col, cell_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ccos = r4(F.expr(COSINE_SPARK.format(a="v", b="cv")))
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
+        "id", "v", F.col("cell"), ccos.alias("ccos")
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    ranked = scored_cells.withColumn("crank", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crank") == 1).select("id", "v", "cell")
+    probes = (
+        ranked.filter(query_ids_pred(F.col("id")) & (F.col("crank") <= nprobe))
+        .select(F.col("id").alias("qid"), F.col("v").alias("qv"), "cell")
+    )
+    cos = r4(F.expr(COSINE_SPARK.format(a="qv", b="v")))
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`ivf_topk` (same codebook, assignment,
+    probing, and tie-breaks)."""
+    from .dedup import COSINE_DUCK
+
+    ccos = COSINE_DUCK.format(a="b.v", b="c.cv")
+    cos = COSINE_DUCK.format(a="p.qv", b="a.v")
+    return f"""
+    WITH ex AS (
+      SELECT {cell_col} AS cell,
+             generate_subscripts({vec_col}, 1) - 1 AS pos,
+             unnest({vec_col}) AS x
+      FROM {table}
+    ), cent AS (
+      SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
+    ), cvec AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), b AS (
+      SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    ), ranked AS (
+      SELECT b.id, b.v, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.id
+               ORDER BY ROUND({ccos} + 1e-9, 4) DESC, c.cell ASC) AS crank
+      FROM b CROSS JOIN cvec c
+    ), assign AS (
+      SELECT id, v, cell FROM ranked WHERE crank = 1
+    ), probes AS (
+      SELECT id AS qid, v AS qv, cell FROM ranked
+      WHERE ({query_pred_sql}) AND crank <= {nprobe}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.qid AS query_id, a.id AS neighbor_id,
+             ROUND({cos} + 1e-9, 4) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.qid
+               ORDER BY ROUND({cos} + 1e-9, 4) DESC, a.id ASC) AS INTEGER) AS rank
+      FROM assign a JOIN probes p ON a.cell = p.cell AND a.id != p.qid
+    ) WHERE rank <= {k}
+    """
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -273,6 +273,72 @@ def minhash_lsh_pairs_sql(
     """
 
 
+# --- duplicate-cluster resolution (connected components) ------------------
+
+def resolve_duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Canonical id per document: connected components over near-dup
+    ``pairs`` (id_a, id_b), every doc labeled with the minimum id in its
+    duplicate cluster (itself when unpaired).
+
+    Hash-to-min label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels, converging in
+    (component diameter) rounds — duplicate clusters are short chains,
+    so ``max_iters`` = 8 covers diameter-8 components, far beyond real
+    near-dup graphs. Each round is one broadcast join + one groupBy on
+    vertex id; the edge list (already sub-quadratic via LSH/Jaccard
+    candidate generation) is the only shuffled relation.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        nbr = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("lbl", "nbr_lbl").alias("lbl"))
+        )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("canonical_id"),
+        (F.col("id") == F.col("lbl")).cast("int").alias("is_canonical"),
+    )
+
+
+def resolve_duplicate_clusters_sql(
+    table: str, id_col: str, pairs_sql: str
+) -> str:
+    """DuckDB oracle twin: exact transitive closure via recursive CTE —
+    min reachable id per vertex (UNION dedups, so it terminates)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT {id_col}, {id_col} FROM {table}
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src
+    )
+    SELECT id AS {id_col}, MIN(r) AS canonical_id,
+           CAST(CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
 # --- #28 SimHash ----------------------------------------------------------
 
 HEX_ALPHABET = "0123456789abcdef"

@@ -568,6 +568,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
 
 
+@register(
+    "ann_ivf_topk",
+    ann.ivf_topk_sql(
+        "embeddings", "vec_id", "embedding", "label", "id < 10", k=5, nprobe=2
+    ),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31b — IVF top-5: per-label centroid codebook,
+    nearest-centroid assignment, nprobe=2 probing."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.ivf_topk(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2
+    )
+
+
+@register(
+    "dedup_cluster_resolve",
+    dedup.resolve_duplicate_clusters_sql(
+        "documents",
+        "doc_id",
+        dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+    ),
+)
+def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #26b — near-dup pairs → connected components → one
+    canonical survivor per duplicate cluster."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.resolve_duplicate_clusters(docs, "doc_id", pairs)
+
+
 @register("text_lang_id", text.lang_id_sql("documents", "doc_id", "text"))
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #32 — stopword-profile language ID."""

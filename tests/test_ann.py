@@ -34,3 +34,25 @@ def test_bruteforce_ranks_are_dense_and_bounded(spark, sf_dir):
         cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=2 of 10 cells scans ~20% of the corpus per query;
+    recall against exact brute force must stay useful."""
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    bf = ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+    iv = ann.ivf_topk(em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in iv.collect()}
+    assert len(approx) > 0
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_centroids_shape(spark, sf_dir):
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    cents = ann.ivf_centroids(em, "embedding", "label").collect()
+    assert len(cents) == em.select("label").distinct().count()
+    assert all(len(r["cv"]) == 64 for r in cents)

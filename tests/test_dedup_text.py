@@ -76,3 +76,17 @@ def test_fingerprint_stable_and_distinct(docs):
     assert out[1] == out[2]
     assert out[1] != out[4]
     assert len(out[1]) == 32
+
+
+def test_resolve_duplicate_clusters_chain(spark):
+    """A chain a-b-c plus an isolated pair d-e and a singleton f: every
+    vertex must get the min id of its component, even across hops."""
+    from calidad_del_aire_etl_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in resolve_duplicate_clusters(docs, "doc_id", pairs).collect()}
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1), 5: (4, 0), 6: (6, 1)}
