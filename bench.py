@@ -35,6 +35,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "dedup_cluster_resolve",
+    "docs_full_pipeline",
 ]
 
 

@@ -820,3 +820,75 @@ def q_etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("air_quality_category") == "Good").cast("bigint")).alias("n_good"),
         F.sum(F.hour("ts").isin(7, 8, 9, 17, 18, 19).cast("bigint")).alias("rush_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second flagship: the LLM training-data pipeline composed end-to-end —
+# quality scoring → language ID → quality filter → exact dedup → near-dup
+# cluster resolution → per-language corpus stats, as ONE lazy plan.
+# ---------------------------------------------------------------------------
+
+_DOCS_PIPE_SQL = f"""
+WITH q AS ({text.quality_score_sql("documents", "doc_id", "text")}),
+l AS ({text.lang_id_sql("documents", "doc_id", "text")}),
+filt AS (
+  SELECT d.doc_id, d.text, l.detected_lang, q.quality_score, q.n_words,
+         md5(d.text) AS h
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN l ON d.doc_id = l.doc_id
+  WHERE q.quality_score >= 0.45
+),
+flagged AS (
+  SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
+                 THEN 1 ELSE 0 END AS is_exact
+  FROM filt
+),
+survivors AS (SELECT doc_id, text FROM flagged WHERE is_exact = 1),
+cc AS ({dedup.resolve_duplicate_clusters_sql(
+    "survivors",
+    "doc_id",
+    dedup.jaccard_pairs_sql("survivors", "doc_id", "text", n=3, threshold=0.5),
+)})
+SELECT f.detected_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.is_exact) AS BIGINT) AS n_exact_unique,
+       CAST(SUM(COALESCE(cc.is_canonical, 0)) AS BIGINT) AS n_canonical,
+       ROUND(AVG(f.quality_score) + 1e-9, 4) AS avg_quality,
+       ROUND(AVG(CAST(f.n_words AS DOUBLE)) + 1e-9, 4) AS avg_words
+FROM flagged f LEFT JOIN cc ON f.doc_id = cc.doc_id
+GROUP BY 1
+"""
+
+
+@register("docs_full_pipeline", _DOCS_PIPE_SQL)
+def q_docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data flagship: quality → lang-ID → filter → exact dedup →
+    near-dup connected components → per-language corpus stats."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    df = text.quality_score(docs, "text")
+    df = text.lang_scores(df, "text")
+    df = df.withColumn("detected_lang", text.lang_pick())
+    filt = df.filter(F.col("quality_score") >= 0.45).select(
+        "doc_id", "text", "detected_lang", "quality_score", "n_words"
+    )
+    hashed = filt.withColumn("h", F.md5(F.encode(F.col("text"), "UTF-8")))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = hashed.withColumn(
+        "is_exact", (F.row_number().over(w) == 1).cast("int")
+    )
+    survivors = flagged.filter(F.col("is_exact") == 1).select("doc_id", "text")
+    pairs = dedup.jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.5)
+    cc = dedup.resolve_duplicate_clusters(survivors, "doc_id", pairs)
+    out = flagged.join(cc.select("doc_id", "is_canonical"), "doc_id", "left")
+    return out.groupBy("detected_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_exact").cast("bigint").alias("n_exact_unique"),
+        F.sum(F.coalesce(F.col("is_canonical"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_canonical"),
+        r4(F.avg("quality_score")).alias("avg_quality"),
+        r4(F.avg(F.col("n_words").cast("double"))).alias("avg_words"),
+    )
