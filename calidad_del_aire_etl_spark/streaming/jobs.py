@@ -66,6 +66,21 @@ def windowed_value_agg(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """#38b — streaming exact dedup within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by (arrival rate × horizon) —
+    the streaming analog of the batch `etl_dedup_exact` operator. A
+    duplicate arriving after the horizon is a (documented) miss; that is
+    the bounded-state trade every streaming dedup makes."""
+    key_cols = key_cols or ["user_id", "event_type", "ts"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 SESSION_OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, batches int"
 SESSION_STATE_SCHEMA = "n bigint, s double, batches int"
 

@@ -71,3 +71,26 @@ def test_stateful_totals_carry_state_across_batches(spark, input_dir):
     assert out["n_events"] == 2  # state survived the batch boundary
     assert out["sum_value"] == 4.0
     assert out["batches"] == 2
+
+
+def test_streaming_dedup_within_watermark(spark, input_dir):
+    """Same (user, type, ts) arriving twice — across micro-batches —
+    must survive exactly once; a distinct ts passes through."""
+    _write_batch(spark, input_dir, [
+        (1, _t(0), 1, "click", 10.0),
+        (2, _t(0), 1, "click", 10.0),   # in-batch duplicate key
+        (3, _t(1), 1, "click", 7.0),
+    ], 0)
+    _write_batch(spark, input_dir, [
+        (4, _t(0), 1, "click", 10.0),   # cross-batch duplicate key
+        (5, _t(2), 2, "view", 1.0),
+    ], 1)
+    stream = jobs.read_events_stream(spark, input_dir)
+    deduped = jobs.streaming_dedup(stream, ["user_id", "event_type", "ts"])
+    q = jobs.run_to_memory(deduped, "dedup_out", output_mode="append")
+    try:
+        out = spark.sql("SELECT user_id, event_type, ts FROM dedup_out").collect()
+    finally:
+        q.stop()
+    keys = [(r["user_id"], r["event_type"], r["ts"].minute) for r in out]
+    assert sorted(keys) == [(1, "click", 0), (1, "click", 1), (2, "view", 2)]
