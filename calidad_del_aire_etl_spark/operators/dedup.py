@@ -287,28 +287,50 @@ def resolve_duplicate_clusters(
 
     Hash-to-min label propagation: each round every vertex takes the min
     of its own label and its neighbors' labels, converging in
-    (component diameter) rounds — duplicate clusters are short chains,
-    so ``max_iters`` = 8 covers diameter-8 components, far beyond real
-    near-dup graphs. Each round is one broadcast join + one groupBy on
+    (component diameter) rounds with early stop — duplicate clusters are
+    near-cliques, so real graphs converge in 2-3 rounds; ``max_iters``
+    bounds pathological chains. Each round is one join + one groupBy on
     vertex id; the edge list (already sub-quadratic via LSH/Jaccard
     candidate generation) is the only shuffled relation.
+
+    Iterative-DataFrame discipline: ``edges`` and each round's labels are
+    persisted and the previous round unpersisted. Without this the round
+    t plan references round t-1 TWICE (self + neighbor branch), and lazy
+    evaluation re-expands the whole history — 2^t recompute (measured:
+    104 s at sf0.1 unpersisted vs ~2 s persisted). Same pattern GraphX
+    uses (Pregel checkpoints per superstep).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    )
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    ).persist()
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl")).persist()
     for _ in range(max_iters):
         nbr = (
             labels.join(edges, labels["id"] == edges["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        labels = (
+        new_labels = (
             labels.join(nbr, "id", "left")
             .select("id", F.least("lbl", "nbr_lbl").alias("lbl"))
+        ).persist()
+        # labels only ever decrease; converged when no vertex improved.
+        # The count also materializes new_labels' cache, so the next
+        # round (and the final result) never re-runs this round's plan.
+        improved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
         )
+        labels.unpersist()
+        labels = new_labels
+        if improved == 0:
+            break
+    edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("canonical_id"),

@@ -307,3 +307,29 @@ def pivot_sql(types: list[str]) -> str:
             f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_{t}"
         )
     return f"SELECT user_id, {', '.join(cols)} FROM events GROUP BY user_id"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_id_col: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: fact rows spread across ``num_salts``
+    sub-keys (deterministic hash of the fact's id column — stable under
+    retries and speculation), the dim side replicated once per salt.
+
+    Result rows are identical to a plain inner join; what changes is the
+    physical distribution — a hot key that would land its entire
+    partition on one reducer is split ``num_salts`` ways. The manual
+    alternative to AQE's skew-join for the agg-after-join and
+    non-sort-merge cases AQE doesn't rewrite.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(fact_id_col)), F.lit(num_salts)).cast("int")
+    )
+    replicated_dim = dim.select(
+        "*", F.explode(F.expr(f"sequence(0, {num_salts - 1})")).alias("__salt")
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return salted_fact.join(replicated_dim, on=[key, "__salt"]).drop("__salt")

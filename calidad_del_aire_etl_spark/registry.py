@@ -876,9 +876,12 @@ def q_docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = filt.withColumn("h", F.md5(F.encode(F.col("text"), "UTF-8")))
     w = Window.partitionBy("h").orderBy("doc_id")
+    # persisted: referenced by the pair generation, the CC vertex seed,
+    # and the final stats join — without this the quality+lang subtree
+    # (the expensive part) is evaluated three times
     flagged = hashed.withColumn(
         "is_exact", (F.row_number().over(w) == 1).cast("int")
-    )
+    ).persist()
     survivors = flagged.filter(F.col("is_exact") == 1).select("doc_id", "text")
     pairs = dedup.jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.5)
     cc = dedup.resolve_duplicate_clusters(survivors, "doc_id", pairs)
@@ -891,4 +894,28 @@ def q_docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_canonical"),
         r4(F.avg("quality_score")).alias("avg_quality"),
         r4(F.avg(F.col("n_words").cast("double"))).alias("avg_words"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type, ROUND(AVG(value) + 1e-9, 4) AS type_mean
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value - d.type_mean + 1e-9, 4) AS deviation
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24b — skew-safe salted join: events fan out on
+    (event_type, salt); event_type has ~5 distinct values, the worst-case
+    skew shape for a shuffle join. Result identical to the plain join."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(r4(F.avg("value")).alias("type_mean"))
+    joined = general.salted_join(ev, dim, "event_type", "event_id", num_salts=8)
+    return joined.select(
+        "event_id", "event_type", r4(F.col("value") - F.col("type_mean")).alias("deviation")
     )

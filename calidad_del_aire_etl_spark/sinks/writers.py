@@ -29,6 +29,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed table write: downstream joins and aggregations on
+    ``bucket_cols`` read the bucketing as a pre-existing partitioning and
+    skip their shuffle entirely (asserted in tests/test_bucketing.py).
+    The 100 TB pattern for fact tables that are repeatedly joined or
+    grouped on the same key — pay the shuffle once at write time."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **options
 ) -> None:

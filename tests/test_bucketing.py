@@ -1,0 +1,70 @@
+"""Bucketed-write and salted-join scale patterns.
+
+Bucketing: pay the shuffle once at write time; joins/aggs on the bucket
+key then plan WITHOUT an Exchange. Salting: a skewed shuffle join spreads
+each hot key across num_salts sub-keys with identical join results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import general
+from calidad_del_aire_etl_spark.registry import load
+from calidad_del_aire_etl_spark.sinks import writers
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_bucketed_agg_and_join_are_shuffle_free(spark, sf_dir):
+    import uuid
+
+    tbl = f"ev_bucketed_{uuid.uuid4().hex[:8]}"
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    try:
+        writers.write_bucketed(ev, tbl, ["user_id"], num_buckets=4)
+        t = spark.table(tbl)
+
+        agg = t.groupBy("user_id").agg(F.sum("value").alias("s"))
+        assert "Exchange" not in _plan(agg)
+
+        # disable broadcast so the join must co-locate by key: with both
+        # sides bucketed, the sort-merge join plans with NO Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = t.alias("a").join(spark.table(tbl).alias("b"), "user_id")
+            p = _plan(joined)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+    plain = ev.join(dim, "event_type").select("event_id", "m")
+    salted = general.salted_join(ev, dim, "event_type", "event_id", num_salts=8).select(
+        "event_id", "m"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_splits_hot_keys(spark, sf_dir):
+    """With broadcast disabled (forcing a shuffle join), the join keys
+    must include the salt so hot event_types split across reducers."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        dim = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+        salted = general.salted_join(ev, dim, "event_type", "event_id", num_salts=8)
+        p = _plan(salted)
+        key_lines = [l for l in p.splitlines() if "keys" in l]
+        assert key_lines and all("__salt" in l for l in key_lines)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
