@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY §5 names:
+AQI monotonicity, dedup idempotence, interpolation boundedness.
+
+Each example is a Spark job, so example counts are kept small; the
+properties still cover the piecewise boundaries and degenerate inputs
+(runs of nulls, all-duplicate keys) far better than point tests.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark import functions as fx
+from calidad_del_aire_etl_spark.operators import cleaning
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+pm25s = st.floats(min_value=0.0, max_value=600.0, allow_nan=False, width=32)
+
+
+@given(st.lists(pm25s, min_size=2, max_size=40))
+@SET
+def test_aqi_is_monotone_and_bounded(spark, values):
+    df = spark.createDataFrame([(float(v),) for v in values], "pm25 double")
+    rows = df.select("pm25", fx.aqi_from_pm25(F.col("pm25")).alias("aqi")).collect()
+    by_input = sorted(rows, key=lambda r: r["pm25"])
+    aqis = [r["aqi"] for r in by_input]
+    assert all(a is not None and a >= 0.0 for a in aqis)
+    assert all(a <= b + 1e-6 for a, b in zip(aqis, aqis[1:]))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_dedup_exact_is_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, g, float(v)) for i, (k, g, v) in enumerate(rows)],
+        "rid int, k int, g int, v double",
+    )
+    once = cleaning.dedup_exact(df, key_cols=["k", "g"], tiebreak_cols=["rid"])
+    twice = cleaning.dedup_exact(once, key_cols=["k", "g"], tiebreak_cols=["rid"])
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    # exactly one survivor per key, and it is the minimal rid
+    expected = {}
+    for i, (k, g, v) in enumerate(rows):
+        expected.setdefault((k, g), (i, k, g, float(v)))
+    assert got_once == sorted(expected.values())
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+        min_size=2,
+        max_size=25,
+    )
+)
+@SET
+def test_interpolation_fills_between_neighbors(spark, seq):
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(seq)],
+        "pos int, v double",
+    )
+    out = cleaning.interpolate_linear(
+        df, "v", group_cols=[], order_cols=["pos"], limit=3, out_col="filled"
+    )
+    got = {r["pos"]: r["filled"] for r in out.collect()}
+    vals = list(seq)
+    for i, v in enumerate(vals):
+        if v is not None:
+            assert got[i] == v
+            continue
+        prevs = [(j, x) for j, x in enumerate(vals[:i]) if x is not None]
+        nexts = [(j, x) for j, x in enumerate(vals[i + 1 :], i + 1) if x is not None]
+        if prevs and nexts and i - prevs[-1][0] <= 3:
+            lo = min(prevs[-1][1], nexts[0][1])
+            hi = max(prevs[-1][1], nexts[0][1])
+            assert got[i] is not None and lo - 1e-4 <= got[i] <= hi + 1e-4
+        else:
+            assert got[i] is None
