@@ -333,3 +333,56 @@ def salted_join(
         "*", F.explode(F.expr(f"sequence(0, {num_salts - 1})")).alias("__salt")
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return salted_fact.join(replicated_dim, on=[key, "__salt"]).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str = "asof_value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-series as-of join: each left row picks the most recent right
+    row with ``right.ts <= left.ts`` in the same key group (NULL when no
+    right row precedes it).
+
+    Spark has no native ASOF JOIN; the scalable formulation is
+    union-then-window: tag both sides, sort each key group once by
+    (ts, side, tiebreak) with right rows first at equal ts, and carry the
+    last non-null right value forward. ONE shuffle on the key and one
+    in-partition sort — same cost envelope as any windowed op, no range
+    cross-join, no per-row probe. Right rows sharing (key, ts) resolve
+    deterministically by ``tiebreak_col``.
+    """
+    payload = [c for c in left.columns if c not in key_cols and c != ts_col]
+    tb_l = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    tb_r = F.col(tiebreak_col) if tiebreak_col and tiebreak_col in right.columns else F.lit(0)
+    lt = left.select(
+        *key_cols,
+        ts_col,
+        *payload,
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("double").alias("__rv"),
+        tb_l.cast("bigint").alias("__tb"),
+    )
+    rt = right.select(
+        *key_cols,
+        ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload],
+        F.lit(0).alias("__is_left"),
+        F.col(value_col).cast("double").alias("__rv"),
+        tb_r.cast("bigint").alias("__tb"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        lt.unionByName(rt)
+        .withColumn(out_col, F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left", "__rv", "__tb")
+    )

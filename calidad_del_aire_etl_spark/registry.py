@@ -919,3 +919,75 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "event_type", r4(F.col("value") - F.col("type_mean")).alias("deviation")
     )
+
+
+@register(
+    "asof_join_purchases",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, value, 1 AS is_left, CAST(NULL AS DOUBLE) AS rv
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, NULL, 0, value
+      FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT *, LAST_VALUE(rv IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, is_left, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+      FROM u
+    )
+    SELECT event_id, user_id, ts, value, last_purchase_value
+    FROM w WHERE is_left = 1
+    """,
+)
+def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23b — as-of join: each click picks the user's most
+    recent purchase value at or before the click. Union-then-window, one
+    shuffle (no native ASOF in Spark; this is the scalable shape)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = general.asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        out_col="last_purchase_value",
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "last_purchase_value")
+
+
+@register(
+    "etl_rollup_multigrain",
+    """
+    SELECT COALESCE(CAST(month AS VARCHAR), 'ALL') AS month,
+           COALESCE(CAST(d AS VARCHAR), 'ALL') AS date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value) + 1e-9, 4) AS value_mean
+    FROM (SELECT MONTH(ts) AS month, CAST(ts AS DATE) AS d, value FROM events)
+    GROUP BY ROLLUP(month, d)
+    """,
+)
+def q_etl_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #10b — hierarchical rollup (month → date → grand total)
+    in ONE aggregation pass via GROUP BY ROLLUP, instead of three
+    separate scans for daily/monthly/total grains."""
+    ev = load(spark, sf_dir, "events").select(
+        F.month("ts").alias("month"), F.to_date("ts").alias("d"), "value"
+    )
+    out = ev.rollup("month", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.avg("value")).alias("value_mean"),
+    )
+    return out.select(
+        F.coalesce(F.col("month").cast("string"), F.lit("ALL")).alias("month"),
+        F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("date"),
+        "n",
+        "value_mean",
+    )

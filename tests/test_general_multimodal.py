@@ -62,3 +62,27 @@ def test_binary_meta(spark):
     assert r["byte_len"] == 4
     assert r["magic_hex"] == "61626364"
     assert len(r["sha256"]) == 64
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    """Crafted series: right values at t=1,5 (user 1); left rows at
+    t=0 (no match), t=1 (equal-ts visible), t=7 (picks t=5)."""
+    import datetime as dt
+
+    from calidad_del_aire_etl_spark.operators.general import asof_join
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [(1, t(0), 100, 1.0), (1, t(1), 101, 2.0), (1, t(7), 102, 3.0), (2, t(3), 103, 4.0)],
+        "user_id int, ts timestamp, event_id int, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, t(1), 900, 11.0), (1, t(5), 901, 55.0), (3, t(0), 902, 99.0)],
+        "user_id int, ts timestamp, event_id int, value double",
+    )
+    out = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, ["user_id"], "ts", "value",
+                              tiebreak_col="event_id").collect()}
+    assert out == {100: None, 101: 11.0, 102: 55.0, 103: None}
