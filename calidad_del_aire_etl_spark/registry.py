@@ -991,3 +991,59 @@ def q_etl_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_mean",
     )
+
+
+@register(
+    "dash_trend_slope",
+    """
+    SELECT user_id,
+           ROUND(regr_slope(value, epoch(ts)) * 86400 + 1e-9, 4) AS slope_per_day,
+           ROUND(regr_r2(value, epoch(ts)) + 1e-9, 4) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_dash_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #18b — per-station least-squares trend: slope of value
+    over time (units/day) + fit quality. Single partial-aggregating
+    groupBy; regr_* are algebraic aggregates, so map-side combine
+    applies and the shuffle carries one row per station."""
+    ev = load(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts").cast("double")
+    return ev.groupBy("user_id").agg(
+        r4(F.regr_slope(F.col("value"), x) * 86400).alias("slope_per_day"),
+        r4(F.regr_r2(F.col("value"), x)).alias("r2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "etl_anomaly_flags",
+    """
+    SELECT event_id, user_id, value,
+           ROUND(z + 1e-9, 4) AS zscore,
+           CAST(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, value,
+             (value - AVG(value) OVER (PARTITION BY user_id))
+               / (STDDEV_SAMP(value) OVER (PARTITION BY user_id)) AS z
+      FROM events
+    )
+    """,
+)
+def q_etl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #2b — per-station z-score anomaly flagging (the
+    analytic cousin of the reference's IQR clipping, dag:170-177):
+    one window shuffle on the group key, flags |z| > 3."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        r4(z).alias("zscore"),
+        (F.abs(z) > 3).cast("int").alias("is_anomaly"),
+    )
