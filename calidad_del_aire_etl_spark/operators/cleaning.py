@@ -236,3 +236,23 @@ def dedup_exact(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def upsert(
+    df_base: DataFrame,
+    df_updates: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Merge/upsert: updates win over base on key collision, new keys
+    insert (CDC apply step). Union + one window shuffle on the key — the
+    engine-agnostic MERGE INTO without a table format, usable as the
+    per-batch apply in ``foreachBatch`` streaming CDC."""
+    tagged = df_base.withColumn("__src", F.lit(0)).unionByName(
+        df_updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__src").desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )

@@ -1047,3 +1047,33 @@ def q_etl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(z).alias("zscore"),
         (F.abs(z) > 3).cast("int").alias("is_anomaly"),
     )
+
+
+@register(
+    "etl_upsert_merge",
+    """
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
+      FROM (
+        SELECT event_id, user_id, event_type, value, 0 AS src
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type,
+               ROUND(value * 2 + 1e-9, 4) AS value, 1 AS src
+        FROM events WHERE event_id % 5 = 0
+      )
+    ) WHERE rn = 1
+    """,
+)
+def q_etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #3b — CDC apply: a deterministic updates slice (doubled
+    values on event_id % 5 == 0) merged over the base; updates win on
+    collision, new keys insert."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    updates = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", r4(F.col("value") * 2)
+    )
+    return cleaning.upsert(base, updates, key_cols=["event_id"])

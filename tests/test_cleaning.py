@@ -52,3 +52,12 @@ def test_dedup_exact_keeps_min_tiebreak(spark):
     )
     out = cleaning.dedup_exact(df, ["k"], ["id"]).collect()
     assert {(r["id"], r["k"]) for r in out} == {(1, "k"), (3, "j")}
+
+
+def test_upsert_updates_win_and_inserts(spark):
+    from calidad_del_aire_etl_spark.operators.cleaning import upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    got = sorted(map(tuple, upsert(base, updates, ["k"]).collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "C")]
