@@ -1,0 +1,321 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(SURVEY §2 #44-49): chunking, sequence packing, PII scrubbing, n-gram
+statistics, repetition filtering, stratified sampling.
+
+All hot paths are pure Catalyst expressions (split / higher-order array
+functions / regexp) — JVM-side, whole-stage-codegen, linear in document
+bytes. Each has a DuckDB SQL twin as the correctness oracle.
+
+Catalyst guard: an expensive array value (e.g. ``split``) referenced
+inside a higher-order lambda gets INLINED there by project-collapse and
+re-evaluated once per element. ``_bind`` wraps the value in a
+single-element array and a ``transform`` lambda — the lambda variable is
+a true let-binding, evaluated once per row, that collapse can't rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import r4
+
+
+def _bind(value_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``value_expr`` once, use as ``var`` in
+    ``body`` (see module docstring)."""
+    return f"get(transform(array({value_expr}), {var} -> {body}), 0)"
+
+
+# tokenization shared by packing / ngram / repetition — MUST stay in
+# lockstep with the DuckDB twin below
+_TOKS = r"split(lower(trim({t})), '\\s+')"
+_TOKS_SQL = r"regexp_split_to_array(lower(trim({t})), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_size: int = 400, overlap: int = 50
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap
+    (the standard RAG / context-window prep step).
+
+    Narrow posexplode over per-row computed offsets — no shuffle, output
+    rows ≈ bytes/stride, pipelined straight into whatever follows. The
+    ``greatest(...,1)`` guards the empty document (Spark's sequence()
+    runs DESCENDING when start > stop — a silent correctness trap)."""
+    stride = chunk_size - overlap
+    assert stride > 0
+    chunks = (
+        f"transform(sequence(1, greatest(char_length({text_col}), 1), {stride}), "
+        f"s -> substring({text_col}, s, {chunk_size}))"
+    )
+    return df.select(
+        id_col,
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
+    )
+
+
+def chunk_sql(
+    table: str, id_col: str, text_col: str, chunk_size: int = 400, overlap: int = 50
+) -> str:
+    stride = chunk_size - overlap
+    return f"""
+    SELECT {id_col},
+           CAST((g.s - 1) / {stride} AS INTEGER) AS chunk_idx,
+           substr({text_col}, CAST(g.s AS INTEGER), {chunk_size}) AS chunk_text,
+           CAST(LENGTH(substr({text_col}, CAST(g.s AS INTEGER), {chunk_size})) AS BIGINT)
+             AS chunk_len
+    FROM {table}, LATERAL generate_series(1, greatest(LENGTH({text_col}), 1), {stride}) g(s)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, text_col: str, budget: int = 512, shards: int = 32
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    bins (context windows), deterministically.
+
+    Packing is inherently sequential, so a single global cumulative sum
+    would serialize on one reducer. Instead documents are sharded by
+    ``id % shards`` and packed WITHIN each shard — each shard's running
+    sum is an independent window partition, so the op scales to any
+    number of executors while staying bit-deterministic. Per (shard,
+    bin) the output reports doc count and token total; a doc bigger than
+    the budget gets bins to itself (floor((cum-tok)/budget) semantics).
+    """
+    from pyspark.sql import Window
+
+    toks = F.expr(f"size({_TOKS.format(t=text_col)})").cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    packed = base.withColumn("__cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin", F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(budget)).cast("bigint")
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
+def pack_sql(
+    table: str, id_col: str, text_col: str, budget: int = 512, shards: int = 32
+) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    return f"""
+    SELECT shard, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM (
+      SELECT shard, CAST(FLOOR((cum - n_tokens) / {budget}) AS BIGINT) AS bin, n_tokens
+      FROM (
+        SELECT CAST({id_col} % {shards} AS INTEGER) AS shard,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               SUM(CAST(len({toks}) AS BIGINT)) OVER (
+                 PARTITION BY {id_col} % {shards} ORDER BY {id_col}) AS cum
+        FROM {table}
+      )
+    )
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails then phone-like digit runs (order matters: a long
+    numeric email local-part must be consumed by the email pass first).
+    Both patterns stay in the common Java-regex ∩ RE2 dialect so the
+    DuckDB twin matches byte-for-byte. Pure narrow projection."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint")
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PHONE_RE)).cast("bigint")
+    scrubbed = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        scrubbed.alias("scrubbed_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def pii_scrub_sql(table: str, id_col: str, text_col: str) -> str:
+    t = text_col
+    no_email = f"regexp_replace({t}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"""
+    SELECT {id_col},
+           regexp_replace({no_email}, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
+           CAST(len(regexp_extract_all({t}, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all({no_email}, '{PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# N-gram statistics & repetition filter
+# ---------------------------------------------------------------------------
+
+
+def _ngram_expr(text_col: str, n: int) -> str:
+    """Word n-grams as one let-bound expression (empty array when the
+    doc has < n tokens — also dodges the descending-sequence trap)."""
+    toks = _TOKS.format(t=text_col)
+    body = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return _bind(toks, "toks", body)
+
+
+def _ngram_sql(text_col: str, n: int) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def ngram_topk(df: DataFrame, text_col: str, n: int = 3, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode → partial-agg groupBy →
+    top-k. Map-side combine collapses each partition's counts before the
+    shuffle, so the wire carries distinct-ngrams-per-partition, not rows;
+    the final top-k sorts the (small) aggregated relation."""
+    grams = df.select(F.explode(F.expr(_ngram_expr(text_col, n))).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(table: str, text_col: str, n: int = 3, k: int = 50) -> str:
+    return f"""
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_ngram_sql(text_col, n)}) AS ngram FROM {table})
+    GROUP BY 1
+    ORDER BY freq DESC, ngram ASC
+    LIMIT {k}
+    """
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of duplicate
+    word n-grams per document; docs above ``threshold`` are flagged.
+    Total and distinct counts come from ONE evaluation of the n-gram
+    array (struct-producing let-binding), narrow per-row work only."""
+    g = _ngram_expr(text_col, n)
+    stats = _bind(
+        g, "g", "struct(size(g) as total, size(array_distinct(g)) as n_distinct)"
+    )
+    st = F.expr(stats)
+    total = st["total"].cast("bigint")
+    dup_frac = F.when(
+        total > 0,
+        F.lit(1.0) - st["n_distinct"].cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        total.alias("n_ngrams"),
+        st["n_distinct"].cast("bigint").alias("n_distinct"),
+        r4(dup_frac).alias("dup_frac"),
+        (dup_frac > threshold).cast("int").alias("is_repetitive"),
+    )
+
+
+def repetition_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> str:
+    g = _ngram_sql(text_col, n)
+    return f"""
+    SELECT {id_col},
+           CAST(total AS BIGINT) AS n_ngrams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(dup_frac + 1e-9, 4) AS dup_frac,
+           CAST(CASE WHEN dup_frac > {threshold} THEN 1 ELSE 0 END AS INTEGER)
+             AS is_repetitive
+    FROM (
+      SELECT {id_col}, total, n_distinct,
+             CASE WHEN total > 0
+                  THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE)
+                  ELSE 0.0 END AS dup_frac
+      FROM (
+        SELECT {id_col}, len(g) AS total, len(list_distinct(g)) AS n_distinct
+        FROM (SELECT {id_col}, {g} AS g FROM {table})
+      )
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_hex: dict[str, int],
+    default_hex: int = 2,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the first
+    hex digit of md5(id) falls below the stratum's threshold (out of
+    16) — e.g. 4 → 25 % rate. Hash-based, so the sample is stable under
+    reruns, retries and re-partitioning (no RNG state), embarrassingly
+    parallel, and reproducible across engines."""
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    digit = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    thresh = F.lit(default_hex)
+    for stratum, hexes in rates_hex.items():
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(hexes)).otherwise(thresh)
+    return df.filter(digit < thresh)
+
+
+def stratified_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    rates_hex: dict[str, int],
+    default_hex: int = 2,
+    cols: str = "*",
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {v}" for s, v in rates_hex.items()
+    )
+    return f"""
+    SELECT {cols} FROM {table}
+    WHERE CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 1)) AS INTEGER)
+          < (CASE {cases} ELSE {default_hex} END)
+    """

@@ -309,6 +309,307 @@ def pivot_sql(types: list[str]) -> str:
     return f"SELECT user_id, {', '.join(cols)} FROM events GROUP BY user_id"
 
 
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    qty_max: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    The whole query is one map-side pass: all four predicates push into
+    the parquet scan (shipdate min/max prune row groups at 100 TB), the
+    product folds in the projection, and a single partial+final sum
+    crosses the wire as one row per task. The canonical 'is pushdown
+    working' probe."""
+    rev = (_d("l_extendedprice") * _d("l_discount")).cast("decimal(28,4)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_lo)
+            & (F.col("l_shipdate") < date_hi)
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_max)
+        )
+        .agg(F.sum(rev).alias("__r"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            r4(F.col("__r").cast("double")).alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) + 1e-9, 4)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{date_hi} 00:00:00'
+  AND l_discount BETWEEN {disc_lo} AND {disc_hi}
+  AND l_quantity < {qty_max}
+"""
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    topn: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+
+    lineitem is pre-filtered to returns before the join (the selective
+    predicate runs at the scan, not after the shuffle); customer is
+    broadcast so the only shuffle is lineitem⋈orders on orderkey, then
+    one partial-agg groupBy on custkey. Top-N happens on the aggregated
+    (small) relation."""
+    rev = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev.alias("__rev")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    ).select("o_orderkey", "o_custkey")
+    agg = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("__rev").alias("__r"))
+    )
+    return (
+        agg.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal")),
+            agg.o_custkey == F.col("c_custkey"),
+        )
+        .orderBy(F.col("__r").desc(), F.col("c_custkey").asc())
+        .limit(topn)
+        .select(
+            "c_custkey",
+            "c_name",
+            r4(F.col("__r").cast("double")).alias("revenue"),
+            r4(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(CAST(rev AS DOUBLE) + 1e-9, 4) AS revenue,
+       ROUND(c_acctbal + 1e-9, 4) AS c_acctbal
+FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '{date_hi} 00:00:00'
+  GROUP BY 1, 2, 3
+  ORDER BY rev DESC, c_custkey ASC
+  LIMIT {topn}
+)
+"""
+
+
+def range_join_incidents(
+    events: DataFrame, trigger_type: str = "error", window_minutes: int = 60
+) -> DataFrame:
+    """Interval/range join: each ``trigger_type`` event opens a
+    [ts, ts+window) incident window; count the same user's subsequent
+    activity inside it.
+
+    The equi-key (user_id) carries the shuffle, so Catalyst plans a hash
+    join with the range predicate as a cheap post-join filter — NOT an
+    O(n·m) cross product. At 100 TB the join stays key-partitioned; the
+    time window only trims matches inside each key group. (A pure range
+    join with no equi-key would need a bucketed time-bin blow-up
+    instead.)"""
+    win_us = window_minutes * 60 * 1_000_000
+    ev = events.select(
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_us"),
+        "event_type",
+        _d("value").alias("__v"),
+    )
+    trig = events.filter(F.col("event_type") == trigger_type).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    j = ev.join(
+        trig,
+        (ev.e_user == trig.t_user)
+        & (F.col("e_us") > F.col("t_us"))
+        & (F.col("e_us") < F.col("t_us") + F.lit(win_us)),
+    )
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__v")).cast("double").alias("sum_value"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT t.event_id AS incident_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM events e
+JOIN (SELECT event_id, user_id, ts FROM events
+       WHERE event_type = '{trigger_type}') t
+  ON e.user_id = t.user_id
+ AND epoch_us(e.ts) > epoch_us(t.ts)
+ AND epoch_us(e.ts) < epoch_us(t.ts) + {win_us}
+GROUP BY 1
+"""
+
+
+def window_funnel(
+    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-funnel analysis: how far each user progressed through
+    step1 → step2 → step3 with strictly increasing timestamps.
+
+    Two chained conditional aggregations per user — min(t1), then
+    min(t2 > t1), then min(t3 > t2) — expressed as one groupBy producing
+    t1 plus per-(type) sorted ts arrays, with the 'first element after
+    x' probes done by ``array`` higher-order ``filter`` JVM-side. One
+    shuffle on user_id; state per user is 3 small sorted arrays (bounded
+    by that user's event count), the classic scalable funnel layout."""
+    s1, s2, s3 = steps
+    g = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.unix_micros("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == s2, F.unix_micros("ts")))
+        ).alias("ts2"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == s3, F.unix_micros("ts")))
+        ).alias("ts3"),
+    )
+    # get() (not [0]) — ANSI mode throws on indexing an empty array
+    t2 = F.expr("get(filter(ts2, x -> x > t1), 0)")
+    g = g.withColumn("t2", F.when(F.col("t1").isNotNull(), t2))
+    t3 = F.expr("get(filter(ts3, x -> x > t2), 0)")
+    g = g.withColumn("t3", F.when(F.col("t2").isNotNull(), t3))
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    per_user = g.select("user_id", depth.cast("int").alias("depth"))
+    return (
+        per_user.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("depth", F.col("n_users").cast("bigint").alias("n_users"))
+    )
+
+
+FUNNEL_SQL = """
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id,
+         CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                   WHEN t2 IS NOT NULL THEN 2
+                   WHEN t1 IS NOT NULL THEN 1
+                   ELSE 0 END AS INTEGER) AS depth
+  FROM (
+    SELECT user_id, t1,
+           (SELECT MIN(epoch_us(e2.ts)) FROM events e2
+             WHERE e2.user_id = u.user_id AND e2.event_type = '{s2}'
+               AND epoch_us(e2.ts) > u.t1) AS t2,
+           (SELECT MIN(epoch_us(e3.ts)) FROM events e3
+             WHERE e3.user_id = u.user_id AND e3.event_type = '{s3}'
+               AND epoch_us(e3.ts) > (SELECT MIN(epoch_us(e2.ts)) FROM events e2
+                                       WHERE e2.user_id = u.user_id
+                                         AND e2.event_type = '{s2}'
+                                         AND epoch_us(e2.ts) > u.t1)) AS t3
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = '{s1}' THEN epoch_us(ts) END) AS t1
+      FROM events GROUP BY user_id
+    ) u
+  )
+)
+GROUP BY 1
+"""
+
+
+def percentile_profile(
+    events: DataFrame, probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> DataFrame:
+    """Per-type exact percentile profile (linear interpolation).
+
+    Exact ``percentile`` is the correctness baseline; the 100 TB path
+    swaps in ``percentile_approx`` (t-digest-style mergeable sketch,
+    single pass, bounded memory) — same call shape, declared here in the
+    docstring rather than the plan so the oracle stays exact."""
+    aggs = [
+        r4(F.expr(f"percentile(value, {p})")).alias(f"p{int(p * 100)}") for p in probs
+    ]
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+        .select("event_type", F.col("n").cast("bigint").alias("n"),
+                *[f"p{int(p * 100)}" for p in probs])
+    )
+
+
+def percentile_sql(probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) -> str:
+    cols = ", ".join(
+        f"ROUND(quantile_cont(value, {p}) + 1e-9, 4) AS p{int(p * 100)}" for p in probs
+    )
+    return (
+        f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {cols} "
+        "FROM events GROUP BY event_type"
+    )
+
+
+def scd2_from_changelog(events: DataFrame) -> DataFrame:
+    """SCD Type-2 dimension build from a change log: each (user_id,
+    event_type) change event becomes a versioned row with
+    [effective_from, effective_to) validity and an is_current flag.
+
+    Pure window formulation — one shuffle on the natural key, lead() for
+    the closing timestamp, row_number() for the version ordinal. This is
+    the warehouse-standard history table; at 100 TB the state per key is
+    just that key's change rows (no global sort)."""
+    w = Window.partitionBy("user_id").orderBy("effective_from", "event_id")
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("effective_from"),
+        "event_id",
+    ).select(
+        "user_id",
+        "attr_value",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.unix_micros("effective_from").alias("from_us"),
+        F.unix_micros(F.lead("effective_from").over(w)).alias("to_us"),
+        F.lead("effective_from").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_type AS attr_value,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       CAST(epoch_us(ts) AS BIGINT) AS from_us,
+       CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS to_us,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

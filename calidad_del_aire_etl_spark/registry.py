@@ -1077,3 +1077,74 @@ def q_etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", r4(F.col("value") * 2)
     )
     return cleaning.upsert(base, updates, key_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# General analytics, batch 2: Q6/Q10 shapes, range join, funnel, exact
+# percentiles, SCD2 history build (SURVEY §2 #19b-24e).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast",
+    general.Q6_SQL.format(
+        date_lo="1996-01-01", date_hi="1997-01-01",
+        disc_lo=0.05, disc_hi=0.07, qty_max=24.0,
+    ),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #19b — TPC-H Q6-shape scan-filter-aggregate: all four
+    predicates push into the parquet scan, zero joins, one global sum."""
+    return general.q6_forecast_revenue(load(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "tpch_q10_returned",
+    general.Q10_SQL.format(date_lo="1996-01-01", date_hi="1996-04-01", topn=20),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #19c — TPC-H Q10-shape returned-revenue ranking: returns
+    filtered at the scan, customer broadcast, one fact shuffle."""
+    return general.q10_returned_items(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "range_join_incidents",
+    general.RANGE_JOIN_SQL.format(trigger_type="error", win_us=60 * 60 * 1_000_000),
+)
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23c — equi-key + time-range interval join: per error
+    event, the same user's activity in the following hour. Hash join on
+    the equi-key with the range predicate as a post-join filter."""
+    return general.range_join_incidents(
+        load(spark, sf_dir, "events"), trigger_type="error", window_minutes=60
+    )
+
+
+@register(
+    "window_funnel",
+    general.FUNNEL_SQL.format(s1="view", s2="click", s3="purchase"),
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23d — ordered funnel view→click→purchase with strictly
+    increasing timestamps; per-user sorted-array state, one shuffle."""
+    return general.window_funnel(load(spark, sf_dir, "events"))
+
+
+@register("percentile_profile", general.percentile_sql((0.25, 0.5, 0.75, 0.95)))
+def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #15b — per-type exact percentile profile (p25/50/75/95);
+    percentile_approx is the drop-in sketch at 100 TB."""
+    return general.percentile_profile(load(spark, sf_dir, "events"))
+
+
+@register("scd2_build", general.SCD2_SQL)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #3c — SCD Type-2 versioned dimension from the event
+    change log: lead() closes each validity interval, latest row flagged
+    current."""
+    return general.scd2_from_changelog(load(spark, sf_dir, "events"))

@@ -31,6 +31,8 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = norm_frame(df.copy())
+    if len(df) == 0:
+        return "empty"
     rows = sorted(
         df.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1).tolist()
     )
