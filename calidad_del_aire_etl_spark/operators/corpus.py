@@ -69,13 +69,19 @@ def chunk_sql(
     table: str, id_col: str, text_col: str, chunk_size: int = 400, overlap: int = 50
 ) -> str:
     stride = chunk_size - overlap
+    # scalar generate_series + unnest — DuckDB's table-function form
+    # can't take lateral column parameters
     return f"""
     SELECT {id_col},
-           CAST((g.s - 1) / {stride} AS INTEGER) AS chunk_idx,
-           substr({text_col}, CAST(g.s AS INTEGER), {chunk_size}) AS chunk_text,
-           CAST(LENGTH(substr({text_col}, CAST(g.s AS INTEGER), {chunk_size})) AS BIGINT)
+           CAST((s - 1) / {stride} AS INTEGER) AS chunk_idx,
+           substr({text_col}, CAST(s AS INTEGER), {chunk_size}) AS chunk_text,
+           CAST(LENGTH(substr({text_col}, CAST(s AS INTEGER), {chunk_size})) AS BIGINT)
              AS chunk_len
-    FROM {table}, LATERAL generate_series(1, greatest(LENGTH({text_col}), 1), {stride}) g(s)
+    FROM (
+      SELECT {id_col}, {text_col},
+             unnest(generate_series(1, greatest(LENGTH({text_col}), 1), {stride})) AS s
+      FROM {table}
+    )
     """
 
 

@@ -1148,3 +1148,103 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     change log: lead() closes each validity interval, latest row flagged
     current."""
     return general.scd2_from_changelog(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators for LLM training data (SURVEY §2 #44-49):
+# chunking, packing, PII scrub, n-gram stats, repetition filter,
+# stratified sampling.
+# ---------------------------------------------------------------------------
+
+from .operators import corpus  # noqa: E402
+
+
+@register(
+    "corpus_chunk_docs",
+    corpus.chunk_sql("documents", "doc_id", "text", chunk_size=400, overlap=50),
+)
+def q_corpus_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #44 — 400-char/50-overlap document chunking (narrow
+    posexplode; no shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs, "doc_id", "text", chunk_size=400, overlap=50)
+
+
+@register(
+    "corpus_pack_sequences",
+    corpus.pack_sql("documents", "doc_id", "text", budget=512, shards=32),
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #45 — deterministic sharded greedy packing of documents
+    into 512-token context-window bins."""
+    docs = load(spark, sf_dir, "documents")
+    return corpus.pack_sequences(docs, "doc_id", "text", budget=512, shards=32)
+
+
+# the raw corpus contains no PII, so both engines inject the same
+# deterministic synthetic contacts on doc_id % 10 == 0 before scrubbing
+_PII_DOCS_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' contact user"
+    "' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567' "
+    "ELSE text END AS text FROM documents)"
+)
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@register("corpus_pii_scrub", corpus.pii_scrub_sql(_PII_DOCS_SQL, "doc_id", "text"))
+def q_corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #46 — email+phone redaction with per-doc match counts
+    (common Java-regex ∩ RE2 dialect, byte-identical on both engines)."""
+    return corpus.pii_scrub(_pii_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("corpus_ngram_topk", corpus.ngram_topk_sql("documents", "text", n=3, k=50))
+def q_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #47 — corpus-wide top-50 word trigrams (explode →
+    map-side-combined count → top-k on the aggregated relation)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.ngram_topk(docs, "text", n=3, k=50)
+
+
+@register(
+    "corpus_repetition_filter",
+    corpus.repetition_sql("documents", "doc_id", "text", n=3, threshold=0.2),
+)
+def q_corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #48 — Gopher-style duplicate-trigram fraction per doc,
+    flagging repetitive documents (single let-bound n-gram evaluation)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.repetition_stats(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "corpus_stratified_sample",
+    corpus.stratified_sample_sql(
+        "documents", "doc_id", "lang", {"en": 4}, default_hex=2,
+        cols="doc_id, lang, source",
+    ),
+)
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49 — deterministic hash-bucket stratified sampling:
+    'en' kept at 4/16, every other language at 2/16; stable under
+    reruns/retries (no RNG state)."""
+    docs = load(spark, sf_dir, "documents")
+    out = corpus.stratified_sample(docs, "doc_id", "lang", {"en": 4}, default_hex=2)
+    return out.select("doc_id", "lang", "source")

@@ -1,0 +1,106 @@
+"""Unit tests for corpus-prep operators: chunking, packing, PII scrub,
+n-grams, repetition, stratified sampling (hand-computed expectations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    text = "abcdefghij"  # 10 chars; size=4, overlap=2 → starts 1,3,5,7,9
+    out = corpus.chunk_documents(_docs(spark, [(1, text)]), "doc_id", "text", 4, 2)
+    got = {r["chunk_idx"]: (r["chunk_text"], r["chunk_len"]) for r in out.collect()}
+    assert got == {
+        0: ("abcd", 4), 1: ("cdef", 4), 2: ("efgh", 4), 3: ("ghij", 4), 4: ("ij", 2)
+    }
+
+
+def test_chunk_documents_empty_text_single_chunk(spark):
+    out = corpus.chunk_documents(_docs(spark, [(1, "")]), "doc_id", "text", 4, 2)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["chunk_len"] == 0
+
+
+def test_pack_sequences_bins(spark):
+    # one shard (shards=1); docs of 3,3,3 tokens, budget 5:
+    # cum=3,6,9 → bin=floor((cum-3)/5) = 0,0,1
+    rows = [(i, "a b c") for i in range(3)]
+    out = corpus.pack_sequences(_docs(spark, rows), "doc_id", "text", budget=5, shards=1)
+    got = {r["bin"]: (r["n_docs"], r["sum_tokens"]) for r in out.collect()}
+    assert got == {0: (2, 6), 1: (1, 3)}
+
+
+def test_pack_oversized_doc_gets_own_bins(spark):
+    rows = [(0, " ".join(["w"] * 12)), (1, "a b")]  # 12 tokens then 2, budget 5
+    out = corpus.pack_sequences(_docs(spark, rows), "doc_id", "text", budget=5, shards=1)
+    bins = {r["bin"] for r in out.collect()}
+    # doc0: bin floor(0/5)=0; doc1: cum=14 → floor(12/5)=2
+    assert bins == {0, 2}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    text = "mail a.b+c@foo.org or b@bar.io, call +1 555-123-4567 now"
+    out = corpus.pii_scrub(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert out["n_emails"] == 2 and out["n_phones"] == 1
+    s = out["scrubbed_text"]
+    assert "<EMAIL>" in s and "<PHONE>" in s
+    assert "@" not in s and "555" not in s
+
+
+def test_ngram_topk_counts(spark):
+    rows = [(1, "a b a b a"), (2, "a b a")]
+    # doc1 trigrams: "a b a","b a b","a b a"; doc2: "a b a"
+    out = corpus.ngram_topk(_docs(spark, rows), "text", n=3, k=10).collect()
+    assert (out[0]["ngram"], out[0]["freq"]) == ("a b a", 3)
+    assert (out[1]["ngram"], out[1]["freq"]) == ("b a b", 1)
+
+
+def test_repetition_stats_flags(spark):
+    rows = [(1, "x y x y x y x y"), (2, "all words here are different okay")]
+    out = {
+        r["doc_id"]: r
+        for r in corpus.repetition_stats(
+            _docs(spark, rows), "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    # doc1: 6 trigrams, 2 distinct → dup_frac 0.6667 → flagged
+    assert out[1]["n_ngrams"] == 6 and out[1]["n_distinct"] == 2
+    assert out[1]["is_repetitive"] == 1
+    assert out[2]["dup_frac"] == 0.0 and out[2]["is_repetitive"] == 0
+
+
+def test_repetition_short_doc_zero(spark):
+    out = corpus.repetition_stats(
+        _docs(spark, [(1, "one two")]), "doc_id", "text", n=3
+    ).collect()[0]
+    assert out["n_ngrams"] == 0 and out["dup_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = corpus.stratified_sample(df, "doc_id", "lang", {"en": 8}, default_hex=2)
+    twice = corpus.stratified_sample(df, "doc_id", "lang", {"en": 8}, default_hex=2)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    assert got == {(r["doc_id"], r["lang"]) for r in twice.collect()}  # stable
+    n_en = sum(1 for _, l in got if l == "en")
+    n_fr = sum(1 for _, l in got if l == "fr")
+    # 200 docs per stratum at 8/16 and 2/16 — allow generous hash noise
+    assert 60 <= n_en <= 140 and 5 <= n_fr <= 55
+
+
+def test_ngram_split_evaluated_once_in_plan(spark):
+    """The let-binding must keep ONE split() in the plan — project
+    collapse inlining it into the lambda would re-tokenize per n-gram."""
+    df = _docs(spark, [(1, "a b c d")])
+    plan = (
+        df.select(F.expr(corpus._ngram_expr("text", 3)).alias("g"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1
