@@ -204,6 +204,84 @@ def ivf_topk_sql(
     """
 
 
+def _sq_dist_expr(vec_col: str, centroid: list[float]) -> str:
+    arr = "array(" + ", ".join(f"{w}D" for w in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]):
+    """Add ``cluster`` (nearest centroid by squared L2, ties → lowest
+    index) and ``sq_dist`` columns. The codebook rides into the plan as
+    a literal (the k×dim floats are broadcast with the task binary), so
+    assignment is a pure narrow projection."""
+    structs = ", ".join(
+        f"struct({_sq_dist_expr(vec_col, c)} as d, {i} as i)"
+        for i, c in enumerate(centroids)
+    )
+    best = f"array_min(array({structs}))"
+    return df.select(
+        "*",
+        F.expr(f"{best}.i").cast("int").alias("cluster"),
+        F.expr(f"{best}.d").alias("sq_dist"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 5
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over an embedding column, Spark-first.
+
+    - Init is deterministic: the vectors of the ``k`` lowest ids (no RNG,
+      stable across runs/engines).
+    - Per iteration: narrow argmin assignment (codebook is a plan
+      literal), then centroid recompute via posexplode → partial-agg
+      groupBy (cluster, dim). Map-side combine collapses the N×dim
+      exploded rows to k×dim per partition BEFORE the shuffle, and only
+      the k×dim codebook ever reaches the driver — the data itself is
+      never collected, so the loop scales to any corpus size.
+    - The input is persisted across iterations (re-reading the scan
+      ``iters`` times is the naive alternative; lineage re-expansion is
+      the classic iterative-algorithm trap).
+    Returns (centroids, assigned DataFrame with cluster + sq_dist).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    init = base.orderBy("id").limit(k).orderBy("id").collect()
+    centroids = [list(map(float, r["v"])) for r in init]
+    for _ in range(iters):
+        assigned = kmeans_assign(base, "v", centroids)
+        ex = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+        rows = (
+            ex.groupBy("cluster", "pos").agg(F.avg("x").alias("c")).collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+        centroids = [
+            [by_cluster[i][p] for p in sorted(by_cluster[i])]
+            if i in by_cluster
+            else centroids[i]  # empty cluster keeps its old centroid
+            for i in range(k)
+        ]
+    out = kmeans_assign(base, "v", centroids)
+    base.unpersist()
+    return centroids, out
+
+
+def kmeans_summary(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """Per-cluster size and mean squared distance (inertia/n) after
+    ``iters`` Lloyd iterations."""
+    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        r4(F.avg("sq_dist")).alias("mean_sq_dist"),
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

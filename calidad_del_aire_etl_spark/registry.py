@@ -1248,3 +1248,14 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = corpus.stratified_sample(docs, "doc_id", "lang", {"en": 4}, default_hex=2)
     return out.select("doc_id", "lang", "source")
+
+
+@register("embed_kmeans", None)  # iterative algorithm — rows-only check
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31c — Lloyd's k-means over the embedding column
+    (deterministic lowest-id init, 5 iterations, k=8); verified against
+    a NumPy reference implementation in tests/test_ann.py."""
+    from .operators import ann
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.kmeans_summary(emb, "vec_id", "embedding", k=8, iters=5)

@@ -56,3 +56,41 @@ def test_ivf_centroids_shape(spark, sf_dir):
     cents = ann.ivf_centroids(em, "embedding", "label").collect()
     assert len(cents) == em.select("label").distinct().count()
     assert all(len(r["cv"]) == 64 for r in cents)
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """Spark Lloyd's loop == NumPy Lloyd's loop (same deterministic
+    init, same iteration count) on the real embeddings table."""
+    import numpy as np
+    from calidad_del_aire_etl_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, iters = 4, 3
+    cents, assigned = ann.kmeans_fit(emb, "vec_id", "embedding", k=k, iters=iters)
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for i in range(k):
+            if (lab == i).any():
+                C[i] = X[lab == i].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    lab = d.argmin(axis=1)
+
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    want = dict(zip(pdf["vec_id"].tolist(), lab.tolist()))
+    mismatches = sum(1 for i in got if got[i] != want[i])
+    assert mismatches <= len(got) * 0.01  # float-order tolerance
+
+
+def test_kmeans_summary_covers_all_points(spark, sf_dir):
+    from calidad_del_aire_etl_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.kmeans_summary(emb, "vec_id", "embedding", k=4, iters=2)
+    rows = out.collect()
+    assert sum(r["n_points"] for r in rows) == emb.count()
+    assert all(r["mean_sq_dist"] >= 0 for r in rows)
