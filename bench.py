@@ -36,6 +36,14 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_cluster_resolve",
     "docs_full_pipeline",
+    "tpch_q6_forecast",
+    "tpch_q10_returned",
+    "range_join_incidents",
+    "window_funnel",
+    "corpus_chunk_docs",
+    "corpus_pack_sequences",
+    "corpus_ngram_topk",
+    "corpus_repetition_filter",
 ]
 
 

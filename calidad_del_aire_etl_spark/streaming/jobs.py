@@ -113,6 +113,40 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """#40b — stream-static enrichment join: every micro-batch hash-joins
+    against the (broadcast) static dimension. No streaming state at all —
+    the dim is re-resolvable per batch, so slowly-changing dims are
+    picked up on re-read; the 100 TB-stream shape for reference-data
+    joins (vs. a stateful stream-stream join, which this deliberately
+    is not)."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def session_window_agg(
+    stream: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """#40c — native session windows: gap-based sessionization as a
+    first-class streaming aggregation (merging windows state-side).
+    The streaming twin of the batch `sessionize` operator — watermark
+    bounds the state exactly as in the windowed agg."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming DataFrame into an in-memory table synchronously."""
     q = (

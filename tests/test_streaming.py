@@ -94,3 +94,43 @@ def test_streaming_dedup_within_watermark(spark, input_dir):
         q.stop()
     keys = [(r["user_id"], r["event_type"], r["ts"].minute) for r in out]
     assert sorted(keys) == [(1, "click", 0), (1, "click", 1), (2, "view", 2)]
+
+
+def test_stream_static_enrich_broadcast_join(spark, input_dir):
+    _write_batch(spark, input_dir, [
+        (1, _t(0), 1, "click", 10.0),
+        (2, _t(1), 2, "view", 5.0),
+        (3, _t(2), 9, "view", 1.0),   # no dim row → left join keeps it
+    ], 0)
+    dim = spark.createDataFrame(
+        [(1, "madrid"), (2, "bogota")], "user_id bigint, station string"
+    )
+    stream = jobs.read_events_stream(spark, input_dir)
+    enriched = jobs.enrich_stream_with_dim(stream, dim, "user_id")
+    q = jobs.run_to_memory(enriched, "enrich_out", output_mode="append")
+    try:
+        out = spark.sql("SELECT user_id, station FROM enrich_out").collect()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r["station"] for r in out}
+    assert got == {1: "madrid", 2: "bogota", 9: None}
+
+
+def test_session_window_agg_merges_by_gap(spark, input_dir):
+    # u1: events at minute 0,2 (same session, 5m gap), then 20 (new session)
+    _write_batch(spark, input_dir, [
+        (1, _t(0), 1, "click", 1.0),
+        (2, _t(2), 1, "click", 2.0),
+        (3, _t(20), 1, "click", 4.0),
+    ], 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    sess = jobs.session_window_agg(stream, gap="5 minutes")
+    # session-window aggs only support append (watermark-finalized) or
+    # complete; complete lets the test read all sessions immediately
+    q = jobs.run_to_memory(sess, "sess_out", output_mode="complete")
+    try:
+        out = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+    got = sorted((r["session_start"].minute, r["n_events"], r["sum_value"]) for r in out)
+    assert got == [(0, 2, 3.0), (20, 1, 4.0)]
