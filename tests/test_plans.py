@@ -91,3 +91,38 @@ def test_iqr_join_method_broadcasts_bounds(spark):
     )
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q10_pushdown_and_broadcast(spark):
+    p = plan(spark, "tpch_q10_returned")
+    assert "EqualTo(l_returnflag,R)" in p  # selective filter at the scan
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q6_zero_joins_full_pushdown(spark):
+    p = plan(spark, "tpch_q6_forecast")
+    assert "Join" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+
+
+def test_range_join_uses_equi_key_not_nested_loop(spark):
+    """The equi-key must carry the join; a pure-range plan degrades to
+    BNLJ/cartesian, which is O(n·m) at scale."""
+    p = plan(spark, "range_join_incidents")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EqualTo(event_type,error)" in p  # trigger filter at the scan
+
+
+def test_funnel_two_shuffles_max(spark):
+    # groupBy user_id + groupBy depth — nothing else may shuffle
+    p = plan(spark, "window_funnel")
+    assert p.count("Exchange hashpartitioning") <= 4  # 2 nodes × 2 mentions
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    p = plan(spark, "corpus_pack_sequences")
+    assert p.count("Exchange hashpartitioning") <= 4  # window + agg reuse shard key
+    # tokenization must not be re-evaluated below the window sort
+    assert p.count("split(") <= 2
