@@ -610,6 +610,30 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def sketch_profile(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based per-group profile: HyperLogLog++ distinct counts and
+    t-digest-style approximate percentiles.
+
+    At 100 TB exact COUNT(DISTINCT) explodes the shuffle (one row per
+    distinct pair through the wire) and exact percentile needs a full
+    sort; both sketches are small, mergeable, map-side-combined
+    aggregates — the shuffle carries one sketch per (partition, group).
+    Accuracy bounds (HLL rsd, percentile_approx error) are asserted
+    against the exact values in tests/test_general2.py; no DuckDB oracle
+    because the two engines' sketch internals differ by design."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).cast("bigint").alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("__q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).select(
+        "event_type",
+        "approx_users",
+        r4(F.col("__q")[0]).alias("approx_p50"),
+        r4(F.col("__q")[1]).alias("approx_p95"),
+        "n_events",
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -1259,3 +1259,11 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
     return ann.kmeans_summary(emb, "vec_id", "embedding", k=8, iters=5)
+
+
+@register("sketch_profile", None)  # sketch internals differ per engine — rows-only
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #15c — HLL++ distinct + approx-percentile sketch profile
+    (the 100 TB path for cardinality/quantiles; accuracy vs exact is
+    asserted in tests/test_general2.py)."""
+    return general.sketch_profile(load(spark, sf_dir, "events"))

@@ -79,3 +79,22 @@ def test_q6_is_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan
     r = general.q6_forecast_revenue(li).collect()[0]
     assert r["n_items"] >= 0
+
+
+def test_sketch_profile_accuracy_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_type"]: r for r in general.sketch_profile(ev).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for t, e in exact.items():
+        assert abs(got[t]["approx_users"] - e["u"]) <= max(2, 0.05 * e["u"])
+        assert abs(got[t]["approx_p50"] - e["p50"]) <= max(0.05 * abs(e["p50"]), 0.5)
