@@ -1,0 +1,128 @@
+"""Minimal DAG orchestrator — the engine's analog of the reference's
+Airflow layer (dags/airflow_dag_calidad_aire.py:409-441: extract ≫
+transform ≫ load ≫ validate, retries=3, daily 08:00).
+
+Airflow's roles here split cleanly: SCHEDULING belongs to whatever cron
+invokes the job (the reference's own README suggests a 15-minute cron),
+while DEPENDENCY ORDER, RETRIES and FAILURE PROPAGATION are this
+module. Tasks pass values (usually lazy DataFrames) downstream, so a
+multi-task DAG still collapses into few Spark jobs — task boundaries
+do NOT force materialization the way the reference's CSV handoffs
+between Airflow tasks do (dag:118/256).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class Task:
+    name: str
+    fn: Callable[..., Any]  # receives upstream results, in declared order
+    upstream: list[str] = field(default_factory=list)
+    retries: int = 0
+    retry_delay_s: float = 0.0
+
+
+@dataclass
+class TaskResult:
+    state: str  # success | failed | skipped
+    value: Any = None
+    error: str | None = None
+    attempts: int = 0
+    seconds: float = 0.0
+
+
+class Dag:
+    """Declare tasks with upstream deps; ``run()`` executes in
+    topological order, retrying each task up to ``retries`` times and
+    skipping every transitive downstream of a failure (Airflow's default
+    trigger rule)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._tasks: dict[str, Task] = {}
+
+    def task(self, name: str, upstream: list[str] | None = None, retries: int = 0,
+             retry_delay_s: float = 0.0):
+        def deco(fn):
+            self.add(Task(name, fn, upstream or [], retries, retry_delay_s))
+            return fn
+
+        return deco
+
+    def add(self, t: Task) -> None:
+        if t.name in self._tasks:
+            raise ValueError(f"duplicate task {t.name!r}")
+        for u in t.upstream:
+            if u not in self._tasks:
+                raise ValueError(f"task {t.name!r}: unknown upstream {u!r}")
+        self._tasks[t.name] = t
+
+    def _topo_order(self) -> list[str]:
+        # insertion order is already valid (upstreams must pre-exist),
+        # which also makes runs deterministic
+        return list(self._tasks)
+
+    def run(self, **seed: Any) -> dict[str, TaskResult]:
+        results: dict[str, TaskResult] = {}
+        for name in self._topo_order():
+            t = self._tasks[name]
+            if any(results[u].state != "success" for u in t.upstream):
+                results[name] = TaskResult(state="skipped")
+                continue
+            # root tasks receive the seed kwargs; downstream tasks receive
+            # their upstreams' results positionally, in declared order
+            args = [results[u].value for u in t.upstream]
+            res = TaskResult(state="failed")
+            t0 = time.perf_counter()
+            for attempt in range(1, t.retries + 2):
+                res.attempts = attempt
+                try:
+                    res.value = t.fn(*args, **seed) if not t.upstream else t.fn(*args)
+                    res.state = "success"
+                    res.error = None
+                    break
+                except Exception as e:  # noqa: BLE001 — orchestrators catch everything
+                    res.error = f"{type(e).__name__}: {e}"
+                    if attempt <= t.retries and t.retry_delay_s:
+                        time.sleep(t.retry_delay_s)
+            res.seconds = round(time.perf_counter() - t0, 3)
+            results[name] = res
+        return results
+
+
+def air_quality_dag(spark, out_dir: str, num_days: int = 30) -> Dag:
+    """The reference DAG re-expressed: extract ≫ transform ≫ [load,
+    validate]; load and validate both depend only on transform and the
+    reference's 3-retry policy applies to every task (dag:417)."""
+    from . import air_quality as aq
+
+    dag = Dag("calidad_del_aire")
+
+    @dag.task("extract", retries=3)
+    def _extract(**_):
+        return aq.extract(spark, num_days=num_days)
+
+    @dag.task("transform", upstream=["extract"], retries=3)
+    def _transform(raw):
+        return aq.transform(raw)
+
+    @dag.task("load", upstream=["transform"], retries=3)
+    def _load(clean):
+        daily = aq.daily_summary(clean)
+        aq.load(clean, daily, out_dir)
+        return out_dir
+
+    @dag.task("validate", upstream=["transform"], retries=3)
+    def _validate(clean):
+        report = aq.validate(clean).collect()[0].asDict()
+        if report["total_records"] < 1000:  # dag:396
+            raise ValueError("insufficient data for analysis")
+        report["null_warning"] = bool(report["null_percentage"] > 5)  # dag:399
+        return report
+
+    return dag
