@@ -1267,3 +1267,32 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB path for cardinality/quantiles; accuracy vs exact is
     asserted in tests/test_general2.py)."""
     return general.sketch_profile(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface: the engine is reachable as plain ANSI SQL over
+# registered views, not only through the DataFrame DSL.
+# ---------------------------------------------------------------------------
+
+# One SQL text, two engines: runs verbatim on Spark AND DuckDB (the
+# ANSI-common subset), so the oracle is literally the same string.
+_SQL_INTERFACE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) + 1e-9, 4) AS sum_value,
+       ROUND(MIN(value) + 1e-9, 4) AS min_value,
+       ROUND(MAX(value) + 1e-9, 4) AS max_value
+FROM events
+WHERE value > 10
+GROUP BY event_type
+"""
+
+
+@register("sql_interface", _SQL_INTERFACE)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #50 — the SQL front door: register the parquet tables as
+    temp views, run ANSI SQL text through spark.sql(). Same string is the
+    DuckDB oracle — byte-identical query, hash-identical result."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SQL_INTERFACE)

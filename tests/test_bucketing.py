@@ -68,3 +68,43 @@ def test_salted_join_splits_hot_keys(spark, sf_dir):
         assert key_lines and all("__salt" in l for l in key_lines)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_clustered_write_bounds_file_ranges_and_size(spark, tmp_path):
+    """sortWithinPartitions + maxRecordsPerFile: every output file's
+    [min,max] on the cluster column must be narrow enough to prune —
+    here: with 4 partitions each sorted, per-file ranges don't all span
+    the full domain — and no file exceeds the record cap."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("k", (F.col("id") * 2654435761) % 40_000)  # scrambled
+        .repartition(4)
+    )
+    out = str(tmp_path / "clustered")
+    writers.write_parquet_clustered(df, out, ["k"], max_records_per_file=5_000)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 8  # 40k rows / 5k cap
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert md.num_rows <= 5_000
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((max(maxs) - min(mins)) / 40_000)
+    # sorted-within-partition files cover ~1/8 of the domain each, not all of it
+    assert sorted(spans)[len(spans) // 2] < 0.5
