@@ -85,3 +85,96 @@ def feature_extract(df: DataFrame, id_col: str, payload_col: str = "payload") ->
             )
 
     return df.select(*names).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset bigint, frame_len bigint, "
+    "frame_sha256 string"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    every_kth: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over binary payloads: the payload is
+    treated as a sequence of fixed-size frames; every ``every_kth`` frame
+    is emitted as its own row (offset + digest, not the bytes — the
+    downstream decode pulls bytes only for sampled frames).
+
+    Spark shape: mapInPandas with a row-multiplying output (one input
+    blob → many frame rows), the same contract a real ffmpeg keyframe
+    sampler needs. Deterministic byte-chunking stands in for container
+    parsing; swap the chunker for pyav and the schema/plumbing hold."""
+    import hashlib
+
+    names = [id_col, payload_col]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, digs = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = max((len(data) + frame_size - 1) // frame_size, 0)
+                for fi in range(0, n_frames, every_kth):
+                    off = fi * frame_size
+                    chunk = data[off : off + frame_size]
+                    ids.append(rid)
+                    idxs.append(fi)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    digs.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_sha256": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return df.select(*names).mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, ok boolean, thumb_len bigint, thumb_hex string"
+
+
+def resize_thumbnail(
+    df: DataFrame, id_col: str, payload_col: str = "payload", target_bytes: int = 16
+) -> DataFrame:
+    """Image-resize plumbing: decode → downsample → re-encode, stubbed
+    with a deterministic byte-stride subsample (a real PIL
+    ``Image.thumbnail`` drops in without touching the Spark side).
+    Errors are per-row flags, never job failures."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, lens, hexes = [], [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                try:
+                    if not data:
+                        raise NotImplementedError("real decoder required")
+                    stride = max(len(data) // target_bytes, 1)
+                    thumb = data[::stride][:target_bytes]
+                    oks.append(True)
+                    lens.append(len(thumb))
+                    hexes.append(thumb.hex())
+                except Exception:
+                    oks.append(False)
+                    lens.append(0)
+                    hexes.append("")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "ok": oks,
+                    "thumb_len": pd.Series(lens, dtype="int64"),
+                    "thumb_hex": hexes,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -1296,3 +1296,13 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle — byte-identical query, hash-identical result."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SQL_INTERFACE)
+
+
+@register("mm_frame_sample", None)  # mapInPandas plumbing — rows-only
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #37b — video-style every-4th-frame sampling over binary
+    payloads (row-multiplying mapInPandas; chunker stands in for a real
+    container parser)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    with_bin = multimodal.with_binary_payload(docs, "text")
+    return multimodal.frame_sample(with_bin, "doc_id", frame_size=64, every_kth=4)

@@ -86,3 +86,39 @@ def test_asof_join_picks_latest_at_or_before(spark):
            for r in asof_join(left, right, ["user_id"], "ts", "value",
                               tiebreak_col="event_id").collect()}
     assert out == {100: None, 101: 11.0, 102: 55.0, 103: None}
+
+
+def test_frame_sample_offsets_and_rowcount(spark):
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 64), (3, "")], "doc_id bigint, text string"
+    )
+    wb = multimodal.with_binary_payload(df, "text")
+    out = multimodal.frame_sample(wb, "doc_id", frame_size=64, every_kth=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: 300 bytes → 5 frames (0..4), sampled 0,2,4
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert sorted(r["frame_offset"] for r in by_doc[1]) == [0, 128, 256]
+    last = max(by_doc[1], key=lambda r: r["frame_idx"])
+    assert last["frame_len"] == 300 - 256  # tail frame is short
+    assert by_doc[2][0]["frame_len"] == 64
+    assert 3 not in by_doc  # empty payload → no frames
+    # digests are real sha256 of the chunk bytes
+    import hashlib
+    assert by_doc[2][0]["frame_sha256"] == hashlib.sha256(b"b" * 64).hexdigest()
+
+
+def test_resize_thumbnail_deterministic_and_error_flagged(spark):
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "x" * 160), (2, "")], "doc_id bigint, text string"
+    )
+    wb = multimodal.with_binary_payload(df, "text")
+    out = {r["doc_id"]: r for r in multimodal.resize_thumbnail(wb, "doc_id", target_bytes=16).collect()}
+    assert out[1]["ok"] and out[1]["thumb_len"] == 16
+    assert out[1]["thumb_hex"] == ("78" * 16)  # 'x' bytes survive the stride
+    assert not out[2]["ok"] and out[2]["thumb_len"] == 0  # empty → flagged, not fatal
