@@ -312,23 +312,22 @@ def resolve_duplicate_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # labels only ever decrease; the improvement flag rides in the
+        # same projection, so convergence detection is ONE aggregate over
+        # the new labels (no second join with the old generation) and
+        # that aggregate also materializes the cache for the next round.
         new_labels = (
             labels.join(nbr, "id", "left")
-            .select("id", F.least("lbl", "nbr_lbl").alias("lbl"))
+            .select(
+                "id",
+                F.least("lbl", "nbr_lbl").alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).cast("int").alias("__imp"),
+            )
         ).persist()
-        # labels only ever decrease; converged when no vertex improved.
-        # The count also materializes new_labels' cache, so the next
-        # round (and the final result) never re-runs this round's plan.
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        improved = new_labels.agg(F.max("__imp")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if improved == 0:
+        if not improved:
             break
     edges.unpersist()
     return labels.select(
