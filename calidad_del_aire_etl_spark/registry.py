@@ -1306,3 +1306,46 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     with_bin = multimodal.with_binary_payload(docs, "text")
     return multimodal.frame_sample(with_bin, "doc_id", frame_size=64, every_kth=4)
+
+
+@register(
+    "semi_anti_activity",
+    """
+    SELECT u.user_id, u.n_purchases, u.status FROM (
+      SELECT e.user_id,
+             CAST((SELECT COUNT(*) FROM events p
+                    WHERE p.user_id = e.user_id
+                      AND p.event_type = 'purchase') AS BIGINT) AS n_purchases,
+             CASE WHEN EXISTS (SELECT 1 FROM events x
+                                WHERE x.user_id = e.user_id
+                                  AND x.event_type = 'error')
+                  THEN 'has_errors' ELSE 'clean' END AS status
+      FROM (SELECT DISTINCT user_id FROM events) e
+    ) u
+    WHERE u.n_purchases > 0
+    """,
+)
+def q_semi_anti_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24c — semi/anti-join family: purchasers (LEFT SEMI
+    against the purchase slice) labeled by whether they also triggered
+    errors. Semi/anti joins ship only the key side through the shuffle —
+    no payload amplification, the scale-correct EXISTS/NOT EXISTS shape."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    p_counts = purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    buyers = users.join(p_counts, "user_id", "left_semi").join(p_counts, "user_id")
+    err_users = errors.distinct().withColumn("__has_err", F.lit(1))
+    return (
+        buyers.join(F.broadcast(err_users), "user_id", "left")
+        .select(
+            "user_id",
+            "n_purchases",
+            F.when(F.col("__has_err") == 1, F.lit("has_errors"))
+            .otherwise(F.lit("clean"))
+            .alias("status"),
+        )
+    )
