@@ -1349,3 +1349,71 @@ def q_semi_anti_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@register(
+    "unpivot_daily_metrics",
+    """
+    SELECT date, metric, ROUND(val + 1e-9, 4) AS val FROM (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+             ROUND(AVG(value) + 1e-9, 4) AS avg_value,
+             ROUND(MAX(value) + 1e-9, 4) AS max_value,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM events GROUP BY 1
+    ) UNPIVOT (val FOR metric IN (avg_value, max_value, n_rows))
+    """,
+)
+def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24d — wide→long unpivot (melt) via stack(): the inverse
+    of the pivot operator, a narrow projection over the aggregated
+    relation (the reshape itself never shuffles)."""
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy(F.to_date("ts").cast("string").alias("date")).agg(
+        r4(F.avg("value")).alias("avg_value"),
+        r4(F.max("value")).alias("max_value"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.select(
+        "date",
+        F.expr(
+            "stack(3, 'avg_value', avg_value, 'max_value', max_value, "
+            "'n_rows', n_rows) AS (metric, val)"
+        ),
+    ).select("date", "metric", r4(F.col("val")).alias("val"))
+
+
+@register(
+    "value_deciles",
+    """
+    SELECT event_type, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value) + 1e-9, 4) AS avg_value,
+           ROUND(MIN(value) + 1e-9, 4) AS lo,
+           ROUND(MAX(value) + 1e-9, 4) AS hi
+    FROM (
+      SELECT event_type, value,
+             CAST(NTILE(10) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS INTEGER) AS decile
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #15d — per-group decile profile via ntile(): one window
+    shuffle on the group key, then a partial-agg groupBy on (group,
+    decile). Deterministic tie-break by event_id inside the ordering."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.avg("value")).alias("avg_value"),
+            r4(F.min("value")).alias("lo"),
+            r4(F.max("value")).alias("hi"),
+        )
+    )
