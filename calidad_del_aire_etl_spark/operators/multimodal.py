@@ -178,3 +178,52 @@ def resize_thumbnail(
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+COGROUP_SCHEMA = (
+    "user_id bigint, n_left bigint, n_right bigint, "
+    "mean_gap_s double, aligned_pairs bigint"
+)
+
+
+def cogroup_align(
+    left: DataFrame, right: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Per-key alignment of two event streams via
+    ``cogroup().applyInPandas`` — the API for custom logic that needs
+    BOTH sides of a key fully materialized in pandas (here: greedy
+    nearest-forward matching of left events to right events, a shape no
+    join expresses directly).
+
+    Scale: both sides shuffle once on the key; each task receives one
+    key's two frames as Arrow batches. State is bounded by the largest
+    single key group — same envelope as any keyed window op."""
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            lpdf[key_col].iloc[0] if len(lpdf) else rpdf[key_col].iloc[0]
+        )
+        lts = sorted(lpdf[ts_col]) if len(lpdf) else []
+        rts = sorted(rpdf[ts_col]) if len(rpdf) else []
+        gaps, ri = [], 0
+        for t in lts:
+            while ri < len(rts) and rts[ri] < t:
+                ri += 1
+            if ri < len(rts):
+                gaps.append((rts[ri] - t).total_seconds())
+                ri += 1
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "n_left": [len(lts)],
+                "n_right": [len(rts)],
+                "mean_gap_s": [round(sum(gaps) / len(gaps), 4) if gaps else None],
+                "aligned_pairs": [len(gaps)],
+            }
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(align, schema=COGROUP_SCHEMA)
+    )

@@ -1417,3 +1417,14 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.max("value")).alias("hi"),
         )
     )
+
+
+@register("cogroup_align_events", None)  # greedy sequential matching — rows-only
+def q_cogroup_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24e — cogrouped applyInPandas: per-user greedy
+    nearest-forward alignment of clicks to purchases (both sides of the
+    key materialized as Arrow frames; semantics no join expresses)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return multimodal.cogroup_align(clicks, buys, "user_id", "ts")

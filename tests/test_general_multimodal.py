@@ -122,3 +122,30 @@ def test_resize_thumbnail_deterministic_and_error_flagged(spark):
     assert out[1]["ok"] and out[1]["thumb_len"] == 16
     assert out[1]["thumb_hex"] == ("78" * 16)  # 'x' bytes survive the stride
     assert not out[2]["ok"] and out[2]["thumb_len"] == 0  # empty → flagged, not fatal
+
+
+def test_cogroup_align_greedy_forward_matching(spark):
+    import datetime as dt
+
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    clicks = spark.createDataFrame(
+        [(1, t(0)), (1, t(10)), (2, t(0)), (3, t(5))], "user_id bigint, ts timestamp"
+    )
+    buys = spark.createDataFrame(
+        [(1, t(2)), (1, t(11)), (2, t(0)), (9, t(1))], "user_id bigint, ts timestamp"
+    )
+    out = {
+        r["user_id"]: r
+        for r in multimodal.cogroup_align(clicks, buys, "user_id", "ts").collect()
+    }
+    # u1: click@0→buy@2 (120s), click@10→buy@11 (60s) → mean 90s
+    assert out[1]["aligned_pairs"] == 2 and out[1]["mean_gap_s"] == 90.0
+    # u2: buy at the same instant counts (>= t)
+    assert out[2]["aligned_pairs"] == 1 and out[2]["mean_gap_s"] == 0.0
+    # u3: left only, no match; u9: right only, zero left
+    assert out[3]["aligned_pairs"] == 0 and out[3]["mean_gap_s"] is None
+    assert out[9]["n_left"] == 0 and out[9]["n_right"] == 1
