@@ -44,6 +44,10 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_ngram_topk",
     "corpus_repetition_filter",
+    "semi_anti_activity",
+    "value_deciles",
+    "sketch_profile",
+    "sql_interface",
 ]
 
 
