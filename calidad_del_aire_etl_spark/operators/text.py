@@ -201,6 +201,61 @@ def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the cheap information-density quality signal (near-0
+    for degenerate repeated-char spam, ~4.1 for normal English prose).
+
+    Plan: explode one row per character position → partial-agg
+    groupBy (doc, char) → groupBy (doc) folding -Σ p·log2 p. Both
+    groupBys map-side combine, so the shuffle carries per-partition
+    distinct (doc, char) pairs — bounded by alphabet size per doc, not
+    text length."""
+    from ..functions import r4
+
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("double").alias("n"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(char_length({text_col}), 1))")
+        ).alias("i"),
+        F.col(text_col),
+    ).select("id", "n", F.expr(f"substring({text_col}, i, 1)").alias("ch"))
+    freq = chars.groupBy("id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c"), F.first("n").alias("n")
+    )
+    return freq.groupBy("id").agg(
+        F.first("n").cast("bigint").alias("n_chars_measured"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        r4(-F.sum((F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))))
+        .alias("entropy_bits"),
+    ).withColumnRenamed("id", id_col)
+
+
+def char_entropy_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT {id_col},
+           CAST(MIN(n) AS BIGINT) AS n_chars_measured,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-SUM((c / n) * log2(c / n)) + 1e-9, 4) AS entropy_bits
+    FROM (
+      SELECT {id_col}, ch, CAST(COUNT(*) AS DOUBLE) AS c, MIN(n) AS n
+      FROM (
+        SELECT {id_col},
+               CAST(LENGTH({text_col}) AS DOUBLE) AS n,
+               substr({text_col}, CAST(s AS INTEGER), 1) AS ch
+        FROM (
+          SELECT {id_col}, {text_col},
+                 unnest(generate_series(1, greatest(LENGTH({text_col}), 1))) AS s
+          FROM {table}
+        )
+      )
+      GROUP BY 1, 2
+    )
+    GROUP BY 1
+    """
+
+
 def fingerprint(df: DataFrame, text_col: str, gram: int = 8) -> DataFrame:
     """Winnowing-lite document fingerprint: the minimum md5 over all
     character ``gram``-shingles — one stable 32-hex-char id per doc that

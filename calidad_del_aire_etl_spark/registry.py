@@ -1428,3 +1428,86 @@ def q_cogroup_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     return multimodal.cogroup_align(clicks, buys, "user_id", "ts")
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS INTEGER) AS k_min,
+           CAST(MAX(k) AS INTEGER) AS k_max,
+           ROUND(AVG(value) + 1e-9, 4) AS avg_value
+    FROM (
+      SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+               AS k_bucket,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             value
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #6b — semi-structured columns: parse the JSON props
+    payload with a declared schema (from_json → typed struct, not
+    per-row string probing) and aggregate on an extracted field. At
+    100 TB the declared schema matters: get_json_object re-parses per
+    access; from_json parses once into a struct Catalyst can prune."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k int").alias("p"), "value"
+    ).select(F.col("p.k").alias("k"), "value")
+    return (
+        parsed.withColumn("k_bucket", (F.col("k") % 10).cast("int"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "cube_type_dow",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value) + 1e-9, 4) AS avg_value
+    FROM (SELECT event_type, ISODOW(ts) - 1 AS dow, value FROM events)
+    GROUP BY CUBE(event_type, dow)
+    """,
+)
+def q_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #10c — full CUBE over (type, day-of-week): all four
+    grouping grains in one aggregation pass (the expand operator feeds
+    one shuffle), vs four separate scans."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") + 5) % 7,  # ISO Monday=0, matching ISODOW-1
+        "value",
+    ).toDF("event_type", "dow", "value")
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@register("text_char_entropy", text.char_entropy_sql("documents", "doc_id", "text"))
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #33b — Shannon char-entropy quality signal (two
+    map-side-combined groupBys; shuffle bounded by per-doc alphabet)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return text.char_entropy(docs.select("doc_id", "text"), "doc_id", "text")

@@ -59,3 +59,16 @@ def test_aqi_monotone(spark):
 def test_category(one, aqi, label):
     col = fx.quality_category(F.lit(aqi).cast("double"))
     assert _eval(one, col) == label
+
+
+def test_char_entropy_known_values(spark):
+    from calidad_del_aire_etl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in t.char_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_bits"] == 0.0          # single symbol
+    assert out[2]["entropy_bits"] == 1.0          # two equiprobable symbols
+    assert out[3]["entropy_bits"] == 2.0          # four equiprobable symbols
+    assert out[3]["n_distinct_chars"] == 4
