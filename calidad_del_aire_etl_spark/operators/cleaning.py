@@ -15,6 +15,106 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def locf_fill(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward NULL fill per group: the
+    step-function sibling of linear interpolation (sensor feeds that
+    latch their last reading). One shuffle on the group key, one
+    in-partition ``last(ignorenulls)`` window pass; leading NULLs stay
+    NULL (no observation to carry)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def resample_spine(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    bucket_minutes: int = 15,
+) -> DataFrame:
+    """Regularized time series: every (group, bucket) slot between each
+    group's first and last observation exists in the output — observed
+    buckets aggregate their rows, gap buckets emit NULL (ready for
+    locf/interpolate downstream).
+
+    Spark shape: per-group min/max (one partial agg) → per-group bucket
+    spine via sequence+explode (rows ≈ span/bucket, generated
+    distributed, never on the driver) → left join of observed bucket
+    aggregates. Both sides are bucket-keyed so the join shuffles on
+    (group, bucket) — no range probing."""
+    from ..functions import r4
+
+    b_us = bucket_minutes * 60 * 1_000_000
+    # integer `div`, not float floor-division — exact at any epoch
+    bucketed = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"(unix_micros({ts_col}) div {b_us}) * {b_us}").alias("bucket_us"),
+        F.col(value_col).alias("v"),
+    )
+    observed = bucketed.groupBy("g", "bucket_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        r4(F.avg("v")).alias("avg_value"),
+    )
+    spine = (
+        bucketed.groupBy("g")
+        .agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
+        .select(
+            "g",
+            F.explode(F.expr(f"sequence(lo, hi, {b_us})")).alias("bucket_us"),
+        )
+    )
+    return (
+        spine.join(observed, ["g", "bucket_us"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("bucket_us"),
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            "avg_value",
+        )
+    )
+
+
+def resample_spine_sql(
+    table: str, ts_col: str, group_col: str, value_col: str, bucket_minutes: int = 15
+) -> str:
+    b_us = bucket_minutes * 60 * 1_000_000
+    return f"""
+    SELECT s.{group_col}, s.bucket_us,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           o.avg_value
+    FROM (
+      SELECT {group_col},
+             unnest(generate_series(lo, hi, {b_us})) AS bucket_us
+      FROM (
+        SELECT {group_col},
+               MIN((epoch_us({ts_col}) // {b_us}) * {b_us}) AS lo,
+               MAX((epoch_us({ts_col}) // {b_us}) * {b_us}) AS hi
+        FROM {table} GROUP BY 1
+      )
+    ) s
+    LEFT JOIN (
+      SELECT {group_col}, (epoch_us({ts_col}) // {b_us}) * {b_us} AS bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             ROUND(AVG({value_col}) + 1e-9, 4) AS avg_value
+      FROM {table} GROUP BY 1, 2
+    ) o ON s.{group_col} = o.{group_col} AND s.bucket_us = o.bucket_us
+    """
+
+
 def interpolate_linear(
     df: DataFrame,
     value_col: str,

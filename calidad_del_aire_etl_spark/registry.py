@@ -1511,3 +1511,39 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBys; shuffle bounded by per-doc alphabet)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return text.char_entropy(docs.select("doc_id", "text"), "doc_id", "text")
+
+
+@register(
+    "etl_locf_fill",
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM (SELECT event_id, ts, user_id,
+                 CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value
+          FROM events)
+    """,
+)
+def q_etl_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #1b — last-observation-carried-forward fill (the
+    step-function sibling of linear interpolation; same deterministic
+    gap injection as etl_interpolate)."""
+    out = cleaning.locf_fill(
+        _gappy_events(spark, sf_dir),
+        value_col="value",
+        group_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return out.select("event_id", "user_id", "value")
+
+
+@register(
+    "etl_resample_15min",
+    cleaning.resample_spine_sql("events", "ts", "user_id", "value", bucket_minutes=15),
+)
+def q_etl_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #1c — 15-minute resample with gap buckets materialized
+    (distributed sequence+explode spine, bucket-keyed left join)."""
+    ev = load(spark, sf_dir, "events")
+    return cleaning.resample_spine(ev, "ts", "user_id", "value", bucket_minutes=15)

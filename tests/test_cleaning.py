@@ -61,3 +61,44 @@ def test_upsert_updates_win_and_inserts(spark):
     updates = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
     got = sorted(map(tuple, upsert(base, updates, ["k"]).collect()))
     assert got == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_locf_carries_last_value_leading_nulls_stay(spark):
+    rows = [
+        ("a", _ts(0), None),   # leading NULL: nothing to carry
+        ("a", _ts(1), 5.0),
+        ("a", _ts(2), None),   # carries 5.0
+        ("a", _ts(3), None),   # still 5.0 (no limit in LOCF)
+        ("a", _ts(4), 7.0),
+        ("b", _ts(0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = cleaning.locf_fill(df, "v", ["g"], ["ts"])
+    got = {(r["g"], r["ts"].hour): r["v"] for r in out.collect()}
+    assert got[("a", 0)] is None
+    assert got[("a", 2)] == 5.0 and got[("a", 3)] == 5.0
+    assert got[("a", 4)] == 7.0 and got[("b", 0)] == 1.0
+
+
+def test_resample_spine_materializes_gap_buckets(spark):
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 20.0),  # same 15m bucket
+        ("a", dt.datetime(2024, 1, 1, 1, 0), 30.0),   # 3 empty buckets between
+        ("b", dt.datetime(2024, 1, 1, 0, 20), 1.0),   # single-bucket group
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = cleaning.resample_spine(df, "ts", "g", "v", bucket_minutes=15)
+    a = sorted(
+        (r["bucket_us"], r["n_obs"], r["avg_value"])
+        for r in out.collect() if r["g"] == "a"
+    )
+    assert len(a) == 5  # 00:00 .. 01:00 inclusive
+    assert a[0][1] == 2 and a[0][2] == 15.0  # two obs averaged
+    assert [x[1] for x in a[1:4]] == [0, 0, 0]  # gap buckets exist, empty
+    assert all(x[2] is None for x in a[1:4])
+    assert a[4][1] == 1 and a[4][2] == 30.0
+    b = [r for r in out.collect() if r["g"] == "b"]
+    assert len(b) == 1 and b[0]["n_obs"] == 1
