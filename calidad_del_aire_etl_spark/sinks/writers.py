@@ -73,6 +73,45 @@ def write_parquet_clustered(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_mb`` each. Streaming ingests and fine-grained
+    incremental writes accumulate kilobyte files; at scale every file
+    costs a task + an object-store round trip, so scan latency degrades
+    linearly in file COUNT even when bytes are constant. Returns the
+    output file target used.
+
+    The rewrite stages into a sibling directory then atomically swaps,
+    so a crashed compaction never leaves the dataset half-rewritten."""
+    import math
+    import os
+    import shutil
+
+    size_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(math.ceil(size_bytes / (target_mb * 1024 * 1024)), 1)
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **options
 ) -> None:

@@ -108,3 +108,34 @@ def test_clustered_write_bounds_file_ranges_and_size(spark, tmp_path):
         spans.append((max(maxs) - min(mins)) / 40_000)
     # sorted-within-partition files cover ~1/8 of the domain each, not all of it
     assert sorted(spans)[len(spans) // 2] < 0.5
+
+
+def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
+    from calidad_del_aire_etl_spark.sinks import writers
+    import glob
+
+    path = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(64).write.parquet(path)  # 64 tiny files
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before == 64
+    writers.compact_parquet(spark, path, target_mb=128)
+    after = glob.glob(f"{path}/part-*.parquet")
+    assert len(after) <= 4  # far fewer, larger files
+    assert spark.read.parquet(path).count() == 10_000  # nothing lost
+    assert not glob.glob(f"{path}.__*")  # staging/backup cleaned up
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """date-partitioned layout must show PartitionFilters (not a full
+    scan + post-filter) when read back with a date predicate."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(300)], "id bigint, date string"
+    )
+    df.write.partitionBy("date").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("date") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert back.count() == 100
