@@ -1547,3 +1547,39 @@ def q_etl_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed sequence+explode spine, bucket-keyed left join)."""
     ev = load(spark, sf_dir, "events")
     return cleaning.resample_spine(ev, "ts", "user_id", "value", bucket_minutes=15)
+
+
+@register(
+    "dash_rolling_median",
+    """
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_median
+    FROM events
+    """,
+)
+def q_dash_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #14b — trailing 6-row rolling MEDIAN per station (the
+    outlier-robust smoother the dashboard's rolling mean is not). Spark
+    has no windowed percentile, so the frame is collected as a ≤6-element
+    sorted array and the linearly-interpolated middle is taken JVM-side —
+    constant-bounded state per row, same single shuffle as rolling mean."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    med = (
+        "CASE WHEN size(__arr) % 2 = 1 THEN __arr[cast(size(__arr) div 2 as int)] "
+        "ELSE (__arr[cast(size(__arr) div 2 as int) - 1] "
+        "      + __arr[cast(size(__arr) div 2 as int)]) / 2 END"
+    )
+    return (
+        ev.withColumn("__arr", arr)
+        .select("event_id", "user_id", r4(F.expr(med)).alias("rolling_median"))
+    )

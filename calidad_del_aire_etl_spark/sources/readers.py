@@ -36,6 +36,31 @@ def normalize_nanos_ts(df: DataFrame, ts_cols: tuple[str, ...] = ("ts",)) -> Dat
     return df
 
 
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-with-quarantine: PERMISSIVE parse that captures rows the
+    schema can't hold into ``_corrupt_record`` instead of failing the
+    job — at 100 TB one malformed line must never kill a load. Returns
+    (good_rows, quarantined_raw_lines); the quarantine side is the
+    replayable dead-letter set."""
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # corrupt-record capture requires materialization before the
+        # filter (Spark refuses filters on the raw corrupt column alone)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (reference loads to PostgreSQL, dag:323-348). Needs a
     driver jar on the classpath; raises a clear error when absent."""

@@ -149,3 +149,26 @@ def test_cogroup_align_greedy_forward_matching(spark):
     # u3: left only, no match; u9: right only, zero left
     assert out[3]["aligned_pairs"] == 0 and out[3]["mean_gap_s"] is None
     assert out[9]["n_left"] == 0 and out[9]["n_right"] == 1
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from calidad_del_aire_etl_spark.sources import readers
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": 2.5}\n'
+        'not json at all\n'
+        '{"id": "boom", "v": 1.0}\n'   # id wrong type → quarantined
+        '{"id": 3, "v": 4.0}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    good, bad = readers.read_json_with_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
+    assert any("boom" in b for b in bad_rows)  # replayable raw line
