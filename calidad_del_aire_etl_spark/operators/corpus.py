@@ -309,6 +309,68 @@ def stratified_sample(
     return df.filter(digit < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Corpus mixture weighting: replicate/downsample each source to a
+    target weight (w=2.3 → every doc twice, plus a third copy for a
+    deterministic 30 % of docs; w=0.4 → keep a deterministic 40 %).
+
+    The standard LLM-data mixing step (e.g. upsample curated sources,
+    downsample crawl). Hash-based fractional keep (md5 byte, 256
+    buckets) — stable under reruns and partitioning, no RNG; the
+    replication is a per-row sequence+explode, so the plan stays narrow
+    and the output is exactly reproducible. Emits ``copy_idx`` so
+    downstream shuffles can still dedup per physical copy."""
+    import math
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2), 16, 10
+    ).cast("int")
+    w_expr = F.lit(float(default_weight))
+    for s, w in weights.items():
+        w_expr = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(w_expr)
+    base = F.floor(w_expr).cast("int")
+    frac_thresh = F.round((w_expr - F.floor(w_expr)) * 256).cast("int")
+    n_copies = base + (h < frac_thresh).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.expr("sequence(0, __n - 1)")))
+        .drop("__n")
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+    )
+
+
+def mixture_sample_sql(
+    table: str,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    cols: str = "*",
+) -> str:
+    cases = " ".join(
+        f"WHEN {source_col} = '{s}' THEN CAST({float(w)} AS DOUBLE)"
+        for s, w in weights.items()
+    )
+    w = f"(CASE {cases} ELSE CAST({float(default_weight)} AS DOUBLE) END)"
+    h = f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)) AS INTEGER)"
+    n = (
+        f"(CAST(FLOOR({w}) AS INTEGER) + CASE WHEN {h} < "
+        f"CAST(ROUND(({w} - FLOOR({w})) * 256, 0) AS INTEGER) THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    SELECT {cols}, CAST(unnest(generate_series(0, n_copies - 1)) AS INTEGER) AS copy_idx
+    FROM (SELECT *, {n} AS n_copies FROM {table})
+    WHERE n_copies > 0
+    """
+
+
 def stratified_sample_sql(
     table: str,
     id_col: str,

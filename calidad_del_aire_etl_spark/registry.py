@@ -1673,3 +1673,24 @@ def q_geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "station_id", "dist_km")
     )
+
+
+@register(
+    "corpus_mixture_sample",
+    corpus.mixture_sample_sql(
+        "(SELECT doc_id, source, lang FROM documents)",
+        "doc_id",
+        "source",
+        {"src0": 2.3, "src1": 0.4},
+        default_weight=1.0,
+        cols="doc_id, source, lang",
+    ),
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49b — mixture weighting: src0 upsampled 2.3×, src1
+    downsampled to 40 %, everything else kept — the LLM corpus-mixing
+    step, hash-deterministic (no RNG), replication via sequence+explode."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return corpus.mixture_sample(
+        docs, "doc_id", "source", {"src0": 2.3, "src1": 0.4}, default_weight=1.0
+    )

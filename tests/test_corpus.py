@@ -104,3 +104,29 @@ def test_ngram_split_evaluated_once_in_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("split(") == 1
+
+
+def test_mixture_sample_replication_and_downsampling(spark):
+    rows = [(i, "keep" if i % 3 == 0 else ("up" if i % 3 == 1 else "down"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = corpus.mixture_sample(
+        df, "doc_id", "source", {"up": 2.5, "down": 0.25}, default_weight=1.0
+    )
+    rows2 = out.collect()
+    again = {(r["doc_id"], r["copy_idx"]) for r in
+             corpus.mixture_sample(df, "doc_id", "source",
+                                   {"up": 2.5, "down": 0.25}, 1.0).collect()}
+    assert {(r["doc_id"], r["copy_idx"]) for r in rows2} == again  # deterministic
+    by_src = {}
+    for r in rows2:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["keep"] == 200  # weight 1.0 → exactly once
+    assert 420 <= by_src["up"] <= 580     # 200 × 2.5 = 500 ± hash noise
+    assert 25 <= by_src["down"] <= 75     # 200 × 0.25 = 50 ± hash noise
+    # every doc of an upsampled source has copies 0 and 1 at least
+    ups = [r for r in rows2 if r["source"] == "up"]
+    per_doc = {}
+    for r in ups:
+        per_doc.setdefault(r["doc_id"], set()).add(r["copy_idx"])
+    assert all({0, 1} <= s for s in per_doc.values())
