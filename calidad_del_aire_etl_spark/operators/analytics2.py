@@ -1,0 +1,274 @@
+"""Analytics widening batch: grouping sets, time-weighted averages,
+winsorization, fixed-bin histograms, cumulative distinct counting.
+
+Shapes a 100 TB telemetry/sensor warehouse needs beyond the reference
+dashboard (dashboard_calidad_aire.py:64-254): each is one or two
+shuffles, partial-aggregated, with exact DECIMAL math wherever a
+distributed double sum would be order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import r4
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (distinct from rollup/cube: arbitrary, non-hierarchical sets)
+# ---------------------------------------------------------------------------
+
+
+def grouping_sets_profile(events: DataFrame) -> DataFrame:
+    """Two independent grouping sets — (event_type) and (day-of-week) —
+    in ONE pass via GROUP BY GROUPING SETS.
+
+    At scale this halves the number of fact scans vs running two
+    groupBys: Spark expands the sets map-side and partial-aggregates
+    both, so the fact is read once. NULL set-markers are coalesced to
+    'ALL' so the output is join-safe."""
+    base = events.select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.col("value").cast(DEC).alias("__v"),
+    )
+    agg = base.groupingSets(
+        [["event_type"], ["dow"]], "event_type", "dow"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.sum("__v").cast("double")).alias("sum_value"),
+        r4(F.avg(F.col("__v").cast("double"))).alias("avg_value"),
+    )
+    return agg.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+        "n",
+        "sum_value",
+        "avg_value",
+    ).orderBy("event_type", "dow")
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(v) AS DOUBLE) + 1e-9, 4) AS sum_value,
+       ROUND(AVG(CAST(v AS DOUBLE)) + 1e-9, 4) AS avg_value
+FROM (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+GROUP BY GROUPING SETS ((event_type), (dow))
+ORDER BY event_type, dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular sampling intervals)
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted mean value: each reading is weighted by
+    the seconds until the NEXT reading (trapezoid-left rule); the final
+    open-ended reading carries no weight.
+
+    The right aggregate for irregular sensor streams — a plain AVG
+    over-weights bursts. One window shuffle on user_id (in-partition
+    sort by ts), then a partial-agg groupBy on the same key, which AQE
+    coalesces onto the window's partitioning. Weighted sums run in
+    DECIMAL so the distributed sum is order-independent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_us = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).cast(
+        "decimal(18,0)"
+    )
+    wted = events.select(
+        "user_id",
+        F.col("value").cast(DEC).alias("__v"),
+        dt_us.alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+    agg = wted.groupBy(F.col("user_id").cast("int").alias("user_id")).agg(
+        F.sum((F.col("__v") * F.col("__dt")).cast("decimal(38,2)")).alias("__num"),
+        F.sum("__dt").alias("__den"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+    return agg.select(
+        "user_id",
+        r4(F.col("__num").cast("double") / F.col("__den").cast("double")).alias(
+            "time_weighted_avg"
+        ),
+        r4(F.col("__den").cast("double") / F.lit(1_000_000.0)).alias("span_seconds"),
+        "n_intervals",
+    ).orderBy("user_id")
+
+
+TIME_WEIGHTED_SQL = """
+SELECT CAST(user_id AS INTEGER) AS user_id,
+       ROUND(CAST(SUM(CAST(v * dt AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(SUM(dt) AS DOUBLE) + 1e-9, 4) AS time_weighted_avg,
+       ROUND(CAST(SUM(dt) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS span_seconds,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              - epoch_us(ts) AS DECIMAL(18,0)) AS dt
+  FROM events
+)
+WHERE dt IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile capping — the robust-stats sibling of IQR clip)
+# ---------------------------------------------------------------------------
+
+
+def winsorize_profile(events: DataFrame, p_lo: float = 0.05, p_hi: float = 0.95) -> DataFrame:
+    """Per-event-type winsorized profile: exact P5/P95 bounds, values
+    capped to them, clipped-row counts and winsorized mean reported.
+
+    Plan: one groupBy computes the per-type percentile bounds (exact
+    here; `percentile_approx` is the documented 100 TB drop-in), the
+    tiny bounds relation broadcasts back onto the fact, and a second
+    partial-agg groupBy on the same key produces the profile."""
+    bounds = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {p_lo})").alias("__lo"),
+        F.expr(f"percentile(value, {p_hi})").alias("__hi"),
+    ).withColumnRenamed("event_type", "__et")
+    capped = events.join(
+        F.broadcast(bounds), events.event_type == F.col("__et")
+    ).select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi"))
+        .cast("decimal(28,8)")
+        .alias("__w"),
+        (F.col("value") < F.col("__lo")).cast("int").alias("__clip_lo"),
+        (F.col("value") > F.col("__hi")).cast("int").alias("__clip_hi"),
+        "__lo",
+        "__hi",
+    )
+    return (
+        capped.groupBy("event_type")
+        .agg(
+            r4(F.first("__lo")).alias("p_lo"),
+            r4(F.first("__hi")).alias("p_hi"),
+            F.sum("__clip_lo").cast("bigint").alias("n_clipped_lo"),
+            F.sum("__clip_hi").cast("bigint").alias("n_clipped_hi"),
+            r4(F.sum("__w").cast("double") / F.count(F.lit(1))).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def winsorize_sql(p_lo: float = 0.05, p_hi: float = 0.95) -> str:
+    return f"""
+SELECT event_type,
+       ROUND(ANY_VALUE(lo) + 1e-9, 4) AS p_lo,
+       ROUND(ANY_VALUE(hi) + 1e-9, 4) AS p_hi,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(28,8))) AS DOUBLE)
+             / COUNT(*) + 1e-9, 4) AS winsorized_mean
+FROM (
+  SELECT event_type, value,
+         quantile_cont(value, {p_lo}) OVER (PARTITION BY event_type) AS lo,
+         quantile_cont(value, {p_hi}) OVER (PARTITION BY event_type) AS hi
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    events: DataFrame, lo: float = 0.0, hi: float = 500.0, nbins: int = 20
+) -> DataFrame:
+    """Per-event-type fixed-bin value histogram.
+
+    The bin id is a pure arithmetic expression (no UDF, no percentile
+    pass), so binning rides the scan inside WholeStageCodegen and the
+    single shuffle carries only (type, bin) partial counts — at most
+    |types|×nbins rows per map task regardless of input size."""
+    width = (hi - lo) / nbins
+    bin_id = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        events.select("event_type", bin_id.alias("bin_id"))
+        .groupBy("event_type", "bin_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            "bin_id",
+            r4(F.lit(lo) + F.col("bin_id") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bin_id")
+    )
+
+
+def value_histogram_sql(lo: float = 0.0, hi: float = 500.0, nbins: int = 20) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+SELECT event_type, bin_id,
+       ROUND({lo} + bin_id * {width} + 1e-9, 4) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((value - {lo}) / {width}), 0), {nbins - 1}) AS INTEGER)
+           AS bin_id
+  FROM events
+)
+GROUP BY event_type, bin_id
+ORDER BY event_type, bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per day (first-touch trick)
+# ---------------------------------------------------------------------------
+
+
+def cumulative_distinct_users(events: DataFrame) -> DataFrame:
+    """Daily new-user and cumulative-distinct-user counts.
+
+    A naive per-day COUNT(DISTINCT) over a growing window is O(days ×
+    users); the first-touch trick is two partial-agg groupBys: min(day)
+    per user (shuffle on user), then count per first-day (tiny), then a
+    running sum over the ~#days-row result — the only window runs on an
+    aggregated relation that is small by construction at any scale."""
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_day.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+CUMULATIVE_DISTINCT_SQL = """
+SELECT CAST(first_day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS new_users,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id)
+GROUP BY first_day
+ORDER BY day
+"""

@@ -387,3 +387,57 @@ def stratified_sample_sql(
     WHERE CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 1)) AS INTEGER)
           < (CASE {cases} ELSE {default_hex} END)
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (decontamination for training corpora)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, bench_mod: int = 97
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the
+    benchmark set (here: docs where ``id % bench_mod == 0`` stand in
+    for an eval benchmark).
+
+    Plan: benchmark n-grams are exploded and deduped (groupBy, map-side
+    combined) into a small relation that joins the exploded training
+    n-grams on the gram string — at real scale the benchmark side is
+    tiny (eval sets are ~10⁴ docs) so AQE broadcasts it, turning
+    decontamination into a map-side hash probe. Output is one row per
+    contaminated doc with the overlap count."""
+    grams = F.explode(F.expr(f"array_distinct({_ngram_expr(text_col, n)})"))
+    is_bench = F.col(id_col) % bench_mod == 0
+    bench = (
+        df.filter(is_bench)
+        .select(grams.alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__bench_docs"))
+    )
+    train = df.filter(~is_bench).select(F.col(id_col), grams.alias("gram"))
+    hits = train.join(bench, "gram")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_ngrams"))
+        .orderBy(id_col)
+    )
+
+
+def contamination_sql(
+    table: str, id_col: str, text_col: str, n: int = 5, bench_mod: int = 97
+) -> str:
+    grams = _ngram_sql(text_col, n)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct({grams})) AS gram
+  FROM {table} WHERE {id_col} % {bench_mod} = 0
+), train AS (
+  SELECT {id_col}, unnest(list_distinct({grams})) AS gram
+  FROM {table} WHERE {id_col} % {bench_mod} <> 0
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+FROM train JOIN bench USING (gram)
+GROUP BY {id_col}
+ORDER BY {id_col}
+"""

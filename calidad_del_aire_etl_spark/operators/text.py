@@ -15,8 +15,10 @@ Portability notes (Spark ↔ DuckDB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions import r4
 
 # Marker stopwords per language, scored by padded-occurrence counts.
 # Deterministic tie-break: earlier languages win.
@@ -281,3 +283,81 @@ def fingerprint_sql(table: str, id_col: str, text_col: str, gram: int = 8) -> st
            CAST(len(list_distinct({sh})) AS BIGINT) AS n_shingles
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms (smoothed idf =
+    ln((N+1)/(df+1))).
+
+    Plan: explode tokens → partial-agg groupBy (doc, term) for tf →
+    groupBy (term) for document frequency (both map-side combined — the
+    shuffle carries distinct terms, not token instances) → join tf↔df
+    on term → scalar doc count broadcast via crossJoin → window top-k
+    partitioned by doc. Ordering uses the r4-rounded score so both
+    engines break near-ties identically by term."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            r4(
+                F.col("tf")
+                * F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_topk_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT {id_col}, unnest(list_filter(
+           regexp_split_to_array(lower(trim({text_col})), '\s+'),
+           t -> t <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * ln((SELECT COUNT(*) + 1 FROM {table}) / (dfreq.df + 1.0))
+               + 1e-9, 4) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT {id_col}, rank, term, tf, df, tfidf
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+              ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""

@@ -1843,3 +1843,65 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mixture_sample(
         docs, "doc_id", "source", {"src0": 2.3, "src1": 0.4}, default_weight=1.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics widening batch: grouping sets, time-weighted avg, winsorize,
+# histogram, cumulative distinct; TF-IDF; benchmark contamination.
+# ---------------------------------------------------------------------------
+
+from .operators import analytics2  # noqa: E402
+
+
+@register("grouping_sets_profile", analytics2.GROUPING_SETS_SQL)
+def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — (event_type) + (dow) profiles in one
+    fact pass (vs two scans for two groupBys)."""
+    return analytics2.grouping_sets_profile(load(spark, sf_dir, "events"))
+
+
+@register("time_weighted_avg", analytics2.TIME_WEIGHTED_SQL)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean over irregular sampling intervals
+    (lead-delta weights, exact DECIMAL weighted sums)."""
+    return analytics2.time_weighted_avg(load(spark, sf_dir, "events"))
+
+
+@register("winsorize_profile", analytics2.winsorize_sql(0.05, 0.95))
+def q_winsorize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type P5/P95 winsorization: exact bounds broadcast back onto
+    the fact, clip counts + winsorized mean."""
+    return analytics2.winsorize_profile(load(spark, sf_dir, "events"), 0.05, 0.95)
+
+
+@register("value_histogram", analytics2.value_histogram_sql(0.0, 500.0, 20))
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type — arithmetic bin ids in
+    WholeStageCodegen, shuffle carries only (type, bin) partials."""
+    return analytics2.value_histogram(load(spark, sf_dir, "events"), 0.0, 500.0, 20)
+
+
+@register("cumulative_distinct_users", analytics2.CUMULATIVE_DISTINCT_SQL)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative distinct users via the first-touch trick — no
+    growing-window COUNT(DISTINCT), the only window runs over ~#days rows."""
+    return analytics2.cumulative_distinct_users(load(spark, sf_dir, "events"))
+
+
+@register("text_tfidf_topk", text.tfidf_topk_sql("documents", "doc_id", "text", k=5))
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smoothed idf, map-side-combined
+    tf/df aggregates, scalar doc-count broadcast)."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    return text.tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "corpus_contamination",
+    corpus.contamination_sql("documents", "doc_id", "text", n=5, bench_mod=97),
+)
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the benchmark subset (doc_id % 97 == 0), with overlap counts."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    return corpus.contamination_check(docs, "doc_id", "text", n=5, bench_mod=97)

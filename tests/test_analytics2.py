@@ -1,0 +1,95 @@
+"""Analytics widening batch: invariants + plan guards (values are
+oracle-checked by tools/compare.py / driver t2)."""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.registry import load
+
+SF = "/root/testdata/sf0.001"
+Q = entry.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouping_sets_partition_totals(spark):
+    rows = Q["grouping_sets_profile"](spark, SF).collect()
+    total = load(spark, SF, "events").count()
+    by_type = sum(r.n for r in rows if r.dow == "ALL")
+    by_dow = sum(r.n for r in rows if r.event_type == "ALL")
+    # each grouping set partitions the full fact independently
+    assert by_type == total and by_dow == total
+    # expanded in one pass: a single Expand node, not two scans
+    plan = _plan(Q["grouping_sets_profile"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_time_weighted_avg_matches_manual(spark):
+    df = Q["time_weighted_avg"](spark, SF)
+    one = df.orderBy("user_id").first()
+    ev = (
+        load(spark, SF, "events")
+        .filter(F.col("user_id") == one.user_id)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    num = den = 0.0
+    for a, b in zip(ev, ev[1:]):
+        dt = (b.ts - a.ts).total_seconds() * 1e6
+        num += a.value * dt
+        den += dt
+    assert math.isclose(one.time_weighted_avg, num / den, rel_tol=1e-6)
+    assert one.n_intervals == len(ev) - 1
+
+
+def test_winsorize_bounds_and_broadcast(spark):
+    df = Q["winsorize_profile"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+    for r in df.collect():
+        assert r.p_lo <= r.p_hi
+        assert r.p_lo <= r.winsorized_mean <= r.p_hi
+        assert r.n_clipped_lo >= 0 and r.n_clipped_hi >= 0
+
+
+def test_histogram_counts_total(spark):
+    rows = Q["value_histogram"](spark, SF).collect()
+    assert sum(r.n for r in rows) == load(spark, SF, "events").count()
+    assert all(0 <= r.bin_id < 20 for r in rows)
+    # binning is pure arithmetic: no UDF in the plan
+    assert "BatchEvalPython" not in _plan(Q["value_histogram"](spark, SF))
+
+
+def test_cumulative_distinct_monotonic(spark):
+    rows = Q["cumulative_distinct_users"](spark, SF).collect()
+    assert rows[-1].cum_users == load(spark, SF, "events").select("user_id").distinct().count()
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r.new_users for r in rows) == cums[-1]
+
+
+def test_tfidf_ranks_and_df_bounds(spark):
+    df = Q["text_tfidf_topk"](spark, SF)
+    n_docs = load(spark, SF, "documents").count()
+    rows = df.collect()
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert all(1 <= r.df <= n_docs for r in rows)
+    # per doc: ranks strictly increasing, scores non-increasing
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.tfidf >= b.tfidf for a, b in zip(rs, rs[1:]))
+
+
+def test_contamination_excludes_benchmark_docs(spark):
+    rows = Q["corpus_contamination"](spark, SF).collect()
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.n_contaminated_ngrams > 0 for r in rows)
