@@ -272,3 +272,92 @@ FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY us
 GROUP BY first_day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average (recursive smoother as an array fold)
+# ---------------------------------------------------------------------------
+
+
+def ema_per_group(
+    events: DataFrame, alpha: float = 0.3, tail_n: int = 5
+) -> DataFrame:
+    """Per-user EMA (ema_t = α·x_t + (1-α)·ema_{t-1}, seeded with the
+    first reading); reports the final EMA and the mean of the last
+    ``tail_n`` smoothed points.
+
+    EMA is inherently sequential, which rules out a window frame — but
+    it is a FOLD, so each group collapses to a sorted array (one
+    groupBy shuffle, map-side combined into partial arrays) and the
+    fold runs as a higher-order `aggregate()` entirely JVM-side. State
+    per group is O(series length); for unbounded series the streaming
+    `applyInPandasWithState` module is the documented path.
+
+    The fold is evaluated ONCE into an (ema, tail) accumulator pair —
+    re-deriving the tail from a second fold would recompute the series
+    (see the project-collapse trap in SNIPPETS/SURVEY §4)."""
+    seq = events.groupBy(F.col("user_id").cast("int").alias("user_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__seq")
+    )
+    # fold state: named_struct(ema double, tail array<double>) — tail keeps
+    # the last `tail_n` smoothed values
+    fold = (
+        "aggregate("
+        "  slice(__vals, 2, greatest(size(__vals) - 1, 0)),"
+        "  named_struct('ema', cast(__vals[0] as double),"
+        "               'tail', array(cast(__vals[0] as double))),"
+        f" (acc, x) -> named_struct("
+        f"    'ema', {alpha} * x + {1 - alpha} * acc.ema,"
+        f"    'tail', slice(concat(acc.tail, array({alpha} * x + {1 - alpha} * acc.ema)),"
+        f"                  greatest(size(acc.tail) + 2 - {tail_n}, 1), {tail_n})),"
+        "  acc -> acc)"
+    )
+    folded = seq.select(
+        "user_id",
+        F.size("__seq").cast("bigint").alias("n_points"),
+        F.expr(
+            "transform(array(transform(__seq, s -> s.value)), __vals -> " + fold + ")"
+        )[0].alias("__st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_points",
+        r4(F.col("__st.ema")).alias("ema_final"),
+        r4(
+            F.aggregate(
+                "__st.tail", F.lit(0.0), lambda a, x: a + x
+            )
+            / F.size("__st.tail")
+        ).alias("ema_tail_mean"),
+    ).orderBy("user_id")
+
+
+def ema_sql(alpha: float = 0.3, tail_n: int = 5) -> str:
+    # DuckDB: list(value ORDER BY ts, event_id) gives the same ordered
+    # series; list_reduce folds left with the first element as the seed,
+    # matching the Spark fold exactly (identical double op sequence).
+    return f"""
+SELECT user_id, n_points,
+       ROUND(st.ema + 1e-9, 4) AS ema_final,
+       ROUND(list_sum(st.tail) / len(st.tail) + 1e-9, 4) AS ema_tail_mean
+FROM (
+  SELECT CAST(user_id AS INTEGER) AS user_id,
+         CAST(len(vals) AS BIGINT) AS n_points,
+         list_reduce(
+           list_prepend({{'ema': CAST(vals[1] AS DOUBLE),
+                          'tail': [CAST(vals[1] AS DOUBLE)]}},
+                        list_transform(vals[2:], x -> {{'ema': CAST(x AS DOUBLE), 'tail': CAST([] AS DOUBLE[])}})),
+           (acc, s) -> list_transform([{alpha} * s.ema + {1 - alpha} * acc.ema],
+                         ne -> {{'ema': ne,
+                                 'tail': (acc.tail || [ne])[
+                                     GREATEST(len(acc.tail) + 2 - {tail_n}, 1):]}})[1]
+         ) AS st
+  FROM (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+  )
+)
+ORDER BY user_id
+"""

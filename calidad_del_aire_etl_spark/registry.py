@@ -1905,3 +1905,11 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the benchmark subset (doc_id % 97 == 0), with overlap counts."""
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return corpus.contamination_check(docs, "doc_id", "text", n=5, bench_mod=97)
+
+
+@register("ema_per_user", analytics2.ema_sql(alpha=0.3, tail_n=5))
+def q_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average — the inherently-sequential
+    smoother as a JVM-side array fold (one groupBy shuffle; streaming
+    stateful module is the unbounded-series path)."""
+    return analytics2.ema_per_group(load(spark, sf_dir, "events"), alpha=0.3, tail_n=5)

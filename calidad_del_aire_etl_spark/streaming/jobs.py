@@ -157,3 +157,52 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     )
     q.processAllAvailable()
     return q
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, within_minutes: int = 30
+) -> DataFrame:
+    """#40d — stream-stream inner interval join: each purchase matched
+    to the same user's click events in the preceding ``within_minutes``.
+
+    Both sides carry watermarks so Spark can BOUND the join state: a
+    buffered click is dropped once the purchase-side watermark passes
+    click_ts + within_minutes (state eviction is what makes this run
+    forever at 100 TB/day — an unwatermarked stream-stream join grows
+    state without bound). The equi-key (user_id) routes both streams
+    through one hash partitioning; the time-interval predicate prunes
+    within each key group."""
+    c = (
+        clicks.withWatermark("ts", f"{within_minutes * 2} minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", f"{within_minutes} minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "amount",
+    )

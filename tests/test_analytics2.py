@@ -93,3 +93,24 @@ def test_contamination_excludes_benchmark_docs(spark):
     rows = Q["corpus_contamination"](spark, SF).collect()
     assert all(r.doc_id % 97 != 0 for r in rows)
     assert all(r.n_contaminated_ngrams > 0 for r in rows)
+
+
+def test_ema_matches_python_fold(spark):
+    df = Q["ema_per_user"](spark, SF)
+    one = df.orderBy("user_id").first()
+    ev = (
+        load(spark, SF, "events")
+        .filter(F.col("user_id") == one.user_id)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    a, ema = 0.3, ev[0].value
+    tail = [ema]
+    for r in ev[1:]:
+        ema = a * r.value + (1 - a) * ema
+        tail = (tail + [ema])[-5:]
+    assert math.isclose(one.ema_final, ema, abs_tol=2e-4)
+    assert math.isclose(one.ema_tail_mean, sum(tail) / len(tail), abs_tol=2e-4)
+    assert one.n_points == len(ev)
+    # fold runs JVM-side: no Python UDF in the plan
+    assert "BatchEvalPython" not in _plan(Q["ema_per_user"](spark, SF))

@@ -134,3 +134,41 @@ def test_session_window_agg_merges_by_gap(spark, input_dir):
         q.stop()
     got = sorted((r["session_start"].minute, r["n_events"], r["sum_value"]) for r in out)
     assert got == [(0, 2, 3.0), (20, 1, 4.0)]
+
+
+def test_stream_stream_interval_join_bounds_state(spark, input_dir, tmp_path):
+    """Purchases join preceding clicks of the same user within 30 min,
+    across two micro-batches (the click arrives a batch before the
+    purchase, proving the join buffers watermarked state)."""
+    import datetime as dtm
+
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "purchases").mkdir()
+    t0 = dtm.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: dtm.timedelta(minutes=k)
+    # clicks: user 1 at 10:00 (in window); user 2 at 08:59 (too early)
+    _write_batch(
+        spark,
+        clicks_dir,
+        [(1, t0, 1, "click", 0.0), (2, t0 - m(61), 2, "click", 0.0)],
+        0,
+    )
+    # purchases at 10:10: user 1 joins, user 2's click is outside the window
+    _write_batch(
+        spark,
+        purch_dir,
+        [(10, t0 + m(10), 1, "purchase", 9.99), (11, t0 + m(10), 2, "purchase", 5.0)],
+        0,
+    )
+    clicks = jobs.read_events_stream(spark, clicks_dir)
+    purchases = jobs.read_events_stream(spark, purch_dir)
+    joined = jobs.stream_stream_interval_join(clicks, purchases, within_minutes=30)
+    q = jobs.run_to_memory(joined, "ssj", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {r.purchase_id: r.click_id for r in spark.sql("select * from ssj").collect()}
+    finally:
+        q.stop()
+    assert got == {10: 1}  # user 1 joined; user 2's click was outside the window
