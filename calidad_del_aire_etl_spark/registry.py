@@ -1913,3 +1913,19 @@ def q_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoother as a JVM-side array fold (one groupBy shuffle; streaming
     stateful module is the unbounded-series path)."""
     return analytics2.ema_per_group(load(spark, sf_dir, "events"), alpha=0.3, tail_n=5)
+
+
+from .operators import validation  # noqa: E402
+
+
+@register(
+    "expectations_report",
+    validation.expectations_sql("events", validation.DEFAULT_EVENT_RULES),
+)
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations runner — five rule kinds (null-frac,
+    uniqueness, accepted values, range, row-count) in ONE full-scan
+    aggregate, long-form pass/fail report (dag:365-407 generalized)."""
+    return validation.expectations_report(
+        load(spark, sf_dir, "events"), validation.DEFAULT_EVENT_RULES
+    )

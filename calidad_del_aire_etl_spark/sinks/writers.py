@@ -127,3 +127,14 @@ def write_jdbc(
             "JDBC sink unavailable (no driver jar on the classpath); "
             "add e.g. postgresql.jar via spark.jars"
         ) from e
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (zlib default; snappy for read-heavy warehouses). Same
+    partition-directory contract as the parquet writer."""
+    w = df.write.mode(mode).format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

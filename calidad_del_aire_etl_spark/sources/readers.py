@@ -74,3 +74,43 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
             "JDBC source unavailable (no driver jar on the classpath); "
             "add e.g. postgresql.jar via spark.jars"
         ) from e
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC reader — same pushdown/pruning contract as parquet (ORC
+    carries min/max + bloom stripe stats; Spark's OrcScan pushes
+    predicates the same way `PushedFilters` shows for parquet)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_text_corpus(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Raw-text corpus ingest for LLM pipelines: one row per line (or
+    per file with ``wholetext``), tagged with source file and a
+    corpus-stable doc key (md5 of file + offset — reproducible across
+    reruns, unlike monotonically_increasing_id which depends on
+    partition layout).
+
+    Line splitting happens in the scan (no shuffle); the window for
+    line offsets is per-file, bounded by file size — files are the
+    natural parallelism unit exactly as at 100 TB."""
+    from pyspark.sql import Window
+
+    raw = spark.read.text(path, wholetext=wholetext).select(
+        F.input_file_name().alias("source_file"), F.col("value").alias("text")
+    )
+    if wholetext:
+        return raw.select(
+            F.md5(F.col("source_file")).alias("doc_key"), "source_file", "text"
+        )
+    w = Window.partitionBy("source_file").orderBy(F.monotonically_increasing_id())
+    return raw.select(
+        "source_file",
+        (F.row_number().over(w) - 1).cast("bigint").alias("line_no"),
+        "text",
+    ).select(
+        F.md5(F.concat_ws("\x1f", "source_file", "line_no")).alias("doc_key"),
+        "source_file",
+        "line_no",
+        "text",
+    )
