@@ -361,3 +361,167 @@ FROM (
 )
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+def mode_per_group(events: DataFrame) -> DataFrame:
+    """Most frequent event_type per user (ties → lexicographically
+    smallest type).
+
+    groupBy(user, type) partial-aggregates map-side, so the shuffle
+    carries at most |users|×|types| rows; the argmax window then runs
+    on that already-reduced relation, partitioned by user — never a
+    global sort."""
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MODE_SQL = """
+SELECT CAST(user_id AS INTEGER) AS user_id,
+       event_type AS mode_event_type,
+       cnt AS mode_count
+FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (population stability index between two periods)
+# ---------------------------------------------------------------------------
+
+
+def psi_drift(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Per-event-type PSI between the periods before/after ``split_ts``
+    (the ML-ops drift gate: PSI < 0.1 stable, > 0.25 shifted).
+
+    Everything is groupBy arithmetic over fixed bins — no sort, no
+    window, no quantile pass — so it runs at any scale in two
+    map-side-combined aggregations (one per grain) plus a tiny
+    |types|×|bins| join. ε-smoothing keeps empty bins finite."""
+    width = (hi - lo) / nbins
+    bin_id = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    period = (F.col("ts") >= split_ts).cast("int")
+    binned = events.select(
+        "event_type", bin_id.alias("bin_id"), period.alias("period")
+    )
+    cell = binned.groupBy("event_type", "bin_id").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("__a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("__b"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    ).withColumnRenamed("event_type", "__et")
+    joined = cell.join(F.broadcast(tot), cell.event_type == F.col("__et"))
+    p = F.col("__a") / F.col("__ta") + F.lit(eps)
+    q = F.col("__b") / F.col("__tb") + F.lit(eps)
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.groupBy("event_type")
+        .agg(r4(F.sum(term)).alias("psi"), F.count(F.lit(1)).cast("bigint").alias("n_bins"))
+        .orderBy("event_type")
+    )
+
+
+def psi_sql(
+    split_ts: str = "2024-01-16",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+    eps: float = 1e-4,
+) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+WITH cell AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((value - {lo}) / {width}), 0), {nbins - 1}) AS INTEGER)
+           AS bin_id,
+         SUM(CASE WHEN ts >= TIMESTAMP '{split_ts} 00:00:00' THEN 0 ELSE 1 END) AS a,
+         SUM(CASE WHEN ts >= TIMESTAMP '{split_ts} 00:00:00' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(a) AS ta, SUM(b) AS tb FROM cell GROUP BY 1
+)
+SELECT cell.event_type,
+       ROUND(SUM((a / ta + {eps} - b / tb - {eps}) * ln((a / ta + {eps}) / (b / tb + {eps})))
+             + 1e-9, 4) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM cell JOIN tot ON cell.event_type = tot.event_type
+GROUP BY cell.event_type
+ORDER BY cell.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group N-sample (hash-ordered, no RNG)
+# ---------------------------------------------------------------------------
+
+
+def sample_n_per_group(events: DataFrame, n: int = 10) -> DataFrame:
+    """Uniform-ish ``n`` rows per user, deterministic across reruns:
+    order by md5(event_id) within each user and keep the first ``n``.
+
+    The hash order is independent of time/value (so the sample is not
+    biased by either) and reproducible without RNG state. One window
+    shuffle on user_id; the hash is computed map-side."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")).asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select(
+            F.col("user_id").cast("int").alias("user_id"),
+            "event_id",
+            F.col("__rn").cast("int").alias("sample_rank"),
+        )
+        .orderBy("user_id", "sample_rank")
+    )
+
+
+def sample_n_sql(n: int = 10) -> str:
+    return f"""
+SELECT CAST(user_id AS INTEGER) AS user_id, event_id,
+       CAST(rn AS INTEGER) AS sample_rank
+FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn <= {n}
+ORDER BY user_id, sample_rank
+"""

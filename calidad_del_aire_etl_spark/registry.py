@@ -1929,3 +1929,26 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validation.expectations_report(
         load(spark, sf_dir, "events"), validation.DEFAULT_EVENT_RULES
     )
+
+
+@register("mode_per_user", analytics2.MODE_SQL)
+def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent event_type) per user — argmax window over a
+    pre-reduced |users|×|types| relation, deterministic tie-break."""
+    return analytics2.mode_per_group(load(spark, sf_dir, "events"))
+
+
+@register("psi_drift", analytics2.psi_sql("2024-01-16", 0.0, 500.0, 10, 1e-4))
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift per event_type between the two
+    halves of the month — fixed-bin groupBy arithmetic, no sort/quantile."""
+    return analytics2.psi_drift(
+        load(spark, sf_dir, "events"), "2024-01-16", 0.0, 500.0, 10, 1e-4
+    )
+
+
+@register("sample_n_per_user", analytics2.sample_n_sql(10))
+def q_sample_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ordered 10-row sample per user (reproducible,
+    RNG-free, unbiased by time or value)."""
+    return analytics2.sample_n_per_group(load(spark, sf_dir, "events"), 10)

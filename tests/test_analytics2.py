@@ -114,3 +114,44 @@ def test_ema_matches_python_fold(spark):
     assert one.n_points == len(ev)
     # fold runs JVM-side: no Python UDF in the plan
     assert "BatchEvalPython" not in _plan(Q["ema_per_user"](spark, SF))
+
+
+def test_mode_is_true_argmax(spark):
+    rows = Q["mode_per_user"](spark, SF).collect()
+    ev = load(spark, SF, "events")
+    one = rows[0]
+    counts = dict(
+        (r.event_type, r.cnt)
+        for r in ev.filter(F.col("user_id") == one.user_id)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    best = max(counts.values())
+    assert one.mode_count == best
+    assert one.mode_event_type == min(t for t, c in counts.items() if c == best)
+
+
+def test_psi_zero_for_identical_distribution(spark):
+    from calidad_del_aire_etl_spark.operators.analytics2 import psi_drift
+
+    ev = load(spark, SF, "events")
+    # split so period B is empty-complement-free: compare the data to itself
+    doubled = ev.withColumn("ts", F.col("ts")).unionAll(
+        ev.withColumn("ts", F.expr("ts + INTERVAL 40 DAYS"))
+    )
+    rows = psi_drift(doubled, "2024-02-05", 0.0, 500.0, 10, 1e-4).collect()
+    # identical per-bin shares on both sides -> PSI ~ 0
+    assert all(abs(r.psi) < 1e-3 for r in rows)
+    real = {r.event_type: r.psi for r in Q["psi_drift"](spark, SF).collect()}
+    assert all(v >= 0.0 for v in real.values())
+
+
+def test_sample_n_deterministic_and_bounded(spark):
+    a = Q["sample_n_per_user"](spark, SF).collect()
+    b = Q["sample_n_per_user"](spark, SF).collect()
+    assert [(r.user_id, r.event_id) for r in a] == [(r.user_id, r.event_id) for r in b]
+    per_user = {}
+    for r in a:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert all(v <= 10 for v in per_user.values())
