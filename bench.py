@@ -48,6 +48,15 @@ HEADLINE = [
     "value_deciles",
     "sketch_profile",
     "sql_interface",
+    "tpch_q7_volume",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "time_weighted_avg",
+    "ema_per_user",
+    "psi_drift",
+    "text_tfidf_topk",
+    "corpus_contamination",
+    "expectations_report",
 ]
 
 

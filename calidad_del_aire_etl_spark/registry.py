@@ -1952,3 +1952,17 @@ def q_sample_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-ordered 10-row sample per user (reproducible,
     RNG-free, unbiased by time or value)."""
     return analytics2.sample_n_per_group(load(spark, sf_dir, "events"), 10)
+
+
+from .operators import graph  # noqa: E402
+
+
+@register("graph_pagerank", None)  # rows-only: NumPy-verified in pytest
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph —
+    the iterative persist/unpersist pattern (constant lineage depth,
+    one shuffle per round); top-50 nodes."""
+    edges = graph.order_graph_edges(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+    return graph.pagerank(edges, iterations=8).limit(50)

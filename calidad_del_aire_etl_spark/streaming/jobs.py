@@ -206,3 +206,38 @@ def stream_stream_interval_join(
         "click_ts",
         "amount",
     )
+
+
+def idempotent_batch_sink(out_dir: str):
+    """#40e — foreachBatch exactly-once parquet sink.
+
+    Structured Streaming guarantees at-least-once foreachBatch calls:
+    after a crash the SAME epoch can be re-delivered. Writing each
+    micro-batch to ``batch_id=<epoch>/`` with overwrite makes a replay
+    rewrite the identical partition instead of duplicating rows — the
+    standard idempotent-sink contract (the other half, transactional
+    sinks, needs a table format with atomic commit).
+
+    Returns a (batchDF, batchId) -> None callable for
+    ``writeStream.foreachBatch``."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        )
+
+    return write_batch
+
+
+def run_foreach_batch(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Wire a stream into the idempotent sink with a checkpoint (the
+    checkpoint is what ties epoch ids to source offsets across
+    restarts)."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(idempotent_batch_sink(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

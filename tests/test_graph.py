@@ -1,0 +1,43 @@
+"""PageRank: NumPy parity on the real sf0.001 graph + scale guards."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import __spark_entry__ as entry
+from calidad_del_aire_etl_spark.operators import graph
+from calidad_del_aire_etl_spark.registry import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = graph.order_graph_edges(
+        load(spark, SF, "orders"), load(spark, SF, "lineitem")
+    )
+    got = {r.node: r.rank for r in graph.pagerank(edges, iterations=8).collect()}
+
+    e = edges.distinct().collect()
+    nodes = sorted({r.src for r in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for r in e:
+        out_deg[idx[r.src]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(8):
+        contrib = np.zeros(n)
+        for r in e:
+            contrib[idx[r.dst]] += rank[idx[r.src]] / out_deg[idx[r.src]]
+        rank = 0.15 / n + 0.85 * contrib
+    for node, i in idx.items():
+        assert abs(got[node] - rank[i]) < 5e-4, node
+    # probability mass conserved (no dangling nodes in the symmetrized graph)
+    assert abs(sum(got.values()) - 1.0) < 0.01
+
+
+def test_pagerank_query_entry_runs(spark):
+    rows = entry.queries()["graph_pagerank"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)

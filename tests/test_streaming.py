@@ -172,3 +172,27 @@ def test_stream_stream_interval_join_bounds_state(spark, input_dir, tmp_path):
     finally:
         q.stop()
     assert got == {10: 1}  # user 1 joined; user 2's click was outside the window
+
+
+def test_foreach_batch_sink_is_idempotent(spark, input_dir, tmp_path):
+    """Replaying a batch id overwrites its partition instead of
+    duplicating rows."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, input_dir, [(1, _t(0), 7, "click", 1.5)], 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    q = jobs.run_foreach_batch(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, input_dir, [(2, _t(1), 8, "view", 2.5)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    # simulate an epoch replay: deliver batch 0's frame again with the
+    # same batch id — row count must NOT change
+    replay = spark.createDataFrame([(1, _t(0), 7, "click", 1.5)], jobs.EVENTS_SCHEMA)
+    jobs.idempotent_batch_sink(out)(replay, 0)
+    assert spark.read.parquet(out).count() == 2
+    assert {r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()} == {0, 1}
