@@ -1966,3 +1966,28 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
     )
     return graph.pagerank(edges, iterations=8).limit(50)
+
+
+from .operators import behavior  # noqa: E402
+
+
+@register("cohort_retention", behavior.COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — first-touch cohorts, |cohorts|x|weeks|
+    output from two partial-agg passes over (user, week)."""
+    return behavior.cohort_retention(load(spark, sf_dir, "events"))
+
+
+@register("rfm_segments", behavior.rfm_sql("purchase"))
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation per user over purchase events (ntile
+    windows over the user-reduced relation; approx-quantile cut points
+    are the documented 100 TB swap)."""
+    return behavior.rfm_segments(load(spark, sf_dir, "events"), "purchase")
+
+
+@register("event_transition_matrix", behavior.TRANSITION_SQL)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event
+    types per user (one lag window + |types|^2 bigram groupBy)."""
+    return behavior.transition_matrix(load(spark, sf_dir, "events"))

@@ -155,3 +155,33 @@ def test_sample_n_deterministic_and_bounded(spark):
     for r in a:
         per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
     assert all(v <= 10 for v in per_user.values())
+
+
+def test_cohort_retention_week_zero_full(spark):
+    rows = Q["cohort_retention"](spark, SF).collect()
+    # weeks_since=0 is by definition 100% retained
+    zero = [r for r in rows if r.weeks_since == 0]
+    assert zero and all(abs(r.retention - 1.0) < 1e-9 for r in zero)
+    assert all(0.0 <= r.retention <= 1.0 for r in rows)
+    assert sum(r.cohort_size for r in zero) == (
+        load(spark, SF, "events").select("user_id").distinct().count()
+    )
+
+
+def test_rfm_scores_quartile_bounds(spark):
+    rows = Q["rfm_segments"](spark, SF).collect()
+    assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4 for r in rows)
+    assert all(r.segment == f"{r.r_score}{r.f_score}{r.m_score}" for r in rows)
+
+
+def test_transition_rows_sum_to_one(spark):
+    rows = Q["event_transition_matrix"](spark, SF).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p
+    assert all(abs(v - 1.0) < 1e-2 for v in by_from.values())
+    # bigram totals = events minus one first-event per user
+    ev = load(spark, SF, "events")
+    total = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == total
