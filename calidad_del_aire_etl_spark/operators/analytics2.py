@@ -525,3 +525,36 @@ FROM (
 WHERE rn <= {n}
 ORDER BY user_id, sample_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Hour x day-of-week activity heatmap
+# ---------------------------------------------------------------------------
+
+
+def hour_dow_heatmap(events: DataFrame) -> DataFrame:
+    """The dashboard heatmap relation: activity count + mean value per
+    (hour-of-day, day-of-week) cell — a 24x7-row output from one
+    partial-agg groupBy regardless of input size."""
+    return (
+        events.groupBy(
+            F.hour("ts").cast("int").alias("hour"),
+            F.dayofweek("ts").cast("int").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.avg("value")).alias("avg_value"),
+        )
+        .orderBy("hour", "dow")
+    )
+
+
+HEATMAP_SQL = """
+SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, dow
+"""

@@ -136,3 +136,98 @@ def expectations_sql(table: str, rules: tuple[Rule, ...] = DEFAULT_EVENT_RULES) 
         + " UNION ALL ".join(rows)
         + " ORDER BY rule_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (describe-style, long form, one pass)
+# ---------------------------------------------------------------------------
+
+NUMERIC_PROFILE_COLS = ("value",)
+STRING_PROFILE_COLS = ("event_type", "props")
+
+
+def column_profile(
+    df: DataFrame,
+    numeric_cols: tuple[str, ...] = NUMERIC_PROFILE_COLS,
+    string_cols: tuple[str, ...] = STRING_PROFILE_COLS,
+) -> DataFrame:
+    """Data-profiling report: per-column stats in long form
+    (column_name, metric, value-as-double), ONE full-scan aggregate.
+
+    Numeric: count / nulls / mean / stddev / min / max. String: nulls /
+    distinct / min-len / max-len / empty count. All metrics ride one
+    partial-agg pass — profiling 50 columns costs one scan, not 50
+    (the trap in naive describe() loops)."""
+    aggs: list = []
+    fields: list[tuple[str, str]] = []
+
+    def add(col: str, metric: str, expr) -> None:
+        key = f"__{len(aggs)}"
+        aggs.append(expr.cast("double").alias(key))
+        fields.append((col, metric))
+
+    for c in numeric_cols:
+        col = F.col(c)
+        add(c, "count", F.count(col))
+        add(c, "nulls", F.sum(col.isNull().cast("bigint")))
+        add(c, "mean", r4(F.avg(col)))
+        add(c, "stddev", r4(F.stddev_samp(col)))
+        add(c, "min", F.min(col))
+        add(c, "max", F.max(col))
+    for c in string_cols:
+        col = F.col(c)
+        add(c, "nulls", F.sum(col.isNull().cast("bigint")))
+        add(c, "distinct", F.countDistinct(col))
+        add(c, "min_len", F.min(F.length(col)))
+        add(c, "max_len", F.max(F.length(col)))
+        add(c, "empty", F.sum((col == "").cast("bigint")))
+    agg = df.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(col).alias("column_name"),
+            F.lit(metric).alias("metric"),
+            F.col(f"__{i}").alias("value"),
+        )
+        for i, (col, metric) in enumerate(fields)
+    ]
+    return (
+        agg.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.*")
+        .orderBy("column_name", "metric")
+    )
+
+
+def column_profile_sql(
+    table: str,
+    numeric_cols: tuple[str, ...] = NUMERIC_PROFILE_COLS,
+    string_cols: tuple[str, ...] = STRING_PROFILE_COLS,
+) -> str:
+    obs, rows = [], []
+
+    def add(col: str, metric: str, expr: str) -> None:
+        key = f"m{len(obs)}"
+        obs.append(f"CAST({expr} AS DOUBLE) AS {key}")
+        rows.append(
+            f"SELECT '{col}' AS column_name, '{metric}' AS metric, {key} AS value FROM agg"
+        )
+
+    for c in numeric_cols:
+        add(c, "count", f"COUNT({c})")
+        add(c, "nulls", f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)")
+        add(c, "mean", f"ROUND(AVG({c}) + 1e-9, 4)")
+        add(c, "stddev", f"ROUND(STDDEV_SAMP({c}) + 1e-9, 4)")
+        add(c, "min", f"MIN({c})")
+        add(c, "max", f"MAX({c})")
+    for c in string_cols:
+        add(c, "nulls", f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)")
+        add(c, "distinct", f"COUNT(DISTINCT {c})")
+        add(c, "min_len", f"MIN(LENGTH({c}))")
+        add(c, "max_len", f"MAX(LENGTH({c}))")
+        add(c, "empty", f"SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END)")
+    return (
+        "WITH agg AS (SELECT "
+        + ", ".join(obs)
+        + f" FROM {table}) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY column_name, metric"
+    )

@@ -1991,3 +1991,19 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix between consecutive event
     types per user (one lag window + |types|^2 bigram groupBy)."""
     return behavior.transition_matrix(load(spark, sf_dir, "events"))
+
+
+@register(
+    "column_profile",
+    validation.column_profile_sql("events"),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Describe-style column profiler — numeric + string metrics in long
+    form, ONE full-scan aggregate for any column count."""
+    return validation.column_profile(load(spark, sf_dir, "events"))
+
+
+@register("hour_dow_heatmap", analytics2.HEATMAP_SQL)
+def q_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x day-of-week activity heatmap (24x7 output, one groupBy)."""
+    return analytics2.hour_dow_heatmap(load(spark, sf_dir, "events"))

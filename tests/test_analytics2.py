@@ -185,3 +185,21 @@ def test_transition_rows_sum_to_one(spark):
     ev = load(spark, SF, "events")
     total = ev.count() - ev.select("user_id").distinct().count()
     assert sum(r.n for r in rows) == total
+
+
+def test_column_profile_single_scan(spark):
+    from calidad_del_aire_etl_spark.operators import validation
+
+    df = validation.column_profile(load(spark, SF, "events"))
+    assert _plan(df).count("Scan parquet") == 1
+    got = {(r.column_name, r.metric): r.value for r in df.collect()}
+    ev = load(spark, SF, "events")
+    assert got[("value", "count")] == ev.count()
+    assert got[("event_type", "distinct")] == 5.0
+    assert got[("value", "min")] <= got[("value", "mean")] <= got[("value", "max")]
+
+
+def test_heatmap_cells_cover_all_rows(spark):
+    rows = Q["hour_dow_heatmap"](spark, SF).collect()
+    assert sum(r.n for r in rows) == load(spark, SF, "events").count()
+    assert all(0 <= r.hour <= 23 and 1 <= r.dow <= 7 for r in rows)
