@@ -711,3 +711,64 @@ def asof_join(
         .filter(F.col("__is_left") == 1)
         .drop("__is_left", "__rv", "__tb")
     )
+
+
+def scd2_point_in_time(events: DataFrame) -> DataFrame:
+    """Point-in-time (as-of) join of facts onto an SCD2 dimension: each
+    purchase is matched to the status version (built from the user's
+    signup/error change log) that was valid AT the purchase timestamp.
+
+    The temporal-warehouse correctness query: joining on is_current
+    instead silently rewrites history. Plan shape: equi-key (user_id)
+    hash join with the [from_us, to_us) interval as a post-join filter
+    — same never-BNLJ posture as the range join; the dimension side is
+    |change events| per key, already reduced by the SCD2 window."""
+    changes = events.filter(F.col("event_type").isin("signup", "error"))
+    dim = scd2_from_changelog(changes).select(
+        F.col("user_id").alias("d_user"), "attr_value", "version", "from_us", "to_us"
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("__ts_us"),
+        F.col("value").alias("amount"),
+    )
+    j = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (F.col("__ts_us") >= F.col("from_us"))
+        & ((F.col("to_us").isNull()) | (F.col("__ts_us") < F.col("to_us"))),
+    )
+    return j.select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("attr_value").alias("status_at_purchase"),
+        F.col("version").alias("status_version"),
+        F.col("amount").cast("double").alias("amount"),
+    ).orderBy("event_id")
+
+
+SCD2_PIT_SQL = """
+WITH changes AS (
+  SELECT * FROM events WHERE event_type IN ('signup', 'error')
+), dim AS (
+  SELECT user_id AS d_user, event_type AS attr_value,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+         CAST(epoch_us(ts) AS BIGINT) AS from_us,
+         CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT) AS to_us
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), facts AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, CAST(f.user_id AS INTEGER) AS user_id,
+       d.attr_value AS status_at_purchase,
+       d.version AS status_version,
+       CAST(f.amount AS DOUBLE) AS amount
+FROM facts f
+JOIN dim d ON f.user_id = d.d_user
+          AND f.ts_us >= d.from_us
+          AND (d.to_us IS NULL OR f.ts_us < d.to_us)
+ORDER BY f.event_id
+"""

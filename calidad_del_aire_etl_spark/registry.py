@@ -2007,3 +2007,11 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour x day-of-week activity heatmap (24x7 output, one groupBy)."""
     return analytics2.hour_dow_heatmap(load(spark, sf_dir, "events"))
+
+
+@register("scd2_point_in_time", general.SCD2_PIT_SQL)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of purchase facts onto the SCD2 status
+    dimension — equi-key hash join with the validity interval as a
+    post-filter (never a nested loop)."""
+    return general.scd2_point_in_time(load(spark, sf_dir, "events"))
