@@ -558,3 +558,118 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, dow
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-N with OTHER rollup (BI "top 5 + everything else" chart relation)
+# ---------------------------------------------------------------------------
+
+
+def topn_with_others(events: DataFrame, n: int = 3) -> DataFrame:
+    """Per-event-type revenue leaders: top-``n`` users by summed value
+    plus one OTHER row aggregating the remainder.
+
+    groupBy reduces to |types|x|users| first; ranking windows run on
+    that reduced relation partitioned by type; the OTHER rollup is a
+    second tiny aggregate over the ranked rows — no extra fact scan."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(DEC)).alias("__v")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("__v").desc(), F.col("user_id").asc()
+    )
+    ranked = per_user.withColumn("__rn", F.row_number().over(w))
+    labeled = ranked.select(
+        "event_type",
+        F.when(F.col("__rn") <= n, F.col("user_id").cast("string"))
+        .otherwise(F.lit("OTHER"))
+        .alias("who"),
+        F.when(F.col("__rn") <= n, F.col("__rn")).otherwise(F.lit(n + 1))
+        .cast("int")
+        .alias("rank"),
+        "__v",
+    )
+    return (
+        labeled.groupBy("event_type", "who", "rank")
+        .agg(
+            r4(F.sum("__v").cast("double")).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type", "rank", "who")
+    )
+
+
+def topn_others_sql(n: int = 3) -> str:
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v DESC, user_id ASC) AS rn
+  FROM per_user
+)
+SELECT event_type,
+       CASE WHEN rn <= {n} THEN CAST(user_id AS VARCHAR) ELSE 'OTHER' END AS who,
+       CAST(CASE WHEN rn <= {n} THEN rn ELSE {n + 1} END AS INTEGER) AS rank,
+       ROUND(CAST(SUM(v) AS DOUBLE) + 1e-9, 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY event_type, rank, who
+"""
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total (percent contribution within group, window ratio)
+# ---------------------------------------------------------------------------
+
+
+def share_of_total(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Each nation's share of its region... trimmed to the testdata
+    shape: per customer-nation, total order value and its share of the
+    grand total plus rank — the percent-of-total window family
+    (sum over unbounded partition) on a pre-reduced |nations| relation."""
+    cust = customer.select("c_custkey", "c_nationkey")
+    per_nation = (
+        orders.select("o_custkey", F.col("o_totalprice").cast(DEC).alias("__p"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(F.sum("__p").alias("__total"))
+    )
+    named = per_nation.join(
+        F.broadcast(nation.select(F.col("n_nationkey").cast("int").alias("nationkey"), "n_name")),
+        "nationkey",
+    )
+    w_all = Window.partitionBy()
+    return named.select(
+        "nationkey",
+        "n_name",
+        F.col("__total").cast("double").alias("revenue"),
+        r4(
+            F.col("__total").cast("double")
+            / F.sum(F.col("__total").cast("double")).over(w_all)
+            * 100.0
+        ).alias("pct_of_total"),
+        F.row_number()
+        .over(Window.orderBy(F.col("__total").desc(), F.col("nationkey").asc()))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy("rank")
+
+
+SHARE_SQL = """
+WITH per_nation AS (
+  SELECT CAST(c.c_nationkey AS INTEGER) AS nationkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT p.nationkey, n.n_name,
+       CAST(p.total AS DOUBLE) AS revenue,
+       ROUND(CAST(p.total AS DOUBLE) / SUM(CAST(p.total AS DOUBLE)) OVER () * 100.0
+             + 1e-9, 4) AS pct_of_total,
+       CAST(ROW_NUMBER() OVER (ORDER BY p.total DESC, p.nationkey ASC) AS INTEGER) AS rank
+FROM per_nation p JOIN nation n ON n.n_nationkey = p.nationkey
+ORDER BY rank
+"""

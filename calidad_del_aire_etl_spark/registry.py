@@ -2015,3 +2015,22 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — equi-key hash join with the validity interval as a
     post-filter (never a nested loop)."""
     return general.scd2_point_in_time(load(spark, sf_dir, "events"))
+
+
+@register("topn_with_others", analytics2.topn_others_sql(3))
+def q_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue users per event type + OTHER rollup row — the BI
+    chart relation, ranked on the pre-reduced |types|x|users| agg."""
+    return analytics2.topn_with_others(load(spark, sf_dir, "events"), 3)
+
+
+@register("share_of_total", analytics2.SHARE_SQL)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total + rank per customer nation (window ratio over
+    the |nations|-row reduced relation — global window is safe because
+    the relation is dimension-sized by construction)."""
+    return analytics2.share_of_total(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )

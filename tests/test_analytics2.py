@@ -203,3 +203,20 @@ def test_heatmap_cells_cover_all_rows(spark):
     rows = Q["hour_dow_heatmap"](spark, SF).collect()
     assert sum(r.n for r in rows) == load(spark, SF, "events").count()
     assert all(0 <= r.hour <= 23 and 1 <= r.dow <= 7 for r in rows)
+
+
+def test_topn_others_accounts_for_everything(spark):
+    rows = Q["topn_with_others"](spark, SF).collect()
+    ev = load(spark, SF, "events")
+    total = ev.agg(F.sum(F.col("value").cast("decimal(18,2)"))).collect()[0][0]
+    assert abs(sum(r.revenue for r in rows) - float(total)) < 1e-2
+    for r in rows:
+        if r.who != "OTHER":
+            assert r.n_users == 1 and 1 <= r.rank <= 3
+
+
+def test_share_of_total_sums_to_100(spark):
+    rows = Q["share_of_total"](spark, SF).collect()
+    assert abs(sum(r.pct_of_total for r in rows) - 100.0) < 0.05
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks)
