@@ -25,6 +25,12 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: at 100 TB a selective dim
+        # filter seeds a bloom filter that prunes the fact scan before
+        # the shuffle (default size thresholds gate it to big scans, so
+        # it is a no-op at test scale — tests force thresholds down to
+        # prove the capability; see tests/test_plans.py)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

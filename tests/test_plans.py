@@ -126,3 +126,35 @@ def test_pack_sequences_single_shard_shuffle(spark):
     assert p.count("Exchange hashpartitioning") <= 4  # window + agg reuse shard key
     # tokenization must not be re-evaluated below the window sort
     assert p.count("split(") <= 2
+
+
+def test_runtime_bloom_filter_injects_for_selective_join(spark):
+    """The session enables runtime bloom-filter pruning; default size
+    thresholds gate it to production-scale scans, so this test lowers
+    the application threshold to prove injection on a selective
+    dim-filtered shuffle join (the 100 TB behavior in miniature)."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
