@@ -147,12 +147,27 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_sql(
-    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> str:
+    # Mirror the hot-shingle cap exactly: shingles are per-doc distinct, so
+    # COUNT(*) per shingle is its document frequency (same as the Spark side's
+    # groupBy count). Denominators (ns) keep the full set on both engines.
+    hot_filter = (
+        f"""ex0 AS (SELECT id, unnest(s) AS sg FROM sh),
+       hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > {max_doc_freq}),
+       ex AS (SELECT id, sg FROM ex0 ANTI JOIN hot USING (sg)),"""
+        if max_doc_freq is not None
+        else "ex AS (SELECT id, unnest(s) AS sg FROM sh),"
+    )
     return f"""
     WITH sh AS (
       SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS s FROM {table}
-    ), ex AS (SELECT id, unnest(s) AS sg FROM sh),
+    ), {hot_filter}
        cnt AS (SELECT id, CAST(len(s) AS BIGINT) AS ns FROM sh),
        inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i

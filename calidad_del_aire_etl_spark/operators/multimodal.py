@@ -52,7 +52,9 @@ def _fake_decode(payload: bytes) -> list[float]:
     for b in payload:
         bins[b >> 5] += 1
     n = len(payload)
-    return [round(c / n, 6) for c in bins]
+    # Raw IEEE-double ratios (no rounding): presentation rounding happens
+    # at the query layer so an engine-portable oracle can reproduce it.
+    return [c / n for c in bins]
 
 
 def feature_extract(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:

@@ -727,13 +727,66 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_meta(withbin).select("doc_id", "byte_len", "sha256", "magic_hex")
 
 
-@register("mm_feature_extract", None)  # rows-only: plumbing tested in pytest
+# DuckDB twin of the deterministic decode stub (8-bin byte histogram):
+# re-derive every byte value from the hex dump of the UTF-8 payload, bin by
+# b >> 5, normalize, and round with the same +1e-9 nudge the Spark side uses.
+_MM_FEATURE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), pos AS (
+  SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS i
+  FROM b WHERE n > 0
+), bytes AS (
+  SELECT doc_id, n,
+         ((strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1)) // 32 AS bin
+  FROM pos
+), agg AS (
+  SELECT doc_id, n,
+         {fcols}
+  FROM bytes GROUP BY doc_id, n
+)
+SELECT doc_id, CAST(n AS BIGINT) AS byte_len, TRUE AS ok, {fnames}
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS byte_len, FALSE AS ok,
+       {zeros}
+FROM b WHERE n = 0
+""".format(
+    fcols=",\n         ".join(
+        "round(count(*) FILTER (WHERE bin = {k}) / CAST(n AS DOUBLE) + 1e-9, 6)"
+        " AS f{k}".format(k=k)
+        for k in range(8)
+    ),
+    fnames=", ".join(f"f{k}" for k in range(8)),
+    zeros=", ".join(f"CAST(0.0 AS DOUBLE) AS f{k}" for k in range(8)),
+)
+
+
+@register("mm_feature_extract", _MM_FEATURE_SQL)
 def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #37 — Arrow-batched mapInPandas feature extraction over
-    binary payloads (decode stubbed deterministically)."""
+    binary payloads (decode stubbed deterministically).
+
+    The library API (multimodal.feature_extract) returns the
+    ``array<double>`` feature vector; the registered query projects it to
+    f0..f7 scalar doubles (driver canonicalizers can't hash list cells) with
+    the standard +1e-9 round nudge on both engines."""
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     withbin = multimodal.with_binary_payload(docs, "text")
-    return multimodal.feature_extract(withbin, "doc_id")
+    feats = multimodal.feature_extract(withbin, "doc_id")
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "ok",
+        *[
+            F.round(F.col("features")[k] + F.lit(1e-9), 6).alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -848,7 +901,9 @@ survivors AS (SELECT doc_id, text FROM flagged WHERE is_exact = 1),
 cc AS ({dedup.resolve_duplicate_clusters_sql(
     "survivors",
     "doc_id",
-    dedup.jaccard_pairs_sql("survivors", "doc_id", "text", n=3, threshold=0.5),
+    dedup.jaccard_pairs_sql(
+        "survivors", "doc_id", "text", n=3, threshold=0.5, max_doc_freq=128
+    ),
 )})
 SELECT f.detected_lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -883,7 +938,13 @@ def q_docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_exact", (F.row_number().over(w) == 1).cast("int")
     ).persist()
     survivors = flagged.filter(F.col("is_exact") == 1).select("doc_id", "text")
-    pairs = dedup.jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.5)
+    # max_doc_freq: at corpus scale a stopword shingle shared by many docs
+    # creates a quadratic self-join island; the broadcast anti-join guard
+    # (dedup.jaccard_pairs) drops it before the pair join. Mirrored exactly
+    # in the DuckDB oracle, so parity holds at any SF.
+    pairs = dedup.jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=128
+    )
     cc = dedup.resolve_duplicate_clusters(survivors, "doc_id", pairs)
     out = flagged.join(cc.select("doc_id", "is_canonical"), "doc_id", "left")
     return out.groupBy("detected_lang").agg(

@@ -158,3 +158,14 @@ def test_runtime_bloom_filter_injects_for_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_flagship_jaccard_hot_shingle_cap_present(spark):
+    """docs_full_pipeline must run Jaccard with the max_doc_freq hot-key
+    guard wired in: the plan contains a broadcast LeftAnti join (the
+    high-frequency-shingle drop) feeding the pair self-join. Without it a
+    corpus-scale stopword shingle creates a quadratic join island."""
+    p = plan(spark, "docs_full_pipeline")
+    assert "LeftAnti, BuildRight" in p or (
+        "LeftAnti" in p and "BroadcastHashJoin" in p
+    ), "hot-shingle broadcast anti-join missing from flagship plan"
