@@ -204,6 +204,51 @@ def ivf_topk_sql(
     """
 
 
+def lsh_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`lsh_topk`: same md5-derived ±1
+    hyperplanes (embedded as literals), same sign-bit buckets, same
+    Hamming-1 multi-probe, same rounded-cosine tie-breaks."""
+    from .dedup import COSINE_DUCK
+
+    planes = hyperplanes(num_planes, dim)
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{w}" for w in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product({vec_col}, {arr}) > 0"
+            f" THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, CAST({2 ** p} AS BIGINT))" for p in range(num_planes)]
+    )
+    cos = COSINE_DUCK.format(a="p.qv", b="b.v")
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table}
+    ), probes AS (
+      SELECT id AS qid, v AS qv, unnest([{probe_list}]) AS qb
+      FROM base WHERE ({query_pred_sql})
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT p.qid AS query_id, b.id AS neighbor_id,
+             ROUND({cos} + 1e-9, 4) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.qid
+               ORDER BY ROUND({cos} + 1e-9, 4) DESC, b.id ASC) AS INTEGER) AS rank
+      FROM base b JOIN probes p ON b.bucket = p.qb AND b.id != p.qid
+    ) WHERE rank <= {k}
+    """
+
+
 def _sq_dist_expr(vec_col: str, centroid: list[float]) -> str:
     arr = "array(" + ", ".join(f"{w}D" for w in centroid) + ")"
     return (

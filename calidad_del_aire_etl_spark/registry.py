@@ -561,9 +561,13 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
 
 
-@register("ann_lsh_topk", None)  # rows-only: recall asserted in tests/test_ann.py
+@register(
+    "ann_lsh_topk",
+    ann.lsh_topk_sql("embeddings", "vec_id", "embedding", "id < 10", k=5),
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31 — LSH-bucketed cosine top-5 (approximate scale path)."""
+    """SURVEY §2 #31 — LSH-bucketed cosine top-5 (approximate scale path).
+    Recall vs brute force additionally asserted in tests/test_ann.py."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann.lsh_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
 
