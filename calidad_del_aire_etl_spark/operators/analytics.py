@@ -172,3 +172,53 @@ def corr_matrix_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+def with_avg_ranks(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Attach an average-tie rank column ``rank_<c>`` per input column,
+    the distributed way: ranks are NOT computed with a global row window
+    (a single-partition sort of the whole relation). Instead each column
+    is value-compacted first — groupBy(value) → count — and the prefix
+    sum runs over that compacted relation, so the only ordered window
+    touches |distinct values| rows, not N. Rows join their rank back by
+    value (an equi-join Catalyst/AQE can broadcast when the value domain
+    is small, e.g. rounded metrics).
+
+    avg rank of value v = (# rows < v) + (ties + 1) / 2 — exactly the
+    average of the positions v's ties would occupy in a total order.
+    NULLs keep NULL ranks (and drop out of downstream corr pairwise).
+    """
+    out = df
+    for c in cols:
+        vals = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked = vals.select(
+            F.col(c),
+            (
+                F.sum("__cnt").over(w) - F.col("__cnt")
+                + (F.col("__cnt") + F.lit(1)) / F.lit(2)
+            ).alias(f"rank_{c}"),
+        )
+        out = out.join(ranked, on=c, how="left")
+    return out
+
+
+def spearman_matrix_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Spearman correlation matrix, long form: average-tie ranks per
+    column (see :func:`with_avg_ranks` for the distributed rank shape),
+    then Pearson over the rank columns — every pair fused into one
+    single-row aggregate, unpivoted to (col_a, col_b, spearman)."""
+    ranked = with_avg_ranks(df, cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        r4(F.corr(f"rank_{a}", f"rank_{b}")).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    wide = ranked.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, spearman)"
+    )

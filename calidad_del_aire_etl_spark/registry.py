@@ -2099,3 +2099,58 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer"),
         load(spark, sf_dir, "nation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions — keep ALL new registrations BELOW this line: the driver
+# samples registrations in order, so inserting above would shift every
+# round-over-round correctness row.
+# ---------------------------------------------------------------------------
+
+def _spearman_rank_cte(c: str) -> str:
+    return f"""r_{c} AS (
+  SELECT v, cum - cnt + (cnt + 1) / 2.0 AS r FROM (
+    SELECT {c} AS v, COUNT(*) AS cnt,
+           SUM(COUNT(*)) OVER (
+             ORDER BY {c} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM p WHERE {c} IS NOT NULL GROUP BY {c}
+  )
+)"""
+
+
+_SPEARMAN_COLS = ["m_purchase", "m_view", "m_click", "m_error"]
+
+_SPEARMAN_SQL = (
+    "WITH p AS ({pivot}),\n".format(pivot=_CORR_PIVOT_SQL)
+    + ",\n".join(_spearman_rank_cte(c) for c in _SPEARMAN_COLS)
+    + ",\npr AS (\n  SELECT p.*"
+    + "".join(f", r_{c}.r AS rank_{c}" for c in _SPEARMAN_COLS)
+    + "\n  FROM p"
+    + "".join(f"\n  LEFT JOIN r_{c} ON p.{c} = r_{c}.v" for c in _SPEARMAN_COLS)
+    + "\n)\nSELECT col_a, col_b, spearman FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+        f" ROUND(CORR(rank_{a}, rank_{b}) + 1e-9, 4) AS spearman FROM pr"
+        for a, b in _CORR_PAIRS
+    )
+    + "\n)"
+)
+
+
+@register("dash_spearman_matrix", _SPEARMAN_SQL)
+def q_dash_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman (rank) correlation matrix over the same day x station
+    metric pivot as dash_corr_matrix. Ranks are average-tie and computed
+    the distributed way: value-compacted counts + a prefix-sum window over
+    |distinct values| rows, joined back by value — never a global row sort
+    (see analytics.with_avg_ranks)."""
+    ev = load(spark, sf_dir, "events")
+
+    def cavg(t: str):
+        return r4(F.avg(F.when(F.col("event_type") == t, F.col("value"))))
+
+    pivoted = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(*[cavg(t).alias(f"m_{t}") for t in ["purchase", "view", "click", "error"]])
+    return analytics.spearman_matrix_long(pivoted, _SPEARMAN_COLS)

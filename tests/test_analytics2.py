@@ -220,3 +220,44 @@ def test_share_of_total_sums_to_100(spark):
     assert abs(sum(r.pct_of_total for r in rows) - 100.0) < 0.05
     ranks = [r.rank for r in rows]
     assert ranks == sorted(ranks)
+
+
+def test_spearman_matches_pandas(spark):
+    """Average-tie rank + Pearson-on-ranks must equal pandas'
+    corr(method='spearman') when columns have no NULLs (our per-column
+    ranking and pandas' pairwise ranking coincide exactly then)."""
+    import pandas as pd
+
+    from calidad_del_aire_etl_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0],
+            "b": [3.0, 1.0, 4.0, 4.0, 9.0, 2.0, 6.0, 7.0],
+            "c": [2.0, 2.0, 2.0, 1.0, 0.0, 4.0, 4.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.col_a, r.col_b): r.spearman
+        for r in analytics.spearman_matrix_long(df, ["a", "b", "c"]).collect()
+    }
+    want = pdf.corr(method="spearman")
+    for (a, b), v in got.items():
+        assert abs(v - want.loc[a, b]) < 1e-3, (a, b, v, want.loc[a, b])
+
+
+def test_spearman_null_rows_drop_pairwise(spark):
+    """A NULL in one column must not poison the other pairs."""
+    from calidad_del_aire_etl_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, None), (2.0, 2.0, 1.0), (3.0, 3.0, 2.0), (4.0, 4.0, None)],
+        "a double, b double, c double",
+    )
+    got = {
+        (r.col_a, r.col_b): r.spearman
+        for r in analytics.spearman_matrix_long(df, ["a", "b", "c"]).collect()
+    }
+    assert abs(got[("a", "b")] - 1.0) < 1e-9  # perfectly monotone, all 4 rows
+    assert abs(got[("a", "c")] - 1.0) < 1e-9  # the 2 complete rows are monotone
