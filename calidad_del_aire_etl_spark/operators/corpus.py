@@ -441,3 +441,62 @@ FROM train JOIN bench USING (gram)
 GROUP BY {id_col}
 ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (priority sampling, Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col, k: int = 50
+) -> DataFrame:
+    """Deterministic weight-proportional sample without replacement of
+    size ``k``: priority sampling — each row gets priority w / u with u
+    a uniform(0,1] hash of its id, and the k largest priorities win.
+    Inclusion probability rises with weight (exactly min(w/tau, 1) for
+    the threshold tau = (k+1)-th priority), and the scheme admits
+    unbiased subset-sum estimators, unlike naive w-proportional
+    Bernoulli thinning.
+
+    Engine shape: the hash is md5-derived (no RNG state — reruns,
+    retries, speculative tasks and other engines all agree), u uses 52
+    hash bits so it is exact in a double, and the ranking executes as
+    TakeOrdered (per-partition top-k then a k-way driver merge — no
+    global sort, no full shuffle). ``weight_col`` is a Column; rows with
+    non-positive weight are excluded (w=0 must never be sampled).
+    """
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(2**52))
+    out = (
+        df.select(
+            F.col(id_col),
+            weight_col.cast("double").alias("weight"),
+            (weight_col.cast("double") / u).alias("priority"),
+        )
+        .filter(F.col("weight") > 0)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out
+
+
+def weighted_sample_topk_sql(
+    table: str, id_col: str, weight_sql: str, k: int = 50
+) -> str:
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 13)) AS BIGINT) + 1)"
+        f" / CAST({float(2**52)} AS DOUBLE)"
+    )
+    return f"""
+    SELECT {id_col}, weight, priority FROM (
+      SELECT {id_col},
+             CAST({weight_sql} AS DOUBLE) AS weight,
+             CAST({weight_sql} AS DOUBLE) / ({u}) AS priority
+      FROM {table}
+    ) WHERE weight > 0
+    ORDER BY priority DESC, {id_col} ASC
+    LIMIT {k}
+    """

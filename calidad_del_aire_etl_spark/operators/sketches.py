@@ -1,0 +1,108 @@
+"""Frequency-sketch operators: bounded-memory heavy hitters.
+
+Why not plain ``groupBy(col).count()``? That is exact and already
+map-side-combined, but its shuffle carries one row per *distinct item
+per partition* — for high-cardinality columns (n-grams, URLs, user
+agents) at 100 TB that IS the bottleneck. A Misra-Gries summary caps
+the per-partition shuffle contribution at ``capacity + 1`` rows with a
+provable undercount bound, which is the standard trade (Misra & Gries
+1982; the "parallel frequent items" merge property makes the summaries
+mergeable by simple summation).
+
+Guarantees of the merged estimate per item:
+
+    est  <=  true_count  <=  est + max_undercount
+
+where ``max_undercount`` is the sum of every partition's decrement
+total (reported exactly, not as the worst-case n/capacity bound — so a
+run whose partitions never evict reports 0 and the result is exact,
+which also makes the registered query oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _mg_partition(col: str, capacity: int):
+    """Per-partition Misra-Gries fold, Arrow-batch-vectorized: each
+    batch's value_counts merges into the summary dict; on overflow the
+    (len - capacity)-th smallest count is subtracted from everything
+    (a batched decrement round — same invariant, fewer passes)."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        decr = 0
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                cs = sorted(counts.values())
+                t = cs[len(counts) - capacity - 1]
+                decr += t
+                counts = {v: c - t for v, c in counts.items() if c > t}
+        items = list(counts.items())
+        yield pd.DataFrame(
+            {
+                "item": [v for v, _ in items] + [None],
+                "cnt": [c for _, c in items] + [0],
+                "decr": [0] * len(items) + [decr],
+            }
+        )
+
+    return fold
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 64
+) -> DataFrame:
+    """Approximate top-k most frequent values of ``col``.
+
+    Phase 1: one Misra-Gries summary per partition (mapInPandas, Arrow
+    batches, <= capacity+1 output rows per partition). Phase 2: merge by
+    summation — a groupBy over at most ``capacity x partitions`` rows —
+    plus a scalar total of all decrements, broadcast back as the error
+    bound. Output: (item, est, est_max, rank), rank by est desc with an
+    item tie-break so both engines order identically when exact.
+    """
+    summ = (
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(_mg_partition(col, capacity), "item string, cnt long, decr long")
+    )
+    summ = summ.persist()
+    merged = (
+        summ.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est"))
+    )
+    total_decr = summ.agg(F.sum("decr").cast("bigint").alias("total_decr"))
+    w = Window.orderBy(F.col("est").desc(), F.col("item").asc())
+    topk = (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    return topk.crossJoin(F.broadcast(total_decr)).select(
+        "item",
+        F.col("est").cast("bigint").alias("est"),
+        (F.col("est") + F.col("total_decr")).cast("bigint").alias("est_max"),
+        "rank",
+    )
+
+
+def heavy_hitters_exact_sql(table: str, col: str, k: int = 10) -> str:
+    """DuckDB twin for the no-eviction regime (capacity >= per-partition
+    distinct cardinality): Misra-Gries degenerates to exact counts and
+    the decrement total is 0, so est == est_max == exact count."""
+    return f"""
+    SELECT item, est, est AS est_max, rank FROM (
+      SELECT CAST({col} AS VARCHAR) AS item,
+             CAST(COUNT(*) AS BIGINT) AS est,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY COUNT(*) DESC, CAST({col} AS VARCHAR) ASC) AS INTEGER) AS rank
+      FROM {table} GROUP BY 1
+    ) WHERE rank <= {k}
+    """

@@ -2154,3 +2154,37 @@ def q_dash_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("d")
     ).agg(*[cavg(t).alias(f"m_{t}") for t in ["purchase", "view", "click", "error"]])
     return analytics.spearman_matrix_long(pivoted, _SPEARMAN_COLS)
+
+
+from .operators import sketches  # noqa: E402
+
+
+@register(
+    "heavy_hitters_topk",
+    sketches.heavy_hitters_exact_sql("events", "event_type", k=5),
+)
+def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over event_type. capacity=64 >> the
+    column's cardinality, so no partition ever evicts, the decrement
+    total is 0, and the sketch is provably exact — which is what lets an
+    exact groupBy-count oracle hash-match it. The evicting (approximate)
+    regime is bound-tested in tests/test_sketches.py."""
+    ev = load(spark, sf_dir, "events", spread=True)
+    return sketches.heavy_hitters(ev, "event_type", k=5, capacity=64)
+
+
+@register(
+    "corpus_weighted_sample",
+    corpus.weighted_sample_topk_sql(
+        "documents", "doc_id", "octet_length(encode(text))", k=50
+    ),
+)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): deterministic
+    length-weighted sample-without-replacement of 50 docs — long docs
+    proportionally likelier, md5-derived priorities, TakeOrdered plan
+    (per-partition top-k, no global sort)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.weighted_sample_topk(
+        docs, "doc_id", F.octet_length(F.col("text")), k=50
+    )
