@@ -114,3 +114,81 @@ def read_text_corpus(spark: SparkSession, path: str, wholetext: bool = False) ->
         "line_no",
         "text",
     )
+
+
+def _urllib_fetcher(timeout_s: float):
+    """Default fetcher: stdlib urllib, imported lazily ON THE EXECUTOR.
+    Swap via the ``fetcher`` argument (auth headers, requests.Session,
+    a recorded stub in tests)."""
+
+    def fetch(url: str) -> str:
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=timeout_s) as r:  # noqa: S310 — caller-supplied URLs
+            return r.read().decode("utf-8")
+
+    return fetch
+
+
+def read_http_json(
+    spark: SparkSession,
+    urls: list[str],
+    schema: T.StructType,
+    fetcher=None,
+    timeout_s: float = 30.0,
+    max_retries: int = 2,
+    retry_backoff_s: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """HTTP-batch extract front door (the reference's production source
+    is HTTP APIs — OpenAQ/IQAir, dag:42-44): fan a URL list out to the
+    EXECUTORS and fetch there, never on the driver — the driver-side
+    `for url in urls: requests.get(...)` loop is the classic
+    non-distributed extract.
+
+    Shape: URL DataFrame → repartition (one fetch task per core, so a
+    1000-page API backfill parallelizes) → Arrow-batched mapInPandas
+    with per-URL retry/backoff and per-row error capture (one dead page
+    must not kill the load). Each body is parsed as a JSON ARRAY of
+    ``schema`` records and exploded. Returns (records, failures) —
+    failures carry (url, error) and are the replayable dead-letter set,
+    mirroring read_json_with_quarantine.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fetch = fetcher or _urllib_fetcher(timeout_s)
+    url_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    n = max(1, min(len(urls), spark.sparkContext.defaultParallelism))
+    url_df = url_df.repartition(n, "url")
+
+    def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        for pdf in batches:
+            bodies, errs = [], []
+            for u in pdf["url"]:
+                body, err = None, None
+                for attempt in range(max_retries + 1):
+                    try:
+                        body = fetch(u)
+                        err = None
+                        break
+                    except Exception as e:  # noqa: BLE001 — per-URL quarantine
+                        err = f"{type(e).__name__}: {e}"
+                        if attempt < max_retries and retry_backoff_s:
+                            _time.sleep(retry_backoff_s * (2**attempt))
+                bodies.append(body)
+                errs.append(err)
+            yield pd.DataFrame({"url": pdf["url"], "body": bodies, "error": errs})
+
+    fetched = url_df.mapInPandas(
+        do_fetch, "url string, body string, error string"
+    ).cache()  # fetch once, consumed by both the good and the dead-letter side
+    failures = fetched.filter(F.col("error").isNotNull()).select("url", "error")
+    records = (
+        fetched.filter(F.col("error").isNull())
+        .select("url", F.explode(F.from_json("body", T.ArrayType(schema))).alias("rec"))
+        .select("url", "rec.*")
+    )
+    return records, failures
