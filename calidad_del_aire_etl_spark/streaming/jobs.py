@@ -241,3 +241,62 @@ def run_foreach_batch(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_rollup_sink(spark, staged_dir: str, rollup_dir: str):
+    """#40f — streaming ≫ incremental-rollup unification: foreachBatch
+    drives operators/incremental.py's dynamic-partition-overwrite daily
+    rollup, epoch-replay-safe.
+
+    Per micro-batch:
+
+    1. stage the batch's RAW rows under ``batch_id=<epoch>/`` with
+       overwrite — the idempotent-staging half (a replayed epoch
+       rewrites identical files, never appends);
+    2. collect the batch's touched dates (tiny: distinct dates per
+       micro-batch);
+    3. recompute those dates' rollup partitions from the FULL staged
+       history and dynamic-partition-overwrite only them
+       (operators/incremental.incremental_daily_update).
+
+    Because the staged set — not the batch — is the aggregation input,
+    late rows for an old date just extend that date's staged slice and
+    the next recompute folds them in (no all-rows-per-date contract on
+    any single batch), and an epoch replay recomputes byte-identical
+    partition contents: exactly-once END-TO-END on an at-least-once
+    foreachBatch. Reading back only the touched dates keeps the
+    recompute proportional to the batch's date span, not table size;
+    partition pruning on ``date`` does the bounding."""
+    from ..operators import incremental
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{staged_dir}/batch_id={batch_id}")
+        dates = [
+            r["date"]
+            for r in batch_df.select(
+                F.to_date("ts").cast("string").alias("date")
+            ).distinct().collect()
+        ]
+        if not dates:
+            return
+        staged = spark.read.option("basePath", staged_dir).parquet(staged_dir)
+        slice_ = staged.filter(F.to_date("ts").cast("string").isin(dates)).drop(
+            "batch_id"
+        )
+        incremental.incremental_daily_update(spark, slice_, rollup_dir)
+
+    return write_batch
+
+
+def run_incremental_rollup(
+    stream_df: DataFrame, staged_dir: str, rollup_dir: str, checkpoint_dir: str
+):
+    """Wire an event stream into the incremental-rollup sink."""
+    spark = stream_df.sparkSession
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(incremental_rollup_sink(spark, staged_dir, rollup_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
