@@ -86,11 +86,31 @@ def compact_parquet(
     linearly in file COUNT even when bytes are constant. Returns the
     output file target used.
 
-    The rewrite stages into a sibling directory then atomically swaps,
-    so a crashed compaction never leaves the dataset half-rewritten."""
+    The rewrite stages into a sibling directory, then swaps via TWO
+    renames (path → .__old__, staging → path). The window between them
+    is NOT atomic: a crash there leaves no dataset at ``path`` — the
+    data survives intact in ``.__old__``, and the next compaction run
+    (or a reader finding ``path`` missing) recovers it automatically by
+    renaming ``.__old__`` back. Leftover staging/backup dirs from a
+    prior crash are reconciled before the swap, so reruns never fail on
+    residue. LOCAL-FILESYSTEM ONLY: os.rename/os.walk assume a posix
+    dir tree; object stores have no atomic rename at all — there the
+    correct primitive is a manifest/table-format commit (Delta/Iceberg
+    metadata swap), not this directory dance."""
     import math
     import os
     import shutil
+
+    staging = path.rstrip("/") + ".__compact__"
+    backup = path.rstrip("/") + ".__old__"
+    # crash recovery: a previous run may have died mid-swap
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)  # died between the two renames
+        else:
+            shutil.rmtree(backup)  # died before deleting the old copy
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # stale staging from an aborted rewrite
 
     size_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -100,12 +120,10 @@ def compact_parquet(
     )
     n_files = max(math.ceil(size_bytes / (target_mb * 1024 * 1024)), 1)
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + ".__compact__"
     w = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
-    backup = path.rstrip("/") + ".__old__"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -139,3 +139,29 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-02" in plan
     assert back.count() == 100
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """Simulated crash between the two swap renames (dataset sits in
+    .__old__, nothing at path) plus a stale staging dir: the next run
+    must restore the backup, clear residue, and compact normally."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "ds")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(10).write.parquet(path)
+    before = spark.read.parquet(path).count()
+    # simulate the crash window: path renamed away, staging left behind
+    os.rename(path, path + ".__old__")
+    os.makedirs(path + ".__compact__/junk")
+    writers.compact_parquet(spark, path, target_mb=128)
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+    # residue variant: backup left over but dataset present (crash after
+    # the second rename, before backup delete) => backup is discarded
+    shutil.copytree(path, path + ".__old__")
+    writers.compact_parquet(spark, path, target_mb=128)
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + ".__old__")
