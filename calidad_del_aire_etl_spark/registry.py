@@ -1512,7 +1512,29 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_INTERFACE)
 
 
-@register("mm_frame_sample", None)  # mapInPandas plumbing — rows-only
+# DuckDB twin of the deterministic byte chunker. Valid because the test
+# corpus is pure ASCII (asserted in tests/test_general_multimodal.py), so
+# byte offsets == char offsets and each 64-byte frame is the same bytes
+# sha256(VARCHAR) hashes; a multibyte corpus would need blob slicing,
+# which DuckDB's sha256 doesn't take — the Spark side stays byte-exact.
+_MM_FRAME_SQL = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, n, text,
+         unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1, 4)) AS fi
+  FROM b WHERE n > 0
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(fi * 64 AS BIGINT) AS frame_offset,
+       CAST(least(64, n - fi * 64) AS BIGINT) AS frame_len,
+       sha256(substr(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_sha256
+FROM f
+"""
+
+
+@register("mm_frame_sample", _MM_FRAME_SQL)
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #37b — video-style every-4th-frame sampling over binary
     payloads (row-multiplying mapInPandas; chunker stands in for a real

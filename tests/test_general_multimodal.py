@@ -172,3 +172,15 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(bad_rows) == 2
     assert any("not json" in b for b in bad_rows)
     assert any("boom" in b for b in bad_rows)  # replayable raw line
+
+
+def test_corpus_is_ascii_for_frame_oracle(spark, sf_dir):
+    """The mm_frame_sample DuckDB oracle slices frames with VARCHAR
+    substr, which equals byte slicing only while the corpus is pure
+    ASCII — pin that assumption so a testdata change can't silently
+    skew the parity check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_multibyte = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert n_multibyte == 0
