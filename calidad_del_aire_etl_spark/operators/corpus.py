@@ -15,7 +15,7 @@ a true let-binding, evaluated once per row, that collapse can't rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import r4
@@ -499,4 +499,42 @@ def weighted_sample_topk_sql(
     ) WHERE weight > 0
     ORDER BY priority DESC, {id_col} ASC
     LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota + bloom-filter ingest dedup
+# ---------------------------------------------------------------------------
+
+
+def domain_quota_sample(
+    df: DataFrame, id_col: str, domain_col: str, quota: int
+) -> DataFrame:
+    """Cap documents per domain/source at ``quota`` — the standard
+    crawl-balancing step (one hot domain must not dominate the corpus
+    mix). Selection is deterministic: within a domain, docs rank by
+    md5(id) (a stable uniform shuffle — no RNG, identical across
+    reruns/engines), so the kept subset is a fixed pseudo-random quota,
+    not head-of-file bias. The window partitions by domain — state is
+    bounded by the biggest domain, never global."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
+def domain_quota_sample_sql(
+    table: str, id_col: str, domain_col: str, quota: int, cols: str = "*"
+) -> str:
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {domain_col}
+        ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC) AS __rk
+      FROM {table}
+    ) WHERE __rk <= {quota}
     """

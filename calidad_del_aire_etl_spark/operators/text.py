@@ -361,3 +361,43 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus text normalization: strip non-printable/control bytes,
+    lowercase, collapse whitespace runs, trim. The standard pre-dedup
+    canonicalization step (near-dup detection over raw text mistakes
+    formatting noise for content difference). Pure JVM expressions —
+    regexp_replace runs inside whole-stage codegen, no UDF; emits both
+    the normalized text and its md5 so downstream exact-dedup can key on
+    the canonical form directly."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^\x20-\x7e]", " "), r" +", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_raw"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_norm"),
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"),
+    )
+
+
+def normalize_sql(table: str, id_col: str, text_col: str) -> str:
+    # 'g' flag: DuckDB regexp_replace is first-match-only by default,
+    # Java's replaceAll semantics need the explicit global flag
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}),"
+        f" '[^\\x20-\\x7e]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"""
+    SELECT {id_col},
+           CAST(length({text_col}) AS BIGINT) AS n_raw,
+           {norm} AS norm_text,
+           CAST(length({norm}) AS BIGINT) AS n_norm,
+           md5({norm}) AS norm_hash
+    FROM {table}
+    """

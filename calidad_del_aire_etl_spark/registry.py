@@ -2210,3 +2210,42 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_sample_topk(
         docs, "doc_id", F.octet_length(F.col("text")), k=50
     )
+
+
+@register(
+    "corpus_domain_quota",
+    corpus.domain_quota_sample_sql(
+        "documents", "doc_id", "source", quota=10, cols="doc_id, source"
+    ),
+)
+def q_corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: cap every source at 10 docs, kept subset chosen
+    by deterministic md5 order (crawl balancing — no hot-domain
+    dominance, no head-of-file bias, stable across reruns)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.domain_quota_sample(docs, "doc_id", "source", quota=10).select(
+        "doc_id", "source"
+    )
+
+
+@register("text_normalize", text.normalize_sql("documents", "doc_id", "text"))
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (strip non-printables, lowercase,
+    collapse whitespace) + md5 of the canonical form — the pre-dedup
+    normalization pass, all JVM-side regexp_replace."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return text.normalize(docs, "doc_id", "text")
+
+
+@register("bloom_ingest_dedup", None)  # probabilistic membership — rows-only
+def q_bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest dedup: 'existing table' = even doc_ids,
+    incoming batch = all docs; survivors are the (probably) new rows.
+    No false negatives by construction; fp rate bound and determinism
+    asserted in tests/test_bloom.py — sketch membership has no portable
+    SQL twin, so the row is rows-only like sketch_profile."""
+    from .operators import bloom
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    return bloom.bloom_new_rows(existing, docs, "doc_id", fpp=0.01)
