@@ -47,8 +47,13 @@ def load(
         # small file would pin them to one core. Fan such scans out to the
         # cluster; a no-op at real scale where the scan already has ≥
         # defaultParallelism splits, so no extra shuffle at 100 TB.
+        # file-count heuristic, NOT df.rdd.getNumPartitions(): touching
+        # .rdd instantiates the RDD conversion path just for metadata.
+        # One file can still hold many splits (maxPartitionBytes), so
+        # this over-repartitions only for small multi-rowgroup files —
+        # exactly the case spread targets anyway.
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if len(df.inputFiles()) < par:
             df = df.repartition(par)
     return df
 
