@@ -57,6 +57,17 @@ HEADLINE = [
     "text_tfidf_topk",
     "corpus_contamination",
     "expectations_report",
+    # round-2 additions (keep appended — per-query times stay comparable
+    # round-over-round, totals grow with the list)
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "ann_lsh_topk",
+    "dash_spearman_matrix",
+    "heavy_hitters_topk",
+    "corpus_weighted_sample",
+    "corpus_domain_quota",
+    "text_normalize",
+    "bloom_ingest_dedup",
 ]
 
 

@@ -48,13 +48,16 @@ def _fake_decode(payload: bytes) -> list[float]:
     """
     if not payload:
         raise NotImplementedError("real decoder required for empty payloads")
-    bins = [0] * FEATURE_DIM
-    for b in payload:
-        bins[b >> 5] += 1
-    n = len(payload)
+    import numpy as np
+
+    # vectorized: a per-byte Python loop here cost 16 s at sf0.1 vs
+    # DuckDB's 1.6 s — inside a Pandas UDF the per-element work must be
+    # numpy too, not just the batching
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    bins = np.bincount(arr >> 5, minlength=FEATURE_DIM)
     # Raw IEEE-double ratios (no rounding): presentation rounding happens
     # at the query layer so an engine-portable oracle can reproduce it.
-    return [c / n for c in bins]
+    return (bins / len(payload)).tolist()
 
 
 def feature_extract(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:

@@ -2254,3 +2254,85 @@ def q_bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     return bloom.bloom_new_rows(existing, docs, "doc_id", fpp=0.01)
+
+
+from .operators import tpch3  # noqa: E402
+
+
+@register("tpch_q13_custdist", tpch3.Q13_SQL)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution (LEFT OUTER join
+    preserved zero-order customers, then a distribution groupBy)."""
+    return tpch3.q13_custdist(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@register("tpch_q21_waiting", tpch3.Q21_SQL)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 — sole late supplier on multi-supplier finalized
+    orders (Q4's >60-day lateness convention; see tpch3 docstring)."""
+    return tpch3.q21_waiting(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+    )
+
+
+@register("tpch_q9_profit", tpch3.q9_sql("a"))
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 — profit by nation x year (supplycost stand-in: 60% of
+    retail price; DECIMAL fact math, dims broadcast)."""
+    return tpch3.q9_profit(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "part"),
+        name_token="a",
+    )
+
+
+@register("tpch_q11_important", tpch3.q11_sql("NATION_2", 0.001))
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 — parts whose supplied value from one nation exceeds a
+    scalar fraction of the total (broadcast scalar threshold)."""
+    return tpch3.q11_important_parts(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        nation_name="NATION_2",
+        fraction=0.001,
+    )
+
+
+@register("tpch_q20_excess", tpch3.q20_sql("NATION_1", "red", 1996, 50.0))
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 — suppliers in a nation whose shipped volume of
+    name-prefixed parts in a year exceeds a threshold (semi-join)."""
+    return tpch3.q20_excess_suppliers(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        nation_name="NATION_1",
+        prefix="red",
+        year=1996,
+        min_qty=50.0,
+    )
+
+
+@register("tpch_q2_min_cost", tpch3.q2_sql("EUROPE", 5))
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 — min-cost supplier per part within a region (argmin
+    window over the lineitem-derived part-supplier relation;
+    deterministic pseudo supply cost, see tpch3 docstring)."""
+    return tpch3.q2_min_cost_supplier(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "lineitem"),
+        region_name="EUROPE",
+        size_mod=5,
+    )

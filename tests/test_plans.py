@@ -170,3 +170,18 @@ def test_flagship_jaccard_hot_shingle_cap_present(spark):
     assert "windowspecdefinition(sg" in p, (
         "hot-shingle doc-frequency window guard missing from flagship plan"
     )
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark):
+    """Q9's three dims (part/supplier/nation) must broadcast; only the
+    lineitem-orders fact-fact join and the final agg shuffle."""
+    p = plan(spark, "tpch_q9_profit")
+    assert p.count("BroadcastHashJoin") >= 6  # 3 joins x 2 mentions
+    assert p.count("Exchange hashpartitioning") <= 6  # join + agg (x2 mentions) + slack
+
+
+def test_q2_argmin_window_partitioned_by_part(spark):
+    """Q2's min-cost pick must be a per-part window (bounded state),
+    never a global sort."""
+    p = plan(spark, "tpch_q2_min_cost")
+    assert "windowspecdefinition(ps_partkey" in p
