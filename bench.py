@@ -68,6 +68,12 @@ HEADLINE = [
     "corpus_domain_quota",
     "text_normalize",
     "bloom_ingest_dedup",
+    "tpch_q13_custdist",
+    "tpch_q21_waiting",
+    "tpch_q9_profit",
+    "tpch_q11_important",
+    "tpch_q20_excess",
+    "tpch_q2_min_cost",
 ]
 
 
