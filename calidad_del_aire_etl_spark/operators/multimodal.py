@@ -222,7 +222,11 @@ def cogroup_align(
                 "user_id": [key],
                 "n_left": [len(lts)],
                 "n_right": [len(rts)],
-                "mean_gap_s": [round(sum(gaps) / len(gaps), 4) if gaps else None],
+                # +1e-9 nudge: the cross-engine rounding-tie convention
+                # (the DuckDB twin rounds the identical double the same way)
+                "mean_gap_s": [
+                    round(sum(gaps) / len(gaps) + 1e-9, 4) if gaps else None
+                ],
                 "aligned_pairs": [len(gaps)],
             }
         )

@@ -1660,7 +1660,53 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cogroup_align_events", None)  # greedy sequential matching — rows-only
+# Greedy nearest-forward matching IS SQL-expressible: a per-user
+# two-pointer recursion (recursive CTE + LATERAL next-available lookup).
+# Sums accumulate in the same ascending-ts order as the pandas loop, so
+# the doubles are bit-identical before the +1e-9-nudged round.
+_COGROUP_SQL = """
+WITH l AS (
+  SELECT user_id, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE event_type = 'purchase'
+), lc AS (SELECT user_id, COUNT(*) AS n_left FROM l GROUP BY 1),
+rc AS (SELECT user_id, COUNT(*) AS n_right FROM r GROUP BY 1),
+users AS (SELECT user_id FROM lc UNION SELECT user_id FROM rc),
+rec AS (
+  WITH RECURSIVE walk(user_id, i, j, pairs, gap_sum) AS (
+    SELECT user_id, 1, 1, 0, CAST(0 AS DOUBLE) FROM lc
+    UNION ALL
+    SELECT w.user_id, w.i + 1,
+           CASE WHEN nxt.rn IS NULL THEN w.j ELSE nxt.rn + 1 END,
+           w.pairs + CASE WHEN nxt.rn IS NULL THEN 0 ELSE 1 END,
+           w.gap_sum + COALESCE(epoch(nxt.ts - lt.ts), 0)
+    FROM walk w
+    JOIN l lt ON lt.user_id = w.user_id AND lt.rn = w.i
+    LEFT JOIN LATERAL (
+      SELECT r.rn, r.ts FROM r
+      WHERE r.user_id = w.user_id AND r.rn >= w.j AND r.ts >= lt.ts
+      ORDER BY r.rn LIMIT 1
+    ) nxt ON TRUE
+  )
+  SELECT w.user_id, w.pairs, w.gap_sum
+  FROM walk w JOIN lc ON w.user_id = lc.user_id AND w.i = lc.n_left + 1
+)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST(COALESCE(lc.n_left, 0) AS BIGINT) AS n_left,
+       CAST(COALESCE(rc.n_right, 0) AS BIGINT) AS n_right,
+       CASE WHEN COALESCE(rec.pairs, 0) > 0
+            THEN ROUND(rec.gap_sum / rec.pairs + 1e-9, 4) END AS mean_gap_s,
+       CAST(COALESCE(rec.pairs, 0) AS BIGINT) AS aligned_pairs
+FROM users u
+LEFT JOIN lc ON u.user_id = lc.user_id
+LEFT JOIN rc ON u.user_id = rc.user_id
+LEFT JOIN rec ON u.user_id = rec.user_id
+"""
+
+
+@register("cogroup_align_events", _COGROUP_SQL)
 def q_cogroup_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #24e — cogrouped applyInPandas: per-user greedy
     nearest-forward alignment of clicks to purchases (both sides of the
