@@ -1469,7 +1469,106 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
-@register("embed_kmeans", None)  # iterative algorithm — rows-only check
+
+# Lloyd's k-means IS oracle-able for fixed iterations: unroll the 5
+# assign/recompute rounds as chained CTEs. Distances fold sequentially
+# like the Spark aggregate(zip_with(...)); per-dimension centroid AVG
+# order differs ~1e-16, far below any assignment boundary. (Caveat
+# mirrored from the Spark side: no cluster ever empties on this data —
+# the Spark op would keep the old centroid, the twin drops it.)
+_KMEANS_SQL = """
+WITH b AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster, v AS cv
+  FROM (SELECT id, v FROM b ORDER BY id LIMIT 8)
+),
+a0 AS (
+  SELECT id, v, cluster, d FROM (
+    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN c0 c
+  ) WHERE rk = 1
+),
+c1 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos, AVG(x) AS c FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+a1 AS (
+  SELECT id, v, cluster, d FROM (
+    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN c1 c
+  ) WHERE rk = 1
+),
+c2 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos, AVG(x) AS c FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+a2 AS (
+  SELECT id, v, cluster, d FROM (
+    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN c2 c
+  ) WHERE rk = 1
+),
+c3 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos, AVG(x) AS c FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+a3 AS (
+  SELECT id, v, cluster, d FROM (
+    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN c3 c
+  ) WHERE rk = 1
+),
+c4 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos, AVG(x) AS c FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a3
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+a4 AS (
+  SELECT id, v, cluster, d FROM (
+    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN c4 c
+  ) WHERE rk = 1
+),
+c5 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos, AVG(x) AS c FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a4
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+final AS (
+  SELECT id, cluster, d FROM (
+    SELECT b.id, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN c5 c
+  ) WHERE rk = 1
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(d) + 1e-9, 4) AS mean_sq_dist
+FROM final GROUP BY 1
+"""
+
+
+@register("embed_kmeans", _KMEANS_SQL)
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #31c — Lloyd's k-means over the embedding column
     (deterministic lowest-id init, 5 iterations, k=8); verified against
@@ -2095,7 +2194,80 @@ def q_sample_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators import graph  # noqa: E402
 
 
-@register("graph_pagerank", None)  # rows-only: NumPy-verified in pytest
+
+# PageRank IS oracle-able for a FIXED iteration count: unroll the 8
+# rounds as chained CTEs (recursive CTEs can't aggregate over the
+# recursive reference, but unrolling needs no recursion). Per-node
+# float-sum order differs between engines by ~1e-16; the 4-decimal
+# nudged round absorbs it.
+_PAGERANK_SQL = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+           's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 's:' || CAST(l.l_suppkey AS VARCHAR),
+           'c:' || CAST(o.o_custkey AS VARCHAR)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  )
+), deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / nn.n AS rank FROM deg, nn),
+r1 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r0.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON e.src = r0.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r1.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r2.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r2 ON e.src = r2.node
+  GROUP BY e.dst
+),
+r4 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r3.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r3 ON e.src = r3.node
+  GROUP BY e.dst
+),
+r5 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r4.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r4 ON e.src = r4.node
+  GROUP BY e.dst
+),
+r6 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r5.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r5 ON e.src = r5.node
+  GROUP BY e.dst
+),
+r7 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r6.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r6 ON e.src = r6.node
+  GROUP BY e.dst
+),
+r8 AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r7.rank / deg.out_deg) AS rank
+  FROM e JOIN deg ON e.src = deg.src JOIN r7 ON e.src = r7.node
+  GROUP BY e.dst
+)
+SELECT node, ROUND(rank + 1e-9, 4) AS rank FROM r8
+ORDER BY ROUND(rank + 1e-9, 4) DESC, node ASC LIMIT 50
+"""
+
+
+@register("graph_pagerank", _PAGERANK_SQL)
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the symmetrized customer↔supplier trade graph —
     the iterative persist/unpersist pattern (constant lineage depth,
