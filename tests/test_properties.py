@@ -89,3 +89,46 @@ def test_interpolation_fills_between_neighbors(spark, seq):
             assert got[i] is not None and lo - 1e-4 <= got[i] <= hi + 1e-4
         else:
             assert got[i] is None
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 400), st.floats(0.1, 100, allow_nan=False), min_size=12, max_size=40
+    ),
+    st.integers(3, 10),
+)
+@SET
+def test_priority_sample_monotone_in_weight(spark, weights, k):
+    """Raising one sampled row's weight can never evict THAT row: its
+    priority w/u only grows. (It may displace a different row — that is
+    the sampling working.)"""
+    from calidad_del_aire_etl_spark.operators import corpus
+
+    rows = [(i, w) for i, w in weights.items()]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = {
+        r.id for r in corpus.weighted_sample_topk(df, "id", F.col("w"), k=k).collect()
+    }
+    boost = picked.pop()
+    df2 = df.withColumn(
+        "w", F.when(F.col("id") == boost, F.col("w") * 10).otherwise(F.col("w"))
+    )
+    picked2 = {
+        r.id for r in corpus.weighted_sample_topk(df2, "id", F.col("w"), k=k).collect()
+    }
+    assert boost in picked2
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=30, max_size=120),
+    st.integers(3, 8),
+)
+@SET
+def test_misra_gries_bound_on_random_streams(spark, values, capacity):
+    from calidad_del_aire_etl_spark.operators import sketches
+
+    df = spark.createDataFrame([(f"v{v}",) for v in values], "v string").repartition(3)
+    exact = {r.v: r["count"] for r in df.groupBy("v").count().collect()}
+    got = sketches.heavy_hitters(df, "v", k=50, capacity=capacity).collect()
+    for r in got:
+        assert r.est <= exact[r.item] <= r.est_max, (r, exact[r.item])
