@@ -31,18 +31,17 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         # it is a no-op at test scale — tests force thresholds down to
         # prove the capability; see tests/test_plans.py)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # Size scan splits to the corpus, not the 128 MB cloud default:
-        # a 10 MB fact file is ONE split at the default, which pins a
-        # CPU-bound aggregation (decimal sums, md5 shingles) to a single
-        # core while 31 idle. The rule is partitions ≈ a few per core at
-        # the operating SF — at real scale set this back up via
-        # SPARK_GRAFT_MAX_PARTITION_BYTES (e.g. "128m"/"256m"); splits
-        # are byte ranges, so smaller values add tasks, never shuffles.
+        # Scan-split sizing, env-tunable. Measured at bench scale: 4 MB
+        # splits sped the single-split decimal aggs ~10% but cost 2x on
+        # every mapInPandas op (more tasks = more Arrow/Python worker
+        # round-trips) — net loss, so the default stays 128 MB and
+        # CPU-heavy small-file scans use load(spread=True)'s explicit
+        # one-time repartition instead. At other data scales size this
+        # so partitions ≈ a few per core (the knob exists for that).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
-        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
