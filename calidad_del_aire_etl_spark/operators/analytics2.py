@@ -673,3 +673,70 @@ SELECT p.nationkey, n.n_name,
 FROM per_nation p JOIN nation n ON n.n_nationkey = p.nationkey
 ORDER BY rank
 """
+
+
+def seasonal_anomaly(events: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """Seasonality-aware anomaly detection: the baseline is the
+    (event_type, day-of-week, hour) cell mean/stddev — the simplest
+    profile that removes both daily and weekly cycles — and an event is
+    anomalous when its |z| against its own cell exceeds ``z_thresh``.
+
+    Shape: one groupBy builds the |types|x7x24 baseline (tiny), which
+    broadcast-joins back onto the stream; the z computation is a narrow
+    projection. This is the distributed form of the reference's
+    mean±k·sigma outlier rule (dag:207-215), seasonality-adjusted.
+    Cells with a single row (stddev NULL) or zero variance never flag.
+    """
+    keyed = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    )
+    base = keyed.groupBy("event_type", "dow", "hr").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n_cell"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        keyed.join(F.broadcast(base), ["event_type", "dow", "hr"])
+        .filter(
+            F.col("sigma").isNotNull()
+            & (F.col("sigma") > 0)
+            & (F.round(F.abs(z) + F.lit(1e-9), 4) > z_thresh)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "dow",
+            "hr",
+            r4(F.col("value")).alias("value"),
+            r4(F.col("mu")).alias("cell_mean"),
+            r4(z).alias("z"),
+        )
+    )
+
+
+def seasonal_anomaly_sql(z_thresh: float = 3.0) -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT event_id, event_type, value,
+             CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hr
+      FROM events
+    ), base AS (
+      SELECT event_type, dow, hr, AVG(value) AS mu,
+             stddev_samp(value) AS sigma, COUNT(*) AS n_cell
+      FROM keyed GROUP BY 1, 2, 3
+    )
+    SELECT k.event_id, k.event_type, k.dow, k.hr,
+           ROUND(k.value + 1e-9, 4) AS value,
+           ROUND(b.mu + 1e-9, 4) AS cell_mean,
+           ROUND((k.value - b.mu) / b.sigma + 1e-9, 4) AS z
+    FROM keyed k JOIN base b
+      ON k.event_type = b.event_type AND k.dow = b.dow AND k.hr = b.hr
+    WHERE b.sigma IS NOT NULL AND b.sigma > 0
+      AND ROUND(abs((k.value - b.mu) / b.sigma) + 1e-9, 4) > {z_thresh}
+    """

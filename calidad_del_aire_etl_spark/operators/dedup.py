@@ -508,3 +508,64 @@ def embedding_cosine_pairs_sql(
       ON a.{part_col} = b.{part_col} AND a.{id_col} < b.{id_col}
     WHERE ROUND({cos} + 1e-9, 4) >= {threshold}
     """
+
+
+# --- Fuzzy (edit-distance) near-dup pairs ----------------------------------
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 8,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein distance, banded so the
+    self-join never goes all-pairs: candidates must share a normalized
+    ``prefix_len``-char prefix AND have lengths within ``max_dist`` of
+    each other (an edit distance below ``max_dist`` implies both — the
+    prefix band is the recall trade, standard for fuzzy dedup at scale:
+    edits inside the first ``prefix_len`` chars are missed, which
+    suits near-dup corpora whose variants share openings).
+
+    The expensive levenshtein() runs JVM-side only on within-bucket
+    pairs; bucket sizes bound the quadratic term exactly like LSH
+    banding does for MinHash."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).cast("int").alias("len"),
+        F.lower(F.substring(text_col, 1, prefix_len)).alias("pfx"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+def fuzzy_pairs_sql(
+    table: str, id_col: str, text_col: str, max_dist: int = 8, prefix_len: int = 16
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {text_col} AS t,
+             CAST(length({text_col}) AS INTEGER) AS len,
+             lower(substr({text_col}, 1, {prefix_len})) AS pfx
+      FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INTEGER) AS edit_dist
+    FROM base a JOIN base b
+      ON a.pfx = b.pfx AND a.id < b.id AND abs(a.len - b.len) <= {max_dist}
+    WHERE levenshtein(a.t, b.t) <= {max_dist}
+    """

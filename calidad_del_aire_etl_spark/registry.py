@@ -2554,3 +2554,24 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         region_name="EUROPE",
         size_mod=5,
     )
+
+
+@register(
+    "dedup_fuzzy_pairs",
+    dedup.fuzzy_pairs_sql("documents", "doc_id", "text", max_dist=40, prefix_len=12),
+)
+def q_dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, banded (shared 12-char prefix +
+    length within 40) so levenshtein never runs all-pairs — the sixth
+    dedup family (character-level edits; Jaccard/MinHash are word-set
+    detectors and miss dense small edits)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dedup.fuzzy_pairs(docs, "doc_id", "text", max_dist=40, prefix_len=12)
+
+
+@register("seasonal_anomaly", analytics2.seasonal_anomaly_sql(3.0))
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outliers: |z| > 3 against the (type, dow, hour)
+    cell baseline — the reference's mean±k·sigma rule (dag:207-215),
+    cycle-adjusted; baseline broadcast, narrow z projection."""
+    return analytics2.seasonal_anomaly(load(spark, sf_dir, "events"), 3.0)

@@ -90,3 +90,34 @@ def test_resolve_duplicate_clusters_chain(spark):
     out = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
            for r in resolve_duplicate_clusters(docs, "doc_id", pairs).collect()}
     assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1), 5: (4, 0), 6: (6, 1)}
+
+
+def test_fuzzy_pairs_finds_planted_edit_within_band(spark):
+    from calidad_del_aire_etl_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumped over the lazy dog again and again"),  # small edit
+        (3, "a completely different document about spark physical plans"),
+        (4, "zzz " + "the quick brown fox jumps over the lazy dog"),  # edit in prefix -> missed by design
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.edit_dist for r in dedup.fuzzy_pairs(df, "doc_id", "text", max_dist=8, prefix_len=12).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all(3 not in pair for pair in got)
+    assert all(4 not in pair for pair in got)  # documented prefix-band recall trade
+
+
+def test_seasonal_anomaly_flags_only_cell_outliers(spark):
+    import datetime as dt
+
+    from calidad_del_aire_etl_spark.operators import analytics2
+
+    base_ts = dt.datetime(2024, 1, 1, 10, 0)  # Monday 10:00
+    rows = [(i, base_ts, 7, "click", 10.0 + (i % 3) * 0.5) for i in range(30)]
+    rows.append((99, base_ts, 7, "click", 500.0))  # wild outlier, same cell
+    # different hour cell, same magnitude — must not borrow the other cell's baseline
+    rows += [(200 + i, base_ts.replace(hour=11), 7, "click", 500.0 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id int, event_type string, value double")
+    got = [r.event_id for r in analytics2.seasonal_anomaly(df, 3.0).collect()]
+    assert got == [99]
