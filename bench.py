@@ -74,6 +74,8 @@ HEADLINE = [
     "tpch_q11_important",
     "tpch_q20_excess",
     "tpch_q2_min_cost",
+    "dedup_fuzzy_pairs",
+    "seasonal_anomaly",
 ]
 
 
