@@ -1,0 +1,76 @@
+"""Auto-generated physical-plan audit for every headline query.
+
+Emits a markdown table: shuffle count, broadcast joins, sort-merge
+joins, cartesian/BNLJ (should be zero), whole-stage-codegen spans, and
+whether the parquet scan carries pushed filters. This is the "is the
+plan the one you'd want at 100x" evidence, regenerated per round so it
+can't drift from the code.
+
+Usage: python tools/plan_audit.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from calidad_del_aire_etl_spark import registry
+    from calidad_del_aire_etl_spark.session import get_session
+
+    spark = get_session("plan_audit")
+    qs = registry.queries()
+
+    print("# PLANS — physical-plan audit (auto-generated)\n")
+    print("Regenerate with `python tools/plan_audit.py > PLANS.md`.")
+    print("Counts from `explain('formatted')`, which mentions each node")
+    print("twice (tree + detail); numbers below are raw mention counts.\n")
+    print("| query | exchanges | broadcast joins | SMJ | BNLJ/cartesian | python stages | pushed filters |")
+    print("|---|---|---|---|---|---|---|")
+    for name in HEADLINE:
+        try:
+            df = qs[name](spark, SF)
+            p = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            py_stages = (
+                p.count("MapInPandas")
+                + p.count("FlatMapGroupsInPandas")
+                + p.count("FlatMapCoGroupsInPandas")
+                + p.count("ArrowEvalPython")
+            ) // 2  # formatted explain mentions each node twice
+        except Exception as e:  # pragma: no cover
+            print(f"| {name} | ERROR: {type(e).__name__} | | | | | |")
+            continue
+        row = (
+            name,
+            p.count("Exchange"),
+            p.count("BroadcastHashJoin"),
+            p.count("SortMergeJoin"),
+            p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin"),
+            py_stages,
+            "yes" if "PushedFilters: [" in p and "PushedFilters: []" not in p else "—",
+        )
+        print("| " + " | ".join(str(x) for x in row) + " |")
+    print(
+        "\nReading guide: a non-zero BNLJ/cartesian count is acceptable"
+        "\nONLY for the scalar-broadcast pattern — crossJoin(broadcast(«1-row"
+        "\nrelation»)) carrying a total/threshold/codebook into the plan"
+        "\n(dash_kpis, ann topk codebooks, tfidf N, heavy-hitters error bound,"
+        "\nq11 threshold are exactly these); BNLJ between row-sized relations"
+        "\nis a bug. SMJ only where both sides are fact-sized; mapInPandas"
+        "\nqueries show 0 codegen spans by construction (Python stage);"
+        "\npushed filters apply only to queries whose scan has a selective"
+        "\npredicate."
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
