@@ -156,3 +156,69 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key column for up to 4 numeric columns: each
+    column min-max-quantized to ``bits`` levels, then bit-interleaved —
+    a locality-preserving 1-D ordering where a range predicate on ANY
+    participating column maps to few key ranges. The whole key is one
+    JVM expression (shifts and ORs inside codegen); the only driver
+    traffic is the 2x|cols| min/max scalars.
+
+    Returns the key Column. Quantization uses the CURRENT relation's
+    min/max — recompute when appending, or pin the domain externally
+    for stable keys across writes."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
+    ).collect()[0]
+    n = len(cols)
+    terms = []
+    for ci, c in enumerate(cols):
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        span = (hi - lo) or 1.0
+        q = (
+            F.least(
+                F.lit(2**bits - 1),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (2**bits - 1)),
+            )
+            .cast("bigint")
+        )
+        for b in range(bits):
+            # bit b of column ci lands at interleaved position b*n + ci
+            terms.append(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + ci)
+            )
+    key = terms[0]
+    for t in terms[1:]:
+        key = key.bitwiseOR(t)
+    return key.alias("__zkey")
+
+
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort by the Morton
+    key of ``cols``, so EVERY participating column has tight per-file
+    min/max spans and parquet stats prune files/row-groups for
+    predicates on any of them — `write_parquet_clustered` only achieves
+    that for the leading sort column. One range shuffle (sampled
+    boundaries), the standard cost of OPTIMIZE ZORDER-style layout
+    jobs. Clustering quality is asserted in tests/test_bucketing.py."""
+    key = zorder_key(df, cols, bits)
+    clustered = df.withColumn("__zkey", key)
+    if num_files:
+        clustered = clustered.repartitionByRange(num_files, "__zkey")
+    else:
+        clustered = clustered.repartitionByRange("__zkey")
+    clustered.sortWithinPartitions("__zkey").drop("__zkey").write.mode(mode).parquet(
+        path
+    )

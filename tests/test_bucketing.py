@@ -165,3 +165,33 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     writers.compact_parquet(spark, path, target_mb=128)
     assert spark.read.parquet(path).count() == before
     assert not os.path.exists(path + ".__old__")
+
+
+def test_zorder_tightens_per_file_spans_on_both_dims(spark, tmp_path):
+    """Z-order vs single-column clustering: with a lexicographic sort on
+    (a) the secondary dim (b) has full-range spans per file; the Morton
+    layout must tighten BOTH dims' per-file spans, which is what lets
+    parquet min/max stats prune on either predicate."""
+    import glob
+
+    df = (
+        spark.range(40000)
+        .selectExpr("cast(id % 200 as double) a", "cast(cast(id / 200 as int) as double) b")
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lex")
+    writers.write_parquet_zordered(df, zpath, ["a", "b"], num_files=16)
+    writers.write_parquet_clustered(df.repartition(16), lpath, ["a"])
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            spans.append(r.hi - r.lo)
+        return sum(spans) / len(spans)
+
+    # dim b: z-order must beat the a-sorted layout by a wide margin
+    assert mean_span(zpath, "b") < 0.5 * mean_span(lpath, "b")
+    # and dim a must still be far tighter than the global span (200)
+    assert mean_span(zpath, "a") < 100
