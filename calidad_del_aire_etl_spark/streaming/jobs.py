@@ -300,3 +300,59 @@ def run_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+MG_STREAM_OUT = "shard int, item string, est long, decr long"
+MG_STREAM_STATE = "ks array<string>, vs array<long>, decr long"
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame, col: str, shards: int = 8, capacity: int = 64
+) -> DataFrame:
+    """#40g — streaming Misra-Gries top items: per-SHARD bounded sketch
+    state (capacity+decrement total) carried across micro-batches via
+    applyInPandasWithState. Values hash into ``shards`` state keys, so
+    state size is shards x capacity regardless of stream cardinality —
+    the streaming twin of operators/sketches.heavy_hitters, with the
+    same guarantee (per-shard est <= true <= est + decr; shards
+    partition the value space, so per-item bounds survive the final
+    cross-shard merge, which is a plain groupBy downstream)."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ks, vs, decr = state.get
+            counts = dict(zip(ks, vs))
+        else:
+            counts, decr = {}, 0
+        for pdf in pdfs:
+            for v, c in pdf["v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                cs = sorted(counts.values())
+                t = cs[len(counts) - capacity - 1]
+                decr += t
+                counts = {v: c - t for v, c in counts.items() if c > t}
+        state.update((list(counts.keys()), list(counts.values()), decr))
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "item": [v for v, _ in items],
+                "est": [c for _, c in items],
+                "decr": [decr] * len(items),
+            }
+        )
+
+    keyed = stream.select(
+        F.col(col).cast("string").alias("v"),
+        F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_STREAM_OUT,
+        stateStructType=MG_STREAM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -261,3 +261,43 @@ def test_incremental_rollup_stream_replay_leaves_partitions_unchanged(
         ("2024-01-01", 1, 3, 17.0),
         ("2024-01-02", 2, 1, 7.0),
     ]
+
+
+def test_streaming_heavy_hitters_state_accumulates_across_batches(
+    spark, input_dir, tmp_path
+):
+    """The per-shard Misra-Gries state must carry across micro-batches:
+    after a second batch, the hot value's estimate covers BOTH batches,
+    and per-shard summaries stay capacity-bounded."""
+    rows1 = [(i, _t(0), 1, "hot", 1.0) for i in range(30)] + [
+        (100 + i, _t(1), 1, f"t{i}", 1.0) for i in range(6)
+    ]
+    _write_batch(spark, input_dir, rows1, 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    hh = jobs.streaming_heavy_hitters(stream, "event_type", shards=2, capacity=4)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            spark, input_dir, [(200 + i, _t(2), 1, "hot", 1.0) for i in range(20)], 1
+        )
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT * FROM hh_out WHERE item = 'hot' ORDER BY est DESC LIMIT 1"
+        ).collect()
+        assert out, "hot item missing from streaming summary"
+        r = out[0]
+        assert r.est <= 50 <= r.est + r.decr  # MG bound over both batches
+        per_shard = (
+            spark.sql("SELECT shard, COUNT(DISTINCT item) c FROM hh_out GROUP BY 1")
+            .collect()
+        )
+        assert all(row.c <= 4 + 6 for row in per_shard)  # update-mode history, bounded
+    finally:
+        q.stop()
