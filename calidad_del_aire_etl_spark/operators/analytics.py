@@ -28,23 +28,31 @@ def kpis(
     days, percentage, and the worst group (argmax of group mean,
     deterministic tie-break on the group key).
 
-    Three independent 1-row aggregates cross-joined — each reduces
-    map-side; no full-table shuffle.
+    Two aggregates cross-joined, not three: the overall avg/max rides
+    the daily rollup's first pass as extra partials (sum/count/max per
+    date, recombined exactly like avg's own accumulators), so the fact
+    scans twice (daily+overall fused, and the per-group argmax), not
+    three times. Both branches reduce map-side; no full-table shuffle.
     """
-    overall = df.agg(
-        r4(F.avg(value_col)).alias("avg_value"),
-        r4(F.max(value_col)).alias("max_value"),
-    )
     daily = (
         df.groupBy(F.to_date(F.col(ts_col)).alias("__d"))
-        .agg(F.avg(value_col).alias("__m"))
         .agg(
+            F.avg(value_col).alias("__m"),
+            F.sum(value_col).alias("__s"),
+            F.count(value_col).alias("__c"),
+            F.max(value_col).alias("__mx"),
+        )
+        .agg(
+            r4(F.sum("__s") / F.sum("__c")).alias("avg_value"),
+            r4(F.max("__mx")).alias("max_value"),
             F.sum((F.col("__m") > unhealthy_threshold).cast("bigint")).alias(
                 "days_unhealthy"
             ),
             F.count(F.lit(1)).alias("total_days"),
         )
         .select(
+            "avg_value",
+            "max_value",
             "days_unhealthy",
             "total_days",
             r4(
@@ -61,7 +69,7 @@ def kpis(
         .limit(1)
         .select(F.col(group_col).alias("worst_group"))
     )
-    return overall.crossJoin(daily).crossJoin(worst)
+    return daily.crossJoin(worst)
 
 
 def kpis_sql(
