@@ -97,3 +97,31 @@ def test_air_quality_dag_end_to_end(spark):
         assert "null_warning" in report
         out = spark.read.parquet(f"{d}/daily")
         assert out.count() > 0
+
+
+def test_air_quality_dag_scheduled_catchup_runs_real_pipeline(spark):
+    """The reference's operational contract end-to-end: daily 08:00
+    schedule, host down over a weekend, catch-up replays each missed
+    window against the REAL Spark DAG (extract ≫ transform ≫ [load,
+    validate]) — every window runs the full pipeline and lands its own
+    output."""
+    from datetime import datetime
+
+    from calidad_del_aire_etl_spark.plans.orchestrator import (
+        Schedule,
+        ScheduledDag,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="aq_sched_") as d:
+        dag = air_quality_dag(spark, d, num_days=10)
+        sd = ScheduledDag(
+            dag, Schedule.daily(datetime(2024, 1, 5), hour=8), catchup=True
+        )
+        runs = sd.run_pending(now=datetime(2024, 1, 8, 9, 0))  # fri..mon gap
+        assert [r.logical_date.day for r in runs] == [6, 7, 8]
+        assert all(r.state == "success" for r in runs)
+        for r in runs:
+            assert r.results["validate"].value["total_records"] >= 1000
+        assert spark.read.parquet(f"{d}/daily").count() > 0
+        # nothing further due until tomorrow's window closes
+        assert sd.run_pending(now=datetime(2024, 1, 8, 23, 0)) == []
