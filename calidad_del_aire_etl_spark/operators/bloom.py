@@ -40,13 +40,28 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _positions(values: pd.Series, m_bits: int, k: int) -> Iterator[np.ndarray]:
+def _positions(values: np.ndarray, m_bits: int, k: int) -> Iterator[np.ndarray]:
+    """Bit positions for an int64 id array. The caller MUST pass int64:
+    a pandas Series holding any NULL is float64 after Arrow conversion,
+    and hash_array(float64) != hash_array(int64) for the same ids — a
+    silent build/probe mismatch that would break the no-false-negative
+    guarantee (ADVICE r2)."""
     from pandas.util import hash_array
 
-    h1 = hash_array(values.to_numpy())
+    assert values.dtype == np.int64, f"id array must be int64, got {values.dtype}"
+    h1 = hash_array(values)
     h2 = _splitmix64(h1) | np.uint64(1)
     for i in range(k):
         yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _int64_ids(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 ids of non-null rows, boolean not-null mask). Null ids are
+    excluded from hashing on BOTH build and probe paths so the two sides
+    always hash the same dtype."""
+    mask = s.notna().to_numpy()
+    ids = s.to_numpy()[mask].astype(np.int64)
+    return ids, mask
 
 
 def params_for(n_items: int, fpp: float) -> tuple[int, int]:
@@ -70,7 +85,10 @@ def build_bloom(df: DataFrame, id_col: str, n_items: int, fpp: float = 0.01):
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(n_bytes, dtype=np.uint8)
         for pdf in batches:
-            for pos in _positions(pdf[id_col], m_bits, k):
+            ids, _ = _int64_ids(pdf[id_col])
+            if not len(ids):
+                continue
+            for pos in _positions(ids, m_bits, k):
                 masks = np.left_shift(1, (pos % 8)).astype(np.uint8)
                 np.bitwise_or.at(bits, pos // 8, masks)
         yield pd.DataFrame({"bits": [bits.tobytes()]})
@@ -96,10 +114,15 @@ def filter_new_rows(
     @F.pandas_udf("boolean")
     def maybe_seen(s: pd.Series) -> pd.Series:
         bits = np.frombuffer(bcast.value, dtype=np.uint8)
-        res = np.ones(len(s), dtype=bool)
-        for pos in _positions(s.astype(np.int64), m_bits, k):
+        ids, mask = _int64_ids(s)
+        seen_valid = np.ones(len(ids), dtype=bool)
+        for pos in _positions(ids, m_bits, k):
             probe = np.bitwise_and(np.right_shift(bits[pos // 8], pos % 8), 1)
-            res &= probe.astype(bool)
+            seen_valid &= probe.astype(bool)
+        # A null id was never recorded at build time, so it is
+        # definitely-new: maybe_seen=False keeps the row.
+        res = np.zeros(len(s), dtype=bool)
+        res[mask] = seen_valid
         return pd.Series(res)
 
     return batch.filter(~maybe_seen(F.col(id_col).cast("long")))

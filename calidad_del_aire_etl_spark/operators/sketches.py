@@ -73,19 +73,23 @@ def heavy_hitters(
         df.select(F.col(col).cast("string").alias(col))
         .mapInPandas(_mg_partition(col, capacity), "item string, cnt long, decr long")
     )
-    summ = summ.persist()
-    merged = (
-        summ.filter(F.col("item").isNotNull())
-        .groupBy("item")
-        .agg(F.sum("cnt").alias("est"))
+    # ONE groupBy pass merges both the per-item estimates and the decrement
+    # totals (the sentinel null-item rows carry decr), so the mapInPandas
+    # stage runs exactly once with no persist to leak (ADVICE r2: the old
+    # persist was never released). The merged relation is bounded at
+    # capacity x partitions rows, so the unbounded total window is cheap.
+    merged = summ.groupBy("item").agg(
+        F.sum("cnt").alias("est"), F.sum("decr").alias("decr")
     )
-    total_decr = summ.agg(F.sum("decr").cast("bigint").alias("total_decr"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w = Window.orderBy(F.col("est").desc(), F.col("item").asc())
     topk = (
-        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        merged.withColumn("total_decr", F.sum("decr").over(w_all))
+        .filter(F.col("item").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
-    return topk.crossJoin(F.broadcast(total_decr)).select(
+    return topk.select(
         "item",
         F.col("est").cast("bigint").alias("est"),
         (F.col("est") + F.col("total_decr")).cast("bigint").alias("est_max"),

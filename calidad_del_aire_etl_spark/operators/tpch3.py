@@ -118,10 +118,14 @@ def q21_waiting(
     )
 
 
-Q21_SQL = """
+def q21_sql(late_days: int = 60) -> str:
+    """Oracle twin of :func:`q21_waiting`. Parameterized on ``late_days``
+    so a caller passing a non-default lateness keeps parity with the
+    Spark side (ADVICE r2: the old constant SQL silently diverged)."""
+    return f"""
 WITH flagged AS (
   SELECT l.l_orderkey, l.l_suppkey,
-         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {int(late_days)} DAY
               THEN 1 ELSE 0 END AS is_late
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderstatus = 'F'
@@ -140,6 +144,9 @@ FROM culprits c JOIN supplier s ON c.l_suppkey = s.s_suppkey
 GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name ASC
 """
+
+
+Q21_SQL = q21_sql()  # default-parameter twin kept for the registry
 
 
 # --- Q9: product-type profit by nation and year ----------------------------

@@ -168,7 +168,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
 
     Returns the key Column. Quantization uses the CURRENT relation's
     min/max — recompute when appending, or pin the domain externally
-    for stable keys across writes."""
+    for stable keys across writes.
+
+    The interleaved key lives in a signed bigint, so the total width is
+    capped at 63 bits (``bits`` is clamped to ``63 // len(cols)``):
+    letting a bit land on position 63 would set the sign bit and make
+    the highest-quantile rows of the last column sort FIRST, silently
+    inverting the most-significant bit of the ordering."""
     from pyspark.sql import functions as F
 
     stats = df.agg(
@@ -176,6 +182,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
         *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
     ).collect()[0]
     n = len(cols)
+    bits = min(bits, 63 // n)
     terms = []
     for ci, c in enumerate(cols):
         lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]

@@ -182,9 +182,14 @@ def read_http_json(
                 errs.append(err)
             yield pd.DataFrame({"url": pdf["url"], "body": bodies, "error": errs})
 
+    # Eager localCheckpoint instead of cache(): the fetch runs exactly once
+    # (consumed by both the good and the dead-letter side), and the blocks
+    # are released by the ContextCleaner when the DataFrame goes out of
+    # scope — a cache() here is never unpersisted and accumulates across
+    # repeated extracts in a long-lived session (ADVICE r2).
     fetched = url_df.mapInPandas(
         do_fetch, "url string, body string, error string"
-    ).cache()  # fetch once, consumed by both the good and the dead-letter side
+    ).localCheckpoint(eager=True)
     failures = fetched.filter(F.col("error").isNotNull()).select("url", "error")
     records = (
         fetched.filter(F.col("error").isNull())

@@ -37,3 +37,28 @@ def test_probe_plan_has_no_join_or_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_null_ids_never_poison_the_batch(spark):
+    """A NULL id co-batched with real ids must not change how those real
+    ids hash (Arrow->pandas turns an int64 column with any null into
+    float64, which hashes differently): seen ids are still dropped, and
+    null-id rows are kept as definitely-new (ADVICE r2 regression)."""
+    existing = spark.range(0, 2000).selectExpr(
+        "case when id % 7 = 3 then null else id end as id"
+    )
+    batch = spark.range(0, 2000).selectExpr(
+        "case when id % 5 = 1 then null else id end as id"
+    ).coalesce(1)  # one batch => every id co-batched with nulls
+    out = bloom.bloom_new_rows(existing, batch, "id", fpp=0.01)
+    rows = out.collect()
+    surviving_ids = {r.id for r in rows if r.id is not None}
+    genuinely_new = {i for i in range(2000) if i % 7 == 3 and i % 5 != 1}
+    # HARD guarantee: a seen id never survives. Before the fix, the float64
+    # build-side hashing made build and probe disagree on EVERY id in a
+    # null-carrying batch, so nearly all 1371 seen ids leaked through.
+    assert surviving_ids <= genuinely_new
+    # and the bulk of the genuinely-new ids survive (only fpp losses)
+    assert len(surviving_ids) >= 0.95 * len(genuinely_new)
+    # null-id rows are definitely-new: all kept
+    assert sum(1 for r in rows if r.id is None) == 400

@@ -195,3 +195,19 @@ def test_zorder_tightens_per_file_spans_on_both_dims(spark, tmp_path):
     assert mean_span(zpath, "b") < 0.5 * mean_span(lpath, "b")
     # and dim a must still be far tighter than the global span (200)
     assert mean_span(zpath, "a") < 100
+
+
+def test_zorder_key_never_negative_at_four_cols(spark):
+    """4 columns at the default bits would put a bit on position 63 — the
+    bigint sign bit — making top-quantile rows of the last column sort
+    before everything else. The width cap (bits <= 63 // n_cols) keeps
+    the key non-negative for any documented column count (ADVICE r2)."""
+    df = spark.range(5000).selectExpr(
+        "cast(id as double) a",
+        "cast(id % 977 as double) b",
+        "cast(id % 131 as double) c",
+        "cast(id % 29 as double) d",
+    )
+    key = writers.zorder_key(df, ["a", "b", "c", "d"])  # default bits=16
+    lo = df.select(key).agg(F.min("__zkey").alias("lo")).collect()[0].lo
+    assert lo >= 0

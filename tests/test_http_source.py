@@ -71,11 +71,30 @@ def test_http_json_retries_transient_failures(spark):
     assert bad.count() == 0
 
 
-def test_http_json_fetch_runs_distributed(spark):
-    """The fetch plan must be a mapInPandas over a repartitioned URL
-    relation — i.e. executor-side, not a driver loop."""
-    good, _ = read_http_json(
-        spark, [f"http://api.test/{i}" for i in range(8)], SCHEMA, fetcher=lambda u: "[]"
+def test_http_json_fetch_runs_distributed(spark, tmp_path):
+    """The fetch must run executor-side (mapInPandas over a repartitioned
+    URL relation, not a driver loop) and be eagerly checkpointed so both
+    consumers read the materialized blocks without re-fetching. Executor
+    workers are separate processes, so the probe appends to a shared file
+    (local-mode executors share the driver's filesystem)."""
+    probe_dir = str(tmp_path)
+
+    def counting(url: str) -> str:
+        import os
+        import uuid
+
+        with open(os.path.join(probe_dir, f"{uuid.uuid4().hex}.log"), "w") as f:
+            f.write(url)
+        return "[]"
+
+    good, bad = read_http_json(
+        spark, [f"http://api.test/{i}" for i in range(8)], SCHEMA, fetcher=counting
     )
+    # lineage is truncated at the eager localCheckpoint: consumers scan
+    # the materialized blocks, proving the fetch cannot re-run per branch
     plan = good._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "Scan ExistingRDD" in plan
+    assert good.count() == 0 and bad.count() == 0
+    fetched = [open(p).read() for p in tmp_path.glob("*.log")]
+    # each URL fetched exactly once despite two downstream consumers
+    assert sorted(fetched) == sorted(f"http://api.test/{i}" for i in range(8))
