@@ -70,24 +70,65 @@ def feature_extract(df: DataFrame, id_col: str, payload_col: str = "payload") ->
     """
     names = [id_col, payload_col]
 
+    def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Whole-batch vectorized decode: ONE buffer concat + ONE bincount
+        for the entire Arrow batch. The former per-payload Python loop
+        (bytes() + try/except + np.bincount per row) was the hot cost —
+        4.4 s at sf0.1 vs the oracle's 1.65 s; batching the numpy work
+        across rows removes the per-row interpreter overhead entirely.
+        Keys: byte b of row r lands in bin r*8 + (b>>5), so a single
+        bincount of length n_rows*8 yields every row's histogram."""
+        import numpy as np
+
+        payloads = [bytes(p) for p in pdf[payload_col]]
+        n = len(payloads)
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+        ok = lens > 0  # empty payload = decode failure (see _fake_decode)
+        feats = np.zeros((n, FEATURE_DIM), dtype=np.float64)
+        if ok.any():
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            counts = np.bincount(
+                row_idx * FEATURE_DIM + (buf >> 5),
+                minlength=n * FEATURE_DIM,
+            ).reshape(n, FEATURE_DIM)
+            feats[ok] = counts[ok] / lens[ok, None]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col],
+                "byte_len": lens,
+                "ok": ok,
+                "features": feats.tolist(),
+            }
+        )
+
+    def _extract_rowwise(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-row fallback (a real decoder can fail row-by-row in ways
+        the batch path can't isolate); semantics identical to the batch
+        path over the fake decoder — pinned by pytest."""
+        feats, oks = [], []
+        for payload in pdf[payload_col]:
+            try:
+                feats.append(_fake_decode(bytes(payload)))
+                oks.append(True)
+            except Exception:
+                feats.append([0.0] * FEATURE_DIM)
+                oks.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[id_col],
+                "byte_len": pdf[payload_col].map(len),
+                "ok": oks,
+                "features": feats,
+            }
+        )
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, oks = [], []
-            for payload in pdf[payload_col]:
-                try:
-                    feats.append(_fake_decode(bytes(payload)))
-                    oks.append(True)
-                except Exception:
-                    feats.append([0.0] * FEATURE_DIM)
-                    oks.append(False)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "byte_len": pdf[payload_col].map(len),
-                    "ok": oks,
-                    "features": feats,
-                }
-            )
+            try:
+                yield _extract_batch(pdf)
+            except Exception:
+                yield _extract_rowwise(pdf)
 
     return df.select(*names).mapInPandas(extract, schema=FEATURE_SCHEMA)
 

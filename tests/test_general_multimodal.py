@@ -184,3 +184,24 @@ def test_corpus_is_ascii_for_frame_oracle(spark, sf_dir):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert n_multibyte == 0
+
+
+def test_feature_extract_batch_path_matches_rowwise_decode(spark):
+    """The vectorized whole-batch histogram must agree bit-for-bit with
+    the per-row _fake_decode fallback on every payload shape (empty,
+    1-byte, long, all-identical bytes) — the two code paths implement
+    the same decode and must never drift."""
+    texts = ["hello world", "", "a", "z" * 4096, "mixed 123 \t\n content"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    withbin = multimodal.with_binary_payload(df, "text")
+    out = {r["doc_id"]: r for r in multimodal.feature_extract(withbin, "doc_id").collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert not out[i]["ok"]
+            assert out[i]["features"] == [0.0] * multimodal.FEATURE_DIM
+        else:
+            assert out[i]["ok"]
+            assert out[i]["features"] == multimodal._fake_decode(t.encode())
+            assert out[i]["byte_len"] == len(t.encode())
