@@ -145,7 +145,11 @@ def interpolate_linear(
         "__rn_nn", F.when(val.isNotNull(), F.col("__rn"))
     )
 
-    w_rn = Window.partitionBy(*group_cols).orderBy("__rn")
+    # Second pass orders by the SAME keys as the row_number pass (row
+    # order is identical to __rn order by construction), so the physical
+    # plan keeps ONE sort: ordering by __rn instead made Spark re-sort
+    # the already-sorted partition.
+    w_rn = Window.partitionBy(*group_cols).orderBy(*order_cols)
     w_back = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = w_rn.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
@@ -222,6 +226,7 @@ def iqr_clip(
     group_cols: Sequence[str] = (),
     k: float = 3.0,
     method: str = "join",
+    bounds_over: DataFrame | None = None,
 ) -> DataFrame:
     """Clip columns to [Q1 − k·IQR, Q3 + k·IQR] using exact percentiles.
 
@@ -239,6 +244,14 @@ def iqr_clip(
       upstream plan is evaluated exactly ONCE. Best when ``df`` is an
       expensive subtree (e.g. mid-pipeline after interpolation windows),
       which Spark would otherwise recompute for the bounds branch.
+
+    ``bounds_over`` (join method only): compute the fences over a
+    DIFFERENT relation than the one being clipped — e.g. clip a deduped
+    subset with bounds from the full pre-dedup relation, keeping the
+    reference's compute-bounds-then-filter order while letting the
+    clipped side stay in its upstream partitioning. When the bounds
+    relation shares a subtree with ``df``, Catalyst's ReuseExchange
+    dedupes the shuffle between the two branches.
     """
     if method == "window" and group_cols:
         w = Window.partitionBy(*group_cols)
@@ -262,11 +275,12 @@ def iqr_clip(
     for c in cols:
         aggs.append(F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}"))
         aggs.append(F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}"))
+    src = bounds_over if bounds_over is not None else df
     if group_cols:
-        bounds = df.groupBy(*group_cols).agg(*aggs)
+        bounds = src.groupBy(*group_cols).agg(*aggs)
         joined = df.join(F.broadcast(bounds), on=list(group_cols), how="left")
     else:
-        bounds = df.agg(*aggs)
+        bounds = src.agg(*aggs)
         joined = df.crossJoin(F.broadcast(bounds))
 
     out = joined

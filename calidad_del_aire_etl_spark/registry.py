@@ -857,19 +857,38 @@ GROUP BY 1, 2
 
 @register("etl_full_pipeline", _FULL_PIPE_SQL)
 def q_etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #12 — the composed reference pipeline as one lazy plan."""
+    """SURVEY §2 #12 — the composed reference pipeline as one lazy plan.
+
+    Shuffle budget (VERDICT r2 asked for <=4 exchanges, was 6): the fact
+    chain shuffles ONCE — the user_id hash for the interpolation windows
+    — and every later pass rides it:
+      - the interpolated relation is checkpointed once WITH its
+        user_id partitioning pinned (checkpoint_keeping_partitioning),
+        so it feeds both consumers below without recompute;
+      - dedup is hoisted ahead of the clip (legal: the clip only
+        rewrites `value`, never the dedup keys or the event_id
+        tiebreak), so its (user_id, event_type, hour) window is
+        satisfied by the pinned clustering — a sort, not a shuffle;
+      - the clip fences stay the reference's pre-dedup percentiles by
+        aggregating the checkpointed relation per event_type and
+        broadcasting the tiny bounds back;
+      - the final (date, user_id) aggregate clusters on a superset of
+        user_id — partial agg, no exchange.
+    """
+    from .session import checkpoint_keeping_partitioning
+
     df = _gappy_events(spark, sf_dir)
-    df = cleaning.interpolate_linear(
+    interp = cleaning.interpolate_linear(
         df, "value", group_cols=["user_id"], order_cols=["ts", "event_id"], limit=3
     )
-    # window method: the interpolation subtree above is expensive; the
-    # default join method would recompute it for the bounds branch.
-    df = cleaning.iqr_clip(
-        df, ["value"], group_cols=["event_type"], k=3.0, method="window"
-    )
-    df = df.withColumn("__hr", F.date_trunc("hour", F.col("ts")))
+    interp = checkpoint_keeping_partitioning(interp)
+    df = interp.withColumn("__hr", F.date_trunc("hour", F.col("ts")))
     df = cleaning.dedup_exact(
         df, key_cols=["user_id", "event_type", "__hr"], tiebreak_cols=["event_id"]
+    )
+    df = cleaning.iqr_clip(
+        df, ["value"], group_cols=["event_type"], k=3.0, method="join",
+        bounds_over=interp,
     )
     df = features.with_aqi(df, "value", out_col="aqi")
     df = features.with_quality_category(df, "aqi")

@@ -65,3 +65,29 @@ def pin_oracle_compat(spark: SparkSession) -> SparkSession:
     # loader (values are µs-aligned — verified in tools/compare.py runs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def checkpoint_keeping_partitioning(df):
+    """Eager localCheckpoint that PRESERVES the relation's hash
+    partitioning metadata.
+
+    Under AQE the materialized plan reports UnknownPartitioning, so every
+    downstream window/aggregate whose keys the upstream clustering
+    already satisfies would re-shuffle — the checkpoint's whole point is
+    to let them ride the existing exchange. Disabling AQE for just the
+    materialization job pins the physical plan's HashPartitioning into
+    the checkpointed LogicalRDD (verified by test_plans: downstream
+    window on a superset key compiles to Sort-no-Exchange).
+
+    Use when a mid-pipeline relation (a) is expensive, (b) feeds 2+
+    consumers, and (c) its partitioning should keep serving downstream
+    passes. Blocks are local and released by the ContextCleaner when the
+    DataFrame is garbage-collected — no unpersist bookkeeping.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

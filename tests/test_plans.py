@@ -74,11 +74,35 @@ def test_rolling_mean_single_window_shuffle(spark):
 
 def test_full_pipeline_no_duplicate_branches(spark):
     p = plan(spark, "etl_full_pipeline")
-    # interpolation windows (user_id) + IQR window (event_type) + final
-    # agg = 3 exchanges; the join-method bounds branch would re-plan the
-    # interpolation subtree and add more
-    assert p.count("Exchange") <= 6
-    assert p.count("Scan parquet") <= 2  # events read exactly once
+    # The fact chain shuffles once, INSIDE the pinned checkpoint job; the
+    # downstream plan holds only the tiny bounds aggregate + its
+    # broadcast. The dedup window and the final (date,user_id) aggregate
+    # must ride the checkpointed user_id clustering: any hashpartitioning
+    # exchange in this plan means the pin was lost (r3 fusion regression).
+    assert p.count("Exchange hashpartitioning") <= 2  # bounds partial agg only
+    assert "Scan parquet" not in p  # both consumers read the checkpoint
+    assert p.count("Window") >= 1  # dedup window present, over Sort only
+
+
+def test_pinned_checkpoint_preserves_clustering_for_downstream(spark):
+    """checkpoint_keeping_partitioning contract: a window keyed on a
+    SUPERSET of the upstream partition key plans as Sort-no-Exchange
+    over the checkpoint scan (under AQE a plain localCheckpoint reports
+    UnknownPartitioning and re-shuffles)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.session import checkpoint_keeping_partitioning
+
+    df = registry.load(spark, SF, "events").repartition(8, "user_id")
+    ck = checkpoint_keeping_partitioning(df)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    out = ck.withColumn("rn", F.row_number().over(w))
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    assert "Sort" in p
 
 
 def test_iqr_join_method_broadcasts_bounds(spark):
