@@ -209,3 +209,12 @@ def test_q2_argmin_window_partitioned_by_part(spark):
     never a global sort."""
     p = plan(spark, "tpch_q2_min_cost")
     assert "windowspecdefinition(ps_partkey" in p
+
+
+def test_dash_kpis_single_fact_pass(spark):
+    """Both KPI branches (daily stats and worst-group argmax) must reduce
+    from the one materialized (date, group) rollup — a parquet scan in
+    the downstream plan means the argmax branch went back to the fact
+    (r2 VERDICT regression)."""
+    p = plan(spark, "dash_kpis")
+    assert "Scan parquet" not in p
