@@ -1,0 +1,88 @@
+"""DuckDB oracle-parity harness — the library core of the t2 gate.
+
+Every registry query carries an ANSI-SQL twin (``oracle_sql()``); this
+module runs both engines over the same parquet tables and compares row
+count, column names/dtypes, and an order-insensitive value hash. It is
+consumed by two front doors:
+
+- ``tools/compare.py`` — the CLI stand-in for the driver's gate;
+- ``tests/test_oracle_parity.py`` — the same sweep inside pytest (at
+  sf0.001 for speed), so ``pytest tests/`` fails on any parity
+  regression instead of parity living only in a manually-run tool.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-order + timestamp-resolution normalization before hashing
+    (Spark returns ns-resolution pandas timestamps, DuckDB us)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive hash of the stringified rows."""
+    df = norm_frame(df.copy())
+    if len(df) == 0:
+        return "empty"
+    rows = sorted(
+        df.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1).tolist()
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def duck_connection(sf_dir: str):
+    """Fresh DuckDB connection with the testdata tables as views —
+    the same registration the driver performs."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare_query(
+    spark, con, fn, oracle: str | None, sf_dir: str
+) -> tuple[int, list[str]]:
+    """Run one query on both engines; return (spark_rows, problems) —
+    empty problems = parity. ``oracle=None`` degrades to a rows-only
+    sanity check."""
+    sdf = fn(spark, sf_dir).toPandas()
+    if oracle is None:
+        return len(sdf), []
+    ddf = con.execute(oracle).df()
+    sdf, ddf = norm_frame(sdf), norm_frame(ddf)
+    problems: list[str] = []
+    if len(sdf) != len(ddf):
+        problems.append(f"rowcount {len(sdf)} vs {len(ddf)}")
+    if list(sdf.columns) != list(ddf.columns):
+        problems.append(f"cols {list(sdf.columns)} vs {list(ddf.columns)}")
+    elif [str(t) for t in sdf.dtypes] != [str(t) for t in ddf.dtypes]:
+        problems.append(
+            f"dtypes {[str(t) for t in sdf.dtypes]} vs {[str(t) for t in ddf.dtypes]}"
+        )
+    if not problems and value_hash(sdf) != value_hash(ddf):
+        merged = sdf.merge(ddf, how="outer", indicator=True)
+        diff = merged[merged["_merge"] != "both"]
+        problems.append(
+            f"value-hash mismatch ({len(diff)} differing rows):\n"
+            + diff.head(6).to_string()
+        )
+    return len(sdf), problems

@@ -22,3 +22,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "oracle: DuckDB oracle-parity sweep (deselect with -m 'not oracle')"
+    )

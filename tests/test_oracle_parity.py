@@ -1,0 +1,65 @@
+"""The DuckDB oracle-parity sweep as pytest — SURVEY §5's claim, made
+true: ``pytest tests/`` now fails on any parity regression instead of
+parity living only in the manually-run ``tools/compare.py``.
+
+One test per registered oracle at sf0.001 (the smallest SF; cross-SF
+parity up to sf0.1 was proven in round 2, so the small SF is a
+regression tripwire, not the whole proof). Deselect with
+``-m "not oracle"`` when iterating on something unrelated.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+from calidad_del_aire_etl_spark import oracle  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = oracle.duck_connection(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_hash_parity(spark, duck, name):
+    n, problems = oracle.compare_query(
+        spark, duck, _QUERIES[name], _ORACLES[name], SF
+    )
+    assert not problems, f"{name}: {'; '.join(problems)}"
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_still_run(spark, duck, name):
+    """The two by-design rows-only queries (true sketches) must at least
+    execute and return a frame; their guarantees are pinned by their own
+    pytest modules."""
+    n, problems = oracle.compare_query(spark, duck, _QUERIES[name], None, SF)
+    assert not problems
+    assert n >= 0
+
+
+def test_sweep_catches_an_injected_mismatch(spark, duck):
+    """Self-test of the gate itself: a deliberately wrong oracle must be
+    reported as a hash mismatch (guards against the comparator silently
+    passing everything)."""
+    fn = _QUERIES["etl_daily_summary"]
+    broken = _ORACLES["etl_daily_summary"].replace("AVG(", "MIN(", 1)
+    assert broken != _ORACLES["etl_daily_summary"]
+    n, problems = oracle.compare_query(spark, duck, fn, broken, SF)
+    assert problems, "comparator failed to flag a wrong oracle"

@@ -5,38 +5,19 @@ DuckDB at the given sf dir, then compares row count, column names/dtypes,
 and an order-insensitive value hash. Usage::
 
     python tools/compare.py [sf_dir] [query ...]
+
+The comparison core lives in ``calidad_del_aire_etl_spark.oracle`` and
+is also exercised by ``tests/test_oracle_parity.py`` on every pytest run.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
-import duckdb
-import pandas as pd
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]")
-    return df
-
-
-def value_hash(df: pd.DataFrame) -> str:
-    df = norm_frame(df.copy())
-    if len(df) == 0:
-        return "empty"
-    rows = sorted(
-        df.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1).tolist()
-    )
-    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+from calidad_del_aire_etl_spark import oracle  # noqa: E402
 
 
 def main() -> int:
@@ -47,11 +28,7 @@ def main() -> int:
     from calidad_del_aire_etl_spark.session import get_session
 
     spark = get_session("compare")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = oracle.duck_connection(sf_dir)
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
@@ -59,41 +36,20 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            n, problems = oracle.compare_query(
+                spark, con, fn, oracles.get(name), sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows-only check, {len(sdf)} rows")
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures += 1
-            continue
-        sdf, ddf = norm_frame(sdf), norm_frame(ddf)
-        problems = []
-        if len(sdf) != len(ddf):
-            problems.append(f"rowcount {len(sdf)} vs {len(ddf)}")
-        if list(sdf.columns) != list(ddf.columns):
-            problems.append(f"cols {list(sdf.columns)} vs {list(ddf.columns)}")
-        elif [str(t) for t in sdf.dtypes] != [str(t) for t in ddf.dtypes]:
-            problems.append(
-                f"dtypes {[str(t) for t in sdf.dtypes]} vs {[str(t) for t in ddf.dtypes]}"
-            )
-        if not problems and value_hash(sdf) != value_hash(ddf):
-            merged = sdf.merge(ddf, how="outer", indicator=True)
-            diff = merged[merged["_merge"] != "both"]
-            problems.append(f"value-hash mismatch ({len(diff)} differing rows)")
-            if len(diff) > 0:
-                print(diff.head(6).to_string())
-        if problems:
+            print(f"OK?  {name}: rows-only check, {n} rows")
+        elif problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
         else:
-            print(f"PASS {name}: {len(sdf)} rows")
+            print(f"PASS {name}: {n} rows")
     spark.stop()
     return 1 if failures else 0
 
