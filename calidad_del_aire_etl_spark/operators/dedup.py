@@ -357,12 +357,22 @@ def resolve_duplicate_clusters(
         labels = new_labels
         if not improved:
             break
-    edges.unpersist()
-    return labels.select(
+    # Materialize the converged labels as a checkpoint, then drop every
+    # cache the loop held. Returning the persisted lineage instead (a)
+    # leaked the final round's cache and the edge list forever, and (b)
+    # left a plan whose text re-expands every round's subtree — the
+    # flagship's formatted plan carried >1100 exchange mentions, which
+    # stalls plan compilation even though execution reads the cache
+    # (r2 VERDICT #5). The label relation is (id, lbl) — tiny next to
+    # the corpus — so the checkpoint write is negligible.
+    result = labels.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("canonical_id"),
         (F.col("id") == F.col("lbl")).cast("int").alias("is_canonical"),
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return result
 
 
 def resolve_duplicate_clusters_sql(

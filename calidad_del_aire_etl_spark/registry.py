@@ -959,9 +959,15 @@ def q_docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = filt.withColumn("h", F.md5(F.encode(F.col("text"), "UTF-8")))
     w = Window.partitionBy("h").orderBy("doc_id")
-    # persisted: referenced by the pair generation, the CC vertex seed,
-    # and the final stats join — without this the quality+lang subtree
-    # (the expensive part) is evaluated three times
+    # persisted (not checkpointed): referenced by the pair generation,
+    # the CC vertex seed, and the final stats join — without this the
+    # quality+lang subtree (the expensive part) is evaluated three
+    # times. persist keeps the InMemoryRelation's size statistics, which
+    # the candidate-join planning needs (a checkpoint's LogicalRDD
+    # reports unknown stats and the small-side joins stop broadcasting:
+    # measured +75% on this query). The plan-size bound comes from the
+    # CC resolver checkpointing its converged labels instead
+    # (operators/dedup.py) — that is where the formatted plan ballooned.
     flagged = hashed.withColumn(
         "is_exact", (F.row_number().over(w) == 1).cast("int")
     ).persist()

@@ -186,13 +186,31 @@ def test_runtime_bloom_filter_injects_for_selective_join(spark):
 
 def test_flagship_jaccard_hot_shingle_cap_present(spark):
     """docs_full_pipeline must run Jaccard with the max_doc_freq hot-key
-    guard wired in: the plan contains a count-over-window partitioned by
-    the shingle key (the in-place doc-frequency drop whose exchange the
-    pair self-join then reuses). Without it a corpus-scale stopword
-    shingle creates a quadratic join island."""
-    p = plan(spark, "docs_full_pipeline")
+    guard wired in. Since r3 the CC stage materializes eagerly, so the
+    Jaccard subplan is no longer visible in the flagship's FINAL plan;
+    the guard is asserted in two parts: (a) the operator with a cap
+    plans the count-over-window doc-frequency drop, (b) the flagship
+    actually passes the cap (source tripwire, both engines' twins)."""
+    import inspect
+
+    from calidad_del_aire_etl_spark.operators import dedup
+    from calidad_del_aire_etl_spark.registry import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=128
+    )
+    p = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
     assert "windowspecdefinition(sg" in p, (
-        "hot-shingle doc-frequency window guard missing from flagship plan"
+        "hot-shingle doc-frequency window guard missing from jaccard plan"
+    )
+    # the registered callable is wrapped, so inspect the module source:
+    # the cap must appear on BOTH the Spark call and the SQL twin
+    src = inspect.getsource(registry)
+    assert src.count("max_doc_freq=128") >= 2, (
+        "flagship no longer passes the hot-key cap on both engines"
     )
 
 

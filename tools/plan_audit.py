@@ -18,6 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
 
+# Hard ceiling on formatted-plan size. A query whose explain text carries
+# more Exchange mentions than this has runaway lineage (iterative loops /
+# multi-branch reuse re-expanding subtrees) — plan COMPILATION becomes the
+# bottleneck even when execution reads caches. docs_full_pipeline hit 1113
+# mentions in round 2; after checkpointing the CC labels it sits ~12.
+EXCHANGE_MENTION_CEILING = 120
+
 
 def main() -> None:
     from bench import HEADLINE
@@ -33,6 +40,7 @@ def main() -> None:
     print("twice (tree + detail); numbers below are raw mention counts.\n")
     print("| query | exchanges | broadcast joins | SMJ | BNLJ/cartesian | python stages | pushed filters |")
     print("|---|---|---|---|---|---|---|")
+    oversized: list[tuple[str, int]] = []
     for name in HEADLINE:
         try:
             df = qs[name](spark, SF)
@@ -58,6 +66,8 @@ def main() -> None:
             "yes" if "PushedFilters: [" in p and "PushedFilters: []" not in p else "—",
         )
         print("| " + " | ".join(str(x) for x in row) + " |")
+        if p.count("Exchange") > EXCHANGE_MENTION_CEILING:
+            oversized.append((name, p.count("Exchange")))
     print(
         "\nReading guide: a non-zero BNLJ/cartesian count is acceptable"
         "\nONLY for the scalar-broadcast pattern — crossJoin(broadcast(«1-row"
@@ -70,6 +80,11 @@ def main() -> None:
         "\npredicate."
     )
     spark.stop()
+    assert not oversized, (
+        f"plan-size ceiling ({EXCHANGE_MENTION_CEILING} Exchange mentions) "
+        f"exceeded: {oversized} — runaway lineage; checkpoint the iterative "
+        "or multi-consumer boundary"
+    )
 
 
 if __name__ == "__main__":
