@@ -52,3 +52,58 @@ def test_render_png_gates_cleanly_without_matplotlib(spark, tmp_path):
     else:
         with pytest.raises(RuntimeError, match="matplotlib not installed"):
             dashboard.render_png(spark, SF, str(tmp_path / "dash.png"))
+
+
+def test_render_png_panel_layout_with_stub_backend(spark, tmp_path, monkeypatch):
+    """Execute the reference's multi-panel layout (dashboard:70-254)
+    headlessly: a minimal matplotlib stub stands in for the absent
+    library so the REAL panel code runs — every iloc/column access,
+    the hourly sort, the corr-table rounding — against real relations.
+    A column rename or frame-shape change in any dashboard query now
+    breaks this test instead of only breaking users with matplotlib."""
+    import sys
+    import types
+
+    calls: list[str] = []
+
+    class _Ax:
+        def __getattr__(self, name):
+            if name.startswith("__"):  # keep numpy/copy protocols honest
+                raise AttributeError(name)
+
+            def method(*a, **k):
+                calls.append(name)
+
+            return method
+
+    class _Fig:
+        def tight_layout(self):
+            pass
+
+        def savefig(self, path, **k):
+            with open(path, "wb") as f:
+                f.write(b"\x89PNG-stub")
+
+    mpl = types.ModuleType("matplotlib")
+    pyplot = types.ModuleType("matplotlib.pyplot")
+    mpl.use = lambda backend: None
+    mpl.pyplot = pyplot
+
+    def subplots(r, c, figsize=None):
+        axes = tuple(tuple(_Ax() for _ in range(c)) for _ in range(r))
+        return _Fig(), axes
+
+    pyplot.subplots = subplots
+    pyplot.close = lambda fig: None
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", pyplot)
+
+    out = tmp_path / "dash.png"
+    assert dashboard.render_png(spark, SF, str(out)) == str(out)
+    assert out.read_bytes().startswith(b"\x89PNG")
+    # all six panels drew: KPI text, rolling+hourly plots, dow+station
+    # bars, corr table
+    assert calls.count("plot") == 2
+    assert calls.count("bar") == 2
+    assert calls.count("table") == 1
+    assert calls.count("text") == 1
