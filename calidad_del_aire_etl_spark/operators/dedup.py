@@ -113,6 +113,14 @@ def jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.expr(hashed_shingles_expr(text_col, n)).alias("sh")
     )
+    if max_doc_freq is not None:
+        # The hot-set scan below makes `sh` a multi-consumer relation
+        # (frequency count + pair explode + doc-size count). Checkpoint the
+        # narrow (id, shingle-array) form so the md5 shingle hashing — the
+        # CPU-dominant part — runs exactly once; blocks are ContextCleaner-
+        # managed, so no unpersist bookkeeping leaks (lazy: materialized by
+        # the first job that touches it, i.e. the hot-set broadcast build).
+        sh = sh.localCheckpoint(eager=False)
     counts = sh.select("id", F.size("sh").cast("bigint").alias("ns"))
     # explode_outer, not explode: InferFiltersFromGenerate would turn the
     # inner explode into a pushed-down `size(shingles) > 0` filter that
@@ -122,21 +130,23 @@ def jaccard_pairs(
     # would drop at the inner equi-join anyway.
     ex = sh.select("id", F.explode_outer("sh").alias("sg"))
     if max_doc_freq is not None:
-        # Hot-key guard as a count-over-window on the shingle-partitioned
-        # relation: ONE shuffle computes each shingle's doc frequency and
-        # drops the hot ones in place, and the pair self-join immediately
-        # below joins on the same key, so Catalyst reuses that exchange
-        # for both sides instead of re-exploding + re-aggregating (the
-        # groupBy + broadcast-anti-join form costs a second full pass
-        # over the exploded corpus; measured +32% on the flagship).
-        from pyspark.sql import Window
-
-        wdf = Window.partitionBy("sg")
-        ex = (
-            ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        # Hot-key guard, skew-safe two-phase form (r2 ADVICE): an aggregate
+        # with map-side partial combine counts each shingle's doc frequency
+        # (per-reducer input is bounded by #map-tasks rows per shingle, not
+        # by its corpus frequency), and the tiny hot set — at most
+        # total_shingle_occurrences / max_doc_freq rows — broadcasts into a
+        # map-side anti-join that thins the exploded relation BEFORE the
+        # pair shuffle. The previous count-over-window form reused one
+        # exchange but buffered every occurrence of a hot stopword shingle
+        # in a single window partition — exactly the straggler/spill the
+        # guard exists to prevent at 100 TB scale.
+        hot = (
+            ex.groupBy("sg")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("sg")
         )
+        ex = ex.join(F.broadcast(hot), "sg", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))

@@ -34,13 +34,19 @@ def load(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # `events.ts` arrives as long nanoseconds (see session.pin_oracle_compat);
-    # values are µs-aligned, so the floor division below is lossless.
+    # Timestamp normalization: the generator has written `ts` as
+    # TIMESTAMP(NANOS) (read as long nanoseconds under nanosAsLong) or as
+    # TIMESTAMP(MICROS) without timezone metadata (read as TIMESTAMP_NTZ).
+    # Every operator expects plain TIMESTAMP; with the session timezone
+    # pinned to UTC the NTZ→LTZ cast is micros-identical, matching how
+    # DuckDB reads the same naive parquet values.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer division — `/` would route through a double and lose
             # µs precision at 10^18 ns magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if spread:
         # CPU-heavy narrow transforms (shingle md5s, cosine products) run
         # map-side BEFORE any shuffle, so a table that arrives as a single
