@@ -97,19 +97,20 @@ def _minhash_lambda(num_hashes: int) -> str:
 
 # --- #26 n-gram Jaccard pairs --------------------------------------------
 
-def jaccard_pairs(
+def guarded_shingles(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.5,
     max_doc_freq: int | None = None,
-) -> DataFrame:
-    """Near-dup pairs (id_a < id_b) with exact shingle-set Jaccard ≥
-    threshold. ``max_doc_freq`` drops shingles seen in more than that
-    many docs before the self-join — the standard hot-key guard at scale
-    (a stopword shingle otherwise creates a quadratic join island).
-    Shingles travel as 60-bit md5-derived ints, not strings."""
+) -> tuple[DataFrame, DataFrame]:
+    """The exploded (id, shingle-hash) relation that feeds the Jaccard
+    pair self-join, with the hot-shingle guard applied, plus the per-doc
+    shingle counts (denominators). Exposed separately so the skew
+    invariant — after the guard, NO shingle key carries more than
+    ``max_doc_freq`` rows into the join, bounding every join island at
+    max_doc_freq² pairs regardless of corpus-level skew — is directly
+    testable (tests/test_skew.py)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.expr(hashed_shingles_expr(text_col, n)).alias("sh")
     )
@@ -147,6 +148,23 @@ def jaccard_pairs(
             .select("sg")
         )
         ex = ex.join(F.broadcast(hot), "sg", "left_anti")
+    return ex, counts
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) with exact shingle-set Jaccard ≥
+    threshold. ``max_doc_freq`` drops shingles seen in more than that
+    many docs before the self-join — the standard hot-key guard at scale
+    (a stopword shingle otherwise creates a quadratic join island).
+    Shingles travel as 60-bit md5-derived ints, not strings."""
+    ex, counts = guarded_shingles(df, id_col, text_col, n, max_doc_freq)
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
@@ -406,6 +424,108 @@ def resolve_duplicate_clusters_sql(
            CAST(CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
     FROM reach GROUP BY id
     """
+
+
+def resolve_duplicate_clusters_star(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14) — same output contract as
+    :func:`resolve_duplicate_clusters` (min id per cluster), but the
+    round count is O(log² n) in the component SIZE, independent of its
+    DIAMETER. Min-label propagation needs O(diameter) rounds, so a
+    pathological chain-shaped cluster (a → a' → a'' → …, each hop a
+    near-dup of the last — common with incremental document revisions)
+    at 100 TB would exhaust any fixed iteration budget; the star steps
+    contract such chains exponentially instead.
+
+    Each round is two groupBy-on-vertex passes over the EDGE list only
+    (never the corpus):
+
+    - large-star: every node u hooks its larger neighbors v > u
+      directly onto m(u) = min(Γ(u) ∪ {u});
+    - small-star: with edges oriented hi→lo, every hi re-points its
+      smaller neighbors (and itself) at its minimum neighbor.
+
+    The fixed point is a forest of stars rooted at each component's
+    minimum id, so the final label join is a single groupBy(min) on the
+    converged edges. Convergence is detected with one (count,
+    xor-of-hash) aggregate per round. Lineage discipline: each round
+    ends in an EAGER ``localCheckpoint`` — a star round references its
+    input ~4× (two symmetric views × two star consumers), so mere
+    persist() leaves a plan TEXT that grows 4^t and OOMs the driver in
+    explain/AQE formatting even though execution would read the cache;
+    checkpointing truncates the plan to a leaf each round (checkpoint
+    blocks are ContextCleaner-managed — no unpersist bookkeeping).
+    """
+    # Orient hi→lo once up front; pairs guarantee id_a < id_b and no
+    # self-loops. distinct() because LSH/Jaccard emitters may repeat.
+    edges = (
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # -- large-star: symmetric neighbor view, hook v > u onto m(u).
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        # m(u) = least(u, min neighbor); emitted edge (v, m) has v > u ≥ m,
+        # so the hi→lo orientation is preserved and self-loops can't form.
+        # Lazy checkpoint: materialized by the small-star pass below,
+        # which reads `large` twice (join probe + min aggregate).
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mv")).alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # -- small-star: every hi re-points its smaller neighbors at its
+        # min; all `large` edges already satisfy u > v, so min(v) is m(u).
+        m2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(m2.select("u", F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # One scalar action: size + order-independent content hash of the
+        # edge set. bit_xor is commutative, so equal sets hash equal
+        # regardless of partitioning; a (count, xor) collision across
+        # rounds of a shrinking edge set is vanishingly unlikely.
+        cnt, sig = (
+            small.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+        edges = small
+        if prev_sig == (cnt, sig):
+            break
+        prev_sig = (cnt, sig)
+    # Fixed point = stars rooted at component minima: each non-root node
+    # appears exactly once as u with v = its component min.
+    lbl = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    result = (
+        df.select(F.col(id_col).alias("id"))
+        .join(lbl, F.col("id") == F.col("u"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lbl", "id").alias("canonical_id"),
+            (F.coalesce("lbl", "id") == F.col("id")).cast("int").alias("is_canonical"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return result
 
 
 # --- #28 SimHash ----------------------------------------------------------

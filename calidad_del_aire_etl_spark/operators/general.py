@@ -640,6 +640,7 @@ def salted_join(
     key: str,
     fact_id_col: str,
     num_salts: int = 8,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join: fact rows spread across ``num_salts``
     sub-keys (deterministic hash of the fact's id column — stable under
@@ -649,7 +650,9 @@ def salted_join(
     physical distribution — a hot key that would land its entire
     partition on one reducer is split ``num_salts`` ways. The manual
     alternative to AQE's skew-join for the agg-after-join and
-    non-sort-merge cases AQE doesn't rewrite.
+    non-sort-merge cases AQE doesn't rewrite. ``keep_salt=True``
+    retains the ``__salt`` column so tests can assert the physical
+    distribution invariant (tests/test_skew.py).
     """
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(fact_id_col)), F.lit(num_salts)).cast("int")
@@ -657,7 +660,8 @@ def salted_join(
     replicated_dim = dim.select(
         "*", F.explode(F.expr(f"sequence(0, {num_salts - 1})")).alias("__salt")
     ).withColumn("__salt", F.col("__salt").cast("int"))
-    return salted_fact.join(replicated_dim, on=[key, "__salt"]).drop("__salt")
+    joined = salted_fact.join(replicated_dim, on=[key, "__salt"])
+    return joined if keep_salt else joined.drop("__salt")
 
 
 def asof_join(

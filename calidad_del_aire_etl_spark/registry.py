@@ -614,6 +614,25 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.resolve_duplicate_clusters(docs, "doc_id", pairs)
 
 
+@register(
+    "dedup_cluster_star",
+    dedup.resolve_duplicate_clusters_sql(
+        "documents",
+        "doc_id",
+        dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+    ),
+)
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #26c — same clustering as dedup_cluster_resolve via
+    alternating large-star/small-star contraction: O(log² n) rounds in
+    component size, independent of diameter — the scale path for
+    chain-shaped revision clusters. Identical oracle (exact transitive
+    closure), so parity proves the two CC variants agree."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.resolve_duplicate_clusters_star(docs, "doc_id", pairs)
+
+
 @register("text_lang_id", text.lang_id_sql("documents", "doc_id", "text"))
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #32 — stopword-profile language ID."""

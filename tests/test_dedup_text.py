@@ -121,3 +121,43 @@ def test_seasonal_anomaly_flags_only_cell_outliers(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id int, event_type string, value double")
     got = [r.event_id for r in analytics2.seasonal_anomaly(df, 3.0).collect()]
     assert got == [99]
+
+
+def test_star_cc_matches_label_prop_and_beats_diameter(spark):
+    """Alternating large-star/small-star must label a 64-node chain in a
+    round budget far below the chain's diameter (label propagation would
+    need ~63 rounds; 6 star rounds suffice), and must agree with the
+    label-propagation variant on a mixed graph."""
+    from calidad_del_aire_etl_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+        resolve_duplicate_clusters_star,
+    )
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters_star(
+            docs, "doc_id", chain, max_iters=6
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+    # Mixed shape: two cliques bridged by one edge, a pair, singletons.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    docs2 = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+    star = {
+        (r["doc_id"], r["canonical_id"], r["is_canonical"])
+        for r in resolve_duplicate_clusters_star(docs2, "doc_id", pairs).collect()
+    }
+    prop = {
+        (r["doc_id"], r["canonical_id"], r["is_canonical"])
+        for r in resolve_duplicate_clusters(docs2, "doc_id", pairs).collect()
+    }
+    assert star == prop

@@ -1,0 +1,114 @@
+"""Skew evidence for the heavy-hitter guards (r2 VERDICT #8).
+
+Deliberately skewed synthetics — one shingle phrase in 30 % of documents,
+one user owning 50 % of events — asserting that the Jaccard hot-shingle
+cap and the salted join keep per-join-key (≈ per-task) input bounded,
+not merely that results are correct. These are the invariants that keep
+a 1000-executor run free of quadratic join islands and one-reducer
+stragglers; bench-scale timing alone cannot distinguish a guarded plan
+from an unguarded one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import dedup, general
+
+N_DOCS = 400
+HOT_SHARE = 0.3  # the hot phrase appears in 30 % of docs
+CAP = 10
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """Each doc is unique filler; 30 % additionally share one hot 3-gram."""
+    hot = "shared boilerplate footer"
+    rows = [
+        (
+            i,
+            f"unique document body number {i} "
+            + (hot if i < int(N_DOCS * HOT_SHARE) else f"tail words {i} end"),
+        )
+        for i in range(N_DOCS)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_cap_bounds_per_key_join_input(skewed_docs):
+    """After the guard, no shingle key feeds more than CAP rows into the
+    pair self-join — the per-key join island is ≤ CAP² pairs no matter
+    how hot the corpus-level shingle is. Unguarded, the hot keys carry
+    0.3·N rows each (a (0.3·N)² island)."""
+    ex, _ = dedup.guarded_shingles(skewed_docs, "doc_id", "text", n=3, max_doc_freq=CAP)
+    max_df = ex.groupBy("sg").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= CAP
+
+    ex_raw, _ = dedup.guarded_shingles(
+        skewed_docs, "doc_id", "text", n=3, max_doc_freq=None
+    )
+    raw_max = ex_raw.groupBy("sg").count().agg(F.max("count")).collect()[0][0]
+    assert raw_max >= int(N_DOCS * HOT_SHARE)  # the skew is real ungated
+
+
+def test_jaccard_cap_kills_hot_only_pairs_keeps_real_dups(spark):
+    """Docs related ONLY through the hot phrase must produce no pairs
+    (at threshold 0 every surviving shared shingle yields a pair, so
+    pair count is a direct probe of join fan-out); genuinely near-dup
+    docs still pair because their non-hot shingles survive the cap."""
+    hot = "the shared hot phrase here"
+    rows = [(i, f"unique body {i} stuff {hot}") for i in range(40)]
+    # planted near-dup pair related by non-hot content:
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=CAP
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got
+    # every hot-only pair is suppressed: the 40 hot docs share nothing else
+    assert all(not (a < 40 and b < 40) for a, b in got)
+
+
+N_EVENTS = 2000
+SALTS = 8
+
+
+@pytest.fixture(scope="module")
+def skewed_events(spark):
+    """One user owns 50 % of all events (worst-case join/groupBy skew)."""
+    rows = [
+        (i, (7 if i % 2 == 0 else i % 50), f"t{i % 5}", float(i % 100))
+        for i in range(N_EVENTS)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+
+
+def test_salted_join_bounds_per_task_input(skewed_events):
+    """Joining on user_id, the hot user's 1000 rows land on ONE reducer
+    unsalted. Salted, every (key, salt) cell — the unit a reducer task
+    receives — must hold ≈ 1/SALTS of the hot key, within 2× of ideal."""
+    dim = skewed_events.groupBy("user_id").agg(F.avg("value").alias("user_mean"))
+    out = general.salted_join(
+        skewed_events, dim, "user_id", "event_id", num_salts=SALTS, keep_salt=True
+    )
+    cells = out.groupBy("user_id", "__salt").count()
+    hot_max = (
+        cells.filter(F.col("user_id") == 7).agg(F.max("count")).collect()[0][0]
+    )
+    hot_total = skewed_events.filter(F.col("user_id") == 7).count()
+    assert hot_total >= N_EVENTS // 2  # the skew is real
+    assert hot_max <= 2 * hot_total / SALTS  # and the salt splits it
+
+    # result parity with the plain join (guard changes physics, not rows)
+    plain = skewed_events.join(dim, "user_id")
+    assert (
+        out.drop("__salt").exceptAll(plain).count() == 0
+        and plain.exceptAll(out.drop("__salt")).count() == 0
+    )
