@@ -76,6 +76,8 @@ HEADLINE = [
     "tpch_q2_min_cost",
     "dedup_fuzzy_pairs",
     "seasonal_anomaly",
+    # round-3 additions
+    "dedup_cluster_star",
 ]
 
 

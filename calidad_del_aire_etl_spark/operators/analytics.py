@@ -28,42 +28,43 @@ def kpis(
     days, percentage, and the worst group (argmax of group mean,
     deterministic tie-break on the group key).
 
-    ONE fact pass (r2 VERDICT: the old argmax branch rescanned the
-    fact): everything reduces from a shared (date, group) rollup —
-    sum/count/max partials per cell, materialized once (eager local
-    checkpoint; it is rollup-sized, dates x groups). The daily branch
-    re-aggregates it to dates then to one row; the worst-group branch
-    re-aggregates it to groups and takes the argmax. Sharing via
-    ReuseExchange instead does NOT survive the optimizer here: column
-    pruning drops __mx from the argmax branch's partial aggregate, the
-    two exchanges stop being identical, and the fact gets scanned twice
-    — the checkpoint makes the single pass unconditional. avg recombines
-    exactly (sum-of-sums / sum-of-counts), never avg-of-avgs.
+    ONE fact pass via GROUP BY GROUPING SETS ((date), (group)): Spark
+    expands both sets map-side and partial-aggregates them in the same
+    shuffle, so the fact is scanned once and the shuffled relation is
+    |dates| + |groups| rows — NOT dates × groups. (A previous shape
+    rolled up to (date, group) cells first; that intermediate is nearly
+    fact-sized under high group cardinality and its eager checkpoint
+    cost 2.5× the whole query.) The tiny grouping-sets result is
+    checkpointed — negligible bytes — so the daily branch and the
+    argmax branch can't re-trigger the fact scan through optimizer
+    divergence (ReuseExchange does not survive per-branch column
+    pruning here). avg recombines exactly (sum-of-sums / sum-of-counts),
+    never avg-of-avgs; per-date and per-group means divide each cell's
+    own sum/count, matching the oracle's direct AVGs.
     """
-    from ..session import checkpoint_keeping_partitioning
-
-    cell = df.groupBy(
-        F.to_date(F.col(ts_col)).alias("__d"), F.col(group_col).alias("__g")
-    ).agg(
-        F.sum(value_col).alias("__s"),
-        F.count(value_col).alias("__c"),
-        F.max(value_col).alias("__mx"),
+    base = df.select(
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
     )
-    cell = checkpoint_keeping_partitioning(cell)
-    daily = (
-        cell.groupBy("__d")
+    cells = (
+        base.groupingSets([["__d"], ["__g"]], "__d", "__g")
         .agg(
-            (F.sum("__s") / F.sum("__c")).alias("__m"),
-            F.sum("__s").alias("__s"),
-            F.sum("__c").alias("__c"),
-            F.max("__mx").alias("__mx"),
+            F.sum("__v").alias("__s"),
+            F.count("__v").alias("__c"),
+            F.max("__v").alias("__mx"),
+            F.grouping_id().alias("__gid"),  # 1 = (date) set, 2 = (group) set
         )
+        .localCheckpoint(eager=True)
+    )
+    daily = (
+        cells.filter(F.col("__gid") == 1)
         .agg(
             r4(F.sum("__s") / F.sum("__c")).alias("avg_value"),
             r4(F.max("__mx")).alias("max_value"),
-            F.sum((F.col("__m") > unhealthy_threshold).cast("bigint")).alias(
-                "days_unhealthy"
-            ),
+            F.sum(
+                ((F.col("__s") / F.col("__c")) > unhealthy_threshold).cast("bigint")
+            ).alias("days_unhealthy"),
             F.count(F.lit(1)).alias("total_days"),
         )
         .select(
@@ -79,9 +80,8 @@ def kpis(
         )
     )
     worst = (
-        cell.groupBy("__g")
-        .agg((F.sum("__s") / F.sum("__c")).alias("__gm"))
-        .orderBy(F.col("__gm").desc(), F.col("__g").asc())
+        cells.filter(F.col("__gid") == 2)
+        .orderBy((F.col("__s") / F.col("__c")).desc(), F.col("__g").asc())
         .limit(1)
         .select(F.col("__g").alias("worst_group"))
     )

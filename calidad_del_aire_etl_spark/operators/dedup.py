@@ -471,22 +471,24 @@ def resolve_duplicate_clusters_star(
     )
     prev_sig = None
     for _ in range(max_iters):
-        # -- large-star: symmetric neighbor view, hook v > u onto m(u).
+        # -- large-star: hook every node's larger neighbors onto m(u).
+        # The neighbor minimum needs the symmetric view, but the emission
+        # side doesn't: edges are stored hi→lo, so "pairs (u, v) with
+        # v > u" is exactly the swapped edge list — no filter pass over
+        # a doubled relation. Emitted edge (hi, m(lo)) keeps u > v, so
+        # orientation is an invariant and self-loops can't form. No
+        # dedup here: duplicates are harmless under the min-aggregates
+        # and the small-star distinct below collapses them.
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
-        # m(u) = least(u, min neighbor); emitted edge (v, m) has v > u ≥ m,
-        # so the hi→lo orientation is preserved and self-loops can't form.
-        # Lazy checkpoint: materialized by the small-star pass below,
-        # which reads `large` twice (join probe + min aggregate).
         large = (
-            sym.filter(F.col("v") > F.col("u"))
+            edges.select(F.col("v").alias("u"), F.col("u").alias("hi"))
             .join(mins, "u")
             .select(
-                F.col("v").alias("u"),
+                F.col("hi").alias("u"),
                 F.least(F.col("u"), F.col("mv")).alias("v"),
             )
-            .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False)  # read twice just below
         )
         # -- small-star: every hi re-points its smaller neighbors at its
         # min; all `large` edges already satisfy u > v, so min(v) is m(u).
@@ -497,10 +499,12 @@ def resolve_duplicate_clusters_star(
             .filter(F.col("u") != F.col("v"))
             .union(m2.select("u", F.col("mn").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # One scalar action: size + order-independent content hash of the
-        # edge set. bit_xor is commutative, so equal sets hash equal
+        # One action per round: the signature aggregate doubles as the
+        # checkpoint materializer (lazy checkpoints persist during the
+        # first job that computes them). Size + order-independent
+        # content hash: bit_xor is commutative, so equal sets hash equal
         # regardless of partitioning; a (count, xor) collision across
         # rounds of a shrinking edge set is vanishingly unlikely.
         cnt, sig = (

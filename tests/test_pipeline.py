@@ -51,3 +51,32 @@ def test_full_pipeline_runs_and_validates(spark):
         assert daily.count() == 30 * 5
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_load_normalizes_ntz_and_nanos_timestamps(spark, tmp_path):
+    """registry.load must deliver plain TIMESTAMP regardless of how the
+    parquet writer typed `ts`: TIMESTAMP(NANOS) (arrives as bigint under
+    nanosAsLong) and TIMESTAMP(MICROS) without timezone metadata
+    (arrives as TIMESTAMP_NTZ) both normalize to the same µs values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from calidad_del_aire_etl_spark.registry import load
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    for unit, vals, fname in (
+        ("ns", [m * 1000 for m in micros], "t_nanos"),
+        ("us", micros, "t_ntz"),
+    ):
+        d = tmp_path / f"{fname}.parquet"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"ts": pa.array(vals, pa.timestamp(unit)), "v": [1.0, 2.0]}),
+            str(d / "part-0.parquet"),
+        )
+        df = load(spark, str(tmp_path), fname)
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        got = sorted(
+            r[0] for r in df.selectExpr("unix_micros(ts)").collect()
+        )
+        assert got == micros

@@ -189,8 +189,9 @@ def test_flagship_jaccard_hot_shingle_cap_present(spark):
     guard wired in. Since r3 the CC stage materializes eagerly, so the
     Jaccard subplan is no longer visible in the flagship's FINAL plan;
     the guard is asserted in two parts: (a) the operator with a cap
-    plans the count-over-window doc-frequency drop, (b) the flagship
-    actually passes the cap (source tripwire, both engines' twins)."""
+    plans the two-phase doc-frequency drop (broadcast anti-join on the
+    hot set), (b) the flagship actually passes the cap (source
+    tripwire, both engines' twins)."""
     import inspect
 
     from calidad_del_aire_etl_spark.operators import dedup
@@ -203,8 +204,14 @@ def test_flagship_jaccard_hot_shingle_cap_present(spark):
     p = pairs._sc._jvm.PythonSQLUtils.explainString(
         pairs._jdf.queryExecution(), "formatted"
     )
-    assert "windowspecdefinition(sg" in p, (
-        "hot-shingle doc-frequency window guard missing from jaccard plan"
+    # Two-phase skew-safe guard (r2 ADVICE): map-side-combined doc
+    # frequency count, hot set broadcast into a LeftAnti join that thins
+    # the exploded relation before the pair shuffle.
+    assert "BroadcastHashJoin LeftAnti" in p, (
+        "hot-shingle broadcast anti-join guard missing from jaccard plan"
+    )
+    assert "__df" in p and "> 128" in p, (
+        "doc-frequency cap predicate missing from jaccard plan"
     )
     # the registered callable is wrapped, so inspect the module source:
     # the cap must appear on BOTH the Spark call and the SQL twin
