@@ -368,3 +368,93 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rank")
     )
+
+
+# --- scalar-quantized (int8) top-k ----------------------------------------
+# The memory/bandwidth scale path: embeddings shrink 4x (float32 -> int8
+# codes), so a 100 TB embedding store scans/shuffles a quarter of the
+# bytes. Cosine is scale-invariant, so the per-vector scale factor
+# cancels and the quantized score is just the cosine of the integer code
+# vectors -- integer dot products are EXACTLY portable across engines,
+# which makes the DuckDB twin hash-exact (no FP-summation-order risk in
+# the dot product itself).
+
+# let-binding via single-element transform (see corpus._bind): the
+# max-abs scale must evaluate once per row, not once per element.
+SQ_QUANT = (
+    "get(transform(array(aggregate({v}, cast(0 as double), "
+    "(a, x) -> greatest(a, abs(cast(x as double))))), "
+    "m -> transform({v}, x -> cast(floor(cast(x as double) / greatest(m, 1e-30) * 127.0 + 0.5) as bigint))), 0)"
+)
+
+SQ_QUANT_DUCK = (
+    "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) "
+    "/ greatest(list_max(list_transform({v}, y -> abs(CAST(y AS DOUBLE)))), 1e-30) "
+    "* 127.0 + 0.5) AS BIGINT))"
+)
+
+SQ_COS_SPARK = (
+    "cast(aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x) as double)"
+    " / (sqrt(cast(aggregate(transform({a}, x -> x * x), cast(0 as bigint), (acc, x) -> acc + x) as double))"
+    " * sqrt(cast(aggregate(transform({b}, x -> x * x), cast(0 as bigint), (acc, x) -> acc + x) as double)))"
+)
+
+SQ_COS_DUCK = (
+    "(CAST(list_dot_product({a}, {b}) AS DOUBLE)"
+    " / (sqrt(CAST(list_dot_product({a}, {a}) AS DOUBLE))"
+    " * sqrt(CAST(list_dot_product({b}, {b}) AS DOUBLE))))"
+)
+
+
+def sq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_pred,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized codes (symmetric
+    scalar quantization: q_i = round(127 · x_i / max|x|)). Same
+    broadcast-queries / window-rank shape as :func:`bruteforce_topk`;
+    the difference is the corpus side streams 4x fewer bytes. Recall vs
+    the exact baseline is asserted in tests/test_ann.py."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.expr(SQ_QUANT.format(v=vec_col)).alias("code")
+    )
+    queries = base.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    cos = r4(F.expr(SQ_COS_SPARK.format(a="qcode", b="code")))
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("neighbor_id"), cos.alias("sq_cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "sq_cosine", "rank")
+    )
+
+
+def sq_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred_sql: str, k: int = 5
+) -> str:
+    cos = SQ_COS_DUCK.format(a="q.code", b="c.code")
+    return f"""
+    WITH qz AS (
+      SELECT {id_col} AS id, {SQ_QUANT_DUCK.format(v=vec_col)} AS code FROM {table}
+    )
+    SELECT query_id, neighbor_id, sq_cosine, rank FROM (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             ROUND({cos} + 1e-9, 4) AS sq_cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.id
+               ORDER BY ROUND({cos} + 1e-9, 4) DESC, c.id ASC) AS INTEGER) AS rank
+      FROM qz q JOIN qz c ON q.id != c.id
+      WHERE {query_pred_sql}
+    ) WHERE rank <= {k}
+    """

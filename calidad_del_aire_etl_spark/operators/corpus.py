@@ -538,3 +538,87 @@ def domain_quota_sample_sql(
       FROM {table}
     ) WHERE __rk <= {quota}
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate substring spans (cross-document exact repetition)
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-substring profile, the
+    span-level exact dedup signal from "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022, public): a span is
+    DUPLICATED when its exact ``span_len``-char substring occurs in at
+    least one OTHER document. Output per doc: span count, duplicated
+    span count, duplicated fraction — the downstream filter/trim step
+    consumes the fraction.
+
+    Spark shape (suffix arrays don't distribute; strided hashing does):
+    posexplode strided substrings (narrow, rows ≈ chars/stride), hash
+    each span to a 60-bit md5 int, ONE groupBy(span) counting distinct
+    docs (map-side partial agg bounds hot boilerplate spans at
+    #map-tasks rows per reducer), equi-join the tiny per-span verdict
+    back (exchange reused: both sides hash on the span key), then
+    groupBy(doc). Linear in corpus bytes, no self-join — scales where
+    pairwise Jaccard cannot.
+    """
+    spans_expr = (
+        f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1), {stride}), "
+        f"s -> cast(conv(substr(md5(cast(substring({text_col}, s, {span_len}) as binary)), 1, 15), 16, 10) as bigint))"
+    )
+    sp = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.expr(spans_expr)).alias("pos", "h")
+    )
+    per_span = sp.groupBy("h").agg(
+        F.count_distinct("id").alias("__nd")
+    )
+    flagged = sp.join(per_span, "h").select(
+        "id", (F.col("__nd") >= 2).cast("bigint").alias("__dup")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("__dup").alias("n_dup_spans"),
+            r4(F.sum("__dup").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans", "dup_frac")
+    )
+
+
+def dup_spans_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    span_len: int = 32,
+    stride: int = 16,
+) -> str:
+    return f"""
+    WITH sp AS (
+      SELECT {id_col} AS id,
+             (('0x' || substr(md5(substr({text_col}, CAST(s AS INTEGER), {span_len})), 1, 15))::BIGINT) AS h
+      FROM (
+        SELECT {id_col}, {text_col},
+               unnest(generate_series(1, greatest(LENGTH({text_col}) - {span_len - 1}, 1), {stride})) AS s
+        FROM {table}
+      )
+    ), per_span AS (
+      SELECT h, COUNT(DISTINCT id) AS nd FROM sp GROUP BY h
+    )
+    SELECT sp.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4) AS dup_frac
+    FROM sp JOIN per_span USING (h)
+    GROUP BY sp.id
+    """

@@ -599,6 +599,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_sq_topk",
+    ann.sq_topk_sql("embeddings", "vec_id", "embedding", "q.id < 10", k=5),
+)
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31c — int8 scalar-quantized cosine top-5: 4× fewer
+    corpus-side bytes than float32 brute force; integer dot products
+    make the twin hash-exact. Recall vs exact asserted in tests/test_ann.py."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.sq_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+
+
+@register(
     "dedup_cluster_resolve",
     dedup.resolve_duplicate_clusters_sql(
         "documents",
@@ -1475,6 +1487,18 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+
+
+@register(
+    "corpus_dup_spans",
+    corpus.dup_spans_sql("documents", "doc_id", "text", span_len=32, stride=16),
+)
+def q_corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49b — cross-document duplicated-substring profile
+    (strided exact-span hashing; the distributed stand-in for Lee et
+    al.'s suffix-array span dedup). Linear, self-join-free."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.dup_spans(docs, "doc_id", "text", span_len=32, stride=16)
 
 
 @register("corpus_pii_scrub", corpus.pii_scrub_sql(_PII_DOCS_SQL, "doc_id", "text"))

@@ -94,3 +94,34 @@ def test_kmeans_summary_covers_all_points(spark, sf_dir):
     rows = out.collect()
     assert sum(r["n_points"] for r in rows) == emb.count()
     assert all(r["mean_sq_dist"] >= 0 for r in rows)
+
+
+def test_sq_recall_vs_bruteforce(spark, sf_dir):
+    """int8 scalar quantization distorts cosine far less than LSH
+    bucketing, so the top-5 sets must overlap the exact baseline
+    heavily (and perfectly-quantizable ties aside, usually match)."""
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    bf = ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+    sq = ann.sq_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
+    assert len(approx) == len(truth)
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"SQ recall collapsed: {recall}"
+
+
+def test_sq_codes_bounded_int8(spark, sf_dir):
+    """Every quantized code must fit int8: |q_i| <= 127, and each
+    vector's max |q_i| must BE 127 (the scale is max-abs)."""
+    from pyspark.sql import functions as F
+
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    codes = em.select(
+        F.expr(ann.SQ_QUANT.format(v="embedding")).alias("code")
+    ).select(
+        F.expr("aggregate(code, cast(0 as bigint), (a, x) -> greatest(a, abs(x)))").alias("mx")
+    )
+    lo, hi = codes.agg(F.min("mx"), F.max("mx")).collect()[0]
+    assert hi <= 127 and lo == 127

@@ -130,3 +130,27 @@ def test_mixture_sample_replication_and_downsampling(spark):
     for r in ups:
         per_doc.setdefault(r["doc_id"], set()).add(r["copy_idx"])
     assert all({0, 1} <= s for s in per_doc.values())
+
+
+def test_dup_spans_flags_planted_duplication(spark):
+    """Two docs sharing a long verbatim paragraph get dup_frac > 0 on
+    exactly the shared spans; a unique doc gets 0. Span accounting:
+    n_spans == ceil((len - span_len + 1) / stride) for len >= span_len."""
+    from calidad_del_aire_etl_spark.operators.corpus import dup_spans
+
+    shared = "this exact paragraph is copied verbatim across two documents " * 3
+    rows = [
+        (1, shared + "unique tail one alpha beta"),
+        (2, shared + "completely different ending gamma delta"),
+        (3, "entirely original content with no repetition at all " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_spans(docs, "doc_id", "text", 32, 16).collect()}
+    assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    for i, txt in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        expected = (max(len(txt) - 31, 1) + 15) // 16
+        assert out[i]["n_spans"] == expected
+    # docs 1 and 2 share the same prefix, so their duplicated span
+    # COUNTS over the shared region agree
+    assert out[1]["n_dup_spans"] == out[2]["n_dup_spans"]
