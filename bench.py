@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_cluster_star",
     "ann_sq_topk",
     "corpus_dup_spans",
+    "etl_sensor_gaps",
 ]
 
 

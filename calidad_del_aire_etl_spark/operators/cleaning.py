@@ -370,3 +370,65 @@ def upsert(
         .filter(F.col("__rn") == 1)
         .drop("__src", "__rn")
     )
+
+
+def sensor_gaps(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    max_gap_minutes: int = 120,
+) -> DataFrame:
+    """Reading-gap report per sensor group (the reference's validation
+    story — dag:365-407 — checks global counts; operational monitoring
+    needs WHERE the feed went dark): every pair of consecutive readings
+    more than ``max_gap_minutes`` apart becomes one gap row
+    (group, gap_start, gap_end, gap_minutes).
+
+    Classic islands shape: ONE window (lag over the group's time order)
+    — a single shuffle on the group key, no self-join, no spine build.
+    State per task is bounded by the group's rows; at 100 TB the window
+    partitions by sensor id, the natural parallelism unit.
+    """
+    from ..functions import r4
+
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    # integer-micros difference, then ONE double division — bit-identical
+    # across engines (no FP timestamp subtraction)
+    gap_min = (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__prev")))
+        / F.lit(60_000_000.0)
+    )
+    return (
+        df.select(F.col(group_col), F.col(ts_col))
+        .withColumn("__prev", prev)
+        .filter(F.col("__prev").isNotNull())
+        .filter(gap_min > max_gap_minutes)
+        .select(
+            F.col(group_col),
+            F.col("__prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            r4(gap_min).alias("gap_minutes"),
+        )
+    )
+
+
+def sensor_gaps_sql(
+    table: str, group_col: str, ts_col: str, max_gap_minutes: int = 120
+) -> str:
+    """DuckDB twin of :func:`sensor_gaps` (integer-micros difference,
+    one double division — same arithmetic as the Spark side)."""
+    return f"""
+    SELECT {group_col},
+           prev AS gap_start,
+           {ts_col} AS gap_end,
+           ROUND((epoch_us({ts_col}) - epoch_us(prev)) / 60000000.0 + 1e-9, 4)
+             AS gap_minutes
+    FROM (
+      SELECT {group_col}, {ts_col},
+             LAG({ts_col}) OVER (PARTITION BY {group_col} ORDER BY {ts_col} ASC) AS prev
+      FROM {table}
+    )
+    WHERE prev IS NOT NULL
+      AND (epoch_us({ts_col}) - epoch_us(prev)) / 60000000.0 > {max_gap_minutes}
+    """

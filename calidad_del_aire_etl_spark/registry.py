@@ -1965,6 +1965,18 @@ def q_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_sensor_gaps",
+    cleaning.sensor_gaps_sql("events", "user_id", "ts", max_gap_minutes=120),
+)
+def q_etl_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #11c — per-sensor reading-gap report (islands problem:
+    one lag window per group, a single shuffle; operational
+    where-did-the-feed-go-dark companion to the validation report)."""
+    ev = load(spark, sf_dir, "events")
+    return cleaning.sensor_gaps(ev, "user_id", "ts", max_gap_minutes=120)
+
+
 @register("text_char_entropy", text.char_entropy_sql("documents", "doc_id", "text"))
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #33b — Shannon char-entropy quality signal (two

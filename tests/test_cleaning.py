@@ -102,3 +102,25 @@ def test_resample_spine_materializes_gap_buckets(spark):
     assert a[4][1] == 1 and a[4][2] == 30.0
     b = [r for r in out.collect() if r["g"] == "b"]
     assert len(b) == 1 and b[0]["n_obs"] == 1
+
+
+def test_sensor_gaps_reports_only_real_gaps(spark):
+    from calidad_del_aire_etl_spark.operators.cleaning import sensor_gaps
+
+    rows = [
+        # sensor 1: hourly feed with one 5-hour hole
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 01:00:00"),
+        (1, "2024-01-01 06:00:00"), (1, "2024-01-01 07:00:00"),
+        # sensor 2: no gap over threshold
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-01 01:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "cast(ts as timestamp) as ts"
+    )
+    out = sensor_gaps(df, "user_id", "ts", max_gap_minutes=120).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["user_id"] == 1 and g["gap_minutes"] == 300.0
+    assert str(g["gap_start"]).startswith("2024-01-01 01:00") and str(
+        g["gap_end"]
+    ).startswith("2024-01-01 06:00")
