@@ -132,3 +132,55 @@ def test_misra_gries_bound_on_random_streams(spark, values, capacity):
     got = sketches.heavy_hitters(df, "v", k=50, capacity=capacity).collect()
     for r in got:
         assert r.est <= exact[r.item] <= r.est_max, (r, exact[r.item])
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(edge_lists)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_cc_matches_union_find(spark, raw_edges):
+    """Alternating-star connected components must agree with a
+    pure-Python union-find on arbitrary random graphs — including
+    multi-edges, both orientations of the same edge, and isolated
+    vertices (every id 0-24 is a document)."""
+    from calidad_del_aire_etl_spark.operators.dedup import (
+        resolve_duplicate_clusters_star,
+    )
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_edges:
+        parent[find(a)] = find(b)
+    # canonical label = min id per component
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw_edges] or [(0, 0)],
+        ["id_a", "id_b"],
+    ).filter("id_a != id_b")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters_star(docs, "doc_id", pairs).collect()
+    }
+    assert got == expected
