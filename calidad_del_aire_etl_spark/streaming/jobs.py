@@ -356,3 +356,56 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_OUT_SCHEMA = (
+    "user_id bigint, gap_start timestamp, gap_end timestamp, gap_minutes double"
+)
+GAP_STATE_SCHEMA = "last_us bigint"
+
+
+def _gap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-sensor gap detector: state is one integer — the last seen
+    event time in epoch-micros. Events are processed in event-time order
+    within the micro-batch; a jump beyond the threshold emits a gap row.
+    State is O(1) per key forever (vs buffering readings), the shape
+    that keeps a million-sensor fleet's state store flat."""
+    import pandas as pd
+
+    threshold_us = 120 * 60 * 1_000_000
+    last = state.get[0] if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            cur = int(pd.Timestamp(ts).value // 1_000)  # ns -> us
+            if last is not None and cur - last > threshold_us:
+                rows.append(
+                    (
+                        key[0],
+                        pd.Timestamp(last * 1_000),
+                        pd.Timestamp(cur * 1_000),
+                        round((cur - last) / 60e6, 4),
+                    )
+                )
+            last = cur if last is None else max(last, cur)
+    state.update((last,))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "gap_start", "gap_end", "gap_minutes"]
+    )
+
+
+def streaming_sensor_gaps(stream: DataFrame) -> DataFrame:
+    """#40c — streaming twin of the batch ``etl_sensor_gaps`` operator
+    (operators/cleaning.py): per-sensor reading-gap rows as they become
+    detectable, across micro-batch boundaries (the gap between the last
+    event of batch N and the first of batch N+1 is found via the
+    carried state, which a per-batch window could never see)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _gap_fn,
+        outputStructType=GAP_OUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -301,3 +301,28 @@ def test_streaming_heavy_hitters_state_accumulates_across_batches(
         assert all(row.c <= 4 + 6 for row in per_shard)  # update-mode history, bounded
     finally:
         q.stop()
+
+
+def test_streaming_sensor_gaps_across_batches(spark, input_dir):
+    """A 5-hour silence spanning a micro-batch boundary must surface as
+    one gap row — provable only with carried state, not per-batch
+    windows. In-threshold arrivals emit nothing."""
+    _write_batch(spark, input_dir, [
+        (1, _t(0), 7, "click", 1.0),
+        (2, _t(30), 7, "click", 1.0),     # 30 min: under threshold
+    ], 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    gaps = jobs.streaming_sensor_gaps(stream)
+    q = jobs.run_to_memory(gaps, "gap_out", output_mode="append")
+    try:
+        late = dt.datetime(2024, 1, 1, 15, 35)  # 5h05 after _t(30)
+        _write_batch(spark, input_dir, [(3, late, 7, "click", 1.0)], 1)
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM gap_out").collect()
+    finally:
+        q.stop()
+    assert len(out) == 1
+    g = out[0]
+    assert g["user_id"] == 7 and g["gap_minutes"] == 305.0
+    assert g["gap_start"] == dt.datetime(2024, 1, 1, 10, 30)
+    assert g["gap_end"] == late
