@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_sq_topk",
     "corpus_dup_spans",
     "etl_sensor_gaps",
+    "hll_rollup_merge",
 ]
 
 

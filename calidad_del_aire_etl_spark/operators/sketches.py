@@ -110,3 +110,40 @@ def heavy_hitters_exact_sql(table: str, col: str, k: int = 10) -> str:
       FROM {table} GROUP BY 1
     ) WHERE rank <= {k}
     """
+
+
+def hll_reaggregate(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    id_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable-sketch distinct counting, the 100 TB replacement for
+    COUNT(DISTINCT): build ONE Datasketches HLL sketch per (day, group)
+    cell — these partials are what a lakehouse persists alongside daily
+    rollups — then answer the month×group question by UNIONING the
+    daily sketches, never rescanning the fact. The test proves the
+    re-aggregated estimate tracks the exact month-level distinct count
+    (tolerance ~2 % at lg_k=12), which is exactly the property that
+    lets a 1000-executor fleet maintain rolling distincts with
+    day-sized increments.
+
+    Sketch bytes are engine-specific, so there is no DuckDB twin
+    (rows-only gate); the accuracy guarantee lives in pytest.
+    """
+    daily = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("d"), F.col(group_col).alias("g")
+    ).agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sk"))
+    monthly = (
+        daily.groupBy(
+            F.date_format("d", "yyyy-MM").alias("month"), F.col("g").alias(group_col)
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+                "est_distinct"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("days_merged"),
+        )
+    )
+    return monthly.orderBy("month", group_col)

@@ -1653,6 +1653,18 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.kmeans_summary(emb, "vec_id", "embedding", k=8, iters=5)
 
 
+@register("hll_rollup_merge", None)  # sketch bytes engine-specific — rows-only
+def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #15d — mergeable HLL distinct counting: daily
+    (date, event_type) sketches UNION-merged into month×type estimates
+    without rescanning the fact (tolerance vs exact pytest-asserted in
+    tests/test_sketches.py)."""
+    from .operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.hll_reaggregate(ev, "ts", "event_type", "user_id", lg_k=12)
+
+
 @register("sketch_profile", None)  # sketch internals differ per engine — rows-only
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #15c — HLL++ distinct + approx-percentile sketch profile

@@ -77,3 +77,33 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     q = corpus.weighted_sample_topk(df, "doc_id", F.octet_length(F.col("text")), k=10)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_reaggregation_tracks_exact(spark, sf_dir):
+    """Month-level estimates produced by UNIONING daily sketches must
+    track the exact month-level distinct counts within HLL error at
+    lg_k=12 (~2-3 sigma bound; assert 5%) — the property that makes
+    daily sketch partials re-aggregable without fact rescans."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.operators.sketches import hll_reaggregate
+    from calidad_del_aire_etl_spark.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    est = {
+        (r["month"], r["event_type"]): r["est_distinct"]
+        for r in hll_reaggregate(ev, "ts", "event_type", "user_id").collect()
+    }
+    exact = {
+        (r["month"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM").alias("month"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) > 0
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(0.05 * exact[k], 2.0), (
+            k, est[k], exact[k]
+        )
