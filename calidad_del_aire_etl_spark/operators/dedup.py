@@ -1,6 +1,6 @@
 """Deduplication operators for LLM-data pipelines (SURVEY §2 #25-29).
 
-Five dedup families, all shuffle-bounded (no O(n²) cross product):
+Dedup families, all shuffle-bounded (no O(n²) cross product):
 
 - exact: one groupBy on a content hash;
 - n-gram Jaccard: explode distinct shingles → equi-join on shingle —
@@ -10,7 +10,13 @@ Five dedup families, all shuffle-bounded (no O(n²) cross product):
   the classic sub-quadratic near-dup path for 100 TB corpora;
 - SimHash: frequency-weighted bit votes → one 16-bit fingerprint per doc;
 - embedding cosine: pairs within a coarse partition (label = IVF-style
-  cell), never across the whole corpus.
+  cell), never across the whole corpus;
+- fuzzy Levenshtein: banded by shared prefix + length (see below);
+- cluster resolution: connected components two ways — min-label
+  propagation (O(diameter) rounds, fastest on the near-clique clusters
+  dedup emits) and alternating large-star/small-star contraction
+  (O(log² n) rounds, diameter-independent — the guard for chain-shaped
+  revision clusters).
 
 Hash portability: signatures are md5 hex strings (identical in Spark and
 DuckDB; string min is byte-lexicographic in both), which is what makes
