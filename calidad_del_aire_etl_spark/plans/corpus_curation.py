@@ -48,7 +48,14 @@ def corpus_curation_dag(
 
     @dag.task("curate", upstream=["ingest"], retries=3)
     def _curate(docs):
-        return curate(docs).persist()
+        # eager localCheckpoint, not persist(): three downstream tasks
+        # consume this, and a persist() here is never released — repeated
+        # DAG runs in a long-lived session would accumulate cached
+        # partitions (the r2-ADVICE leak pattern). Checkpoint blocks are
+        # ContextCleaner-managed; AQE re-picks broadcast joins from
+        # runtime sizes, so the LogicalRDD's unknown stats don't cost the
+        # downstream anti-join its broadcast.
+        return curate(docs).localCheckpoint(eager=True)
 
     @dag.task("decontaminate", upstream=["curate"], retries=3)
     def _decontaminate(curated):
