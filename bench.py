@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_dup_spans",
     "etl_sensor_gaps",
     "hll_rollup_merge",
+    "embed_pca_project",
 ]
 
 

@@ -458,3 +458,79 @@ def sq_topk_sql(
       WHERE {query_pred_sql}
     ) WHERE rank <= {k}
     """
+
+
+# --- distributed PCA projection -------------------------------------------
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Distributed PCA: project each embedding onto the top-``k``
+    principal components of the corpus.
+
+    Scale shape (the same codebook discipline as k-means/IVF): the ONLY
+    driver traffic is dim + dim² numbers — the mean vector and the
+    Gram/covariance matrix, accumulated with one map-side-combined
+    aggregate over per-row (i, j, x_i·x_j) contributions. The dim×dim
+    eigendecomposition runs in numpy on the driver (microseconds for
+    embedding-sized dims), and the k×dim projection matrix rides back
+    as a broadcast literal into a narrow JVM-side map — no shuffle
+    touches the corpus beyond the partial-agg reduction.
+
+    Eigenvector sign is canonicalized (largest-|component| positive) so
+    results are deterministic across runs and partitionings. Rows-only
+    gate (no closed-form SQL twin); the spectral invariants — explained
+    variance ordering, component orthonormality, projection variance
+    matching the eigenvalues — are pytest-asserted.
+    """
+    import numpy as np
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ex = base.select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+    pairs = ex.select(
+        "i", "xi", F.posexplode("v").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))  # symmetric: accumulate upper triangle
+    gram = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    sums = (
+        base.select(F.posexplode("v").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast("double")).alias("s"))
+        .collect()
+    )
+    dim = max(r["i"] for r in sums) + 1
+    n = next(r["n"] for r in gram if r["i"] == 0 and r["j"] == 0)
+    mean = np.zeros(dim)
+    for r in sums:
+        mean[r["i"]] = r["s"] / n
+    cov = np.zeros((dim, dim))
+    for r in gram:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["s"] / n
+    cov -= np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × dim
+    # canonical sign: the largest-|component| entry of each PC is positive
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    proj_cols = []
+    for ci, c in enumerate(comps):
+        arr = "array(" + ", ".join(f"{w!r}D" for w in c.tolist()) + ")"
+        mean_arr = "array(" + ", ".join(f"{w!r}D" for w in mean.tolist()) + ")"
+        expr = (
+            f"aggregate(zip_with(zip_with(v, {mean_arr}, (x, m) -> cast(x as double) - m), "
+            f"{arr}, (cx, w) -> cx * w), cast(0 as double), (acc, x) -> acc + x)"
+        )
+        proj_cols.append(F.round(F.expr(expr) + F.lit(1e-9), 4).alias(f"pc{ci + 1}"))
+    return base.select(F.col("id").alias(id_col), *proj_cols)

@@ -1653,6 +1653,18 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.kmeans_summary(emb, "vec_id", "embedding", k=8, iters=5)
 
 
+@register("embed_pca_project", None)  # eigendecomposition — no SQL twin, rows-only
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31e — distributed PCA projection: covariance via one
+    map-side-combined aggregate (dim² driver traffic only), numpy eigh
+    on the driver, broadcast k×dim projection as a narrow JVM map.
+    Spectral invariants pytest-asserted in tests/test_ann.py."""
+    from .operators import ann
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.pca_project(emb, "vec_id", "embedding", k=4)
+
+
 @register("hll_rollup_merge", None)  # sketch bytes engine-specific — rows-only
 def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #15d — mergeable HLL distinct counting: daily

@@ -125,3 +125,30 @@ def test_sq_codes_bounded_int8(spark, sf_dir):
     )
     lo, hi = codes.agg(F.min("mx"), F.max("mx")).collect()[0]
     assert hi <= 127 and lo == 127
+
+
+def test_pca_project_spectral_invariants(spark):
+    """On data with a planted dominant direction, pc1 must capture it:
+    projection variances come out in descending order, pc1's variance
+    dominates, and projections are centered (mean ~ 0). Deterministic
+    across runs (sign canonicalized)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 400
+    direction = np.ones(d) / np.sqrt(d)
+    base = rng.normal(0, 0.05, size=(n, d)) + np.outer(
+        rng.normal(0, 1.0, size=n), direction
+    )
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann.pca_project(df, "vec_id", "embedding", k=3)
+    arr = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in out.collect()])
+    var = arr.var(axis=0)
+    assert var[0] > var[1] >= var[2]
+    assert var[0] > 5 * var[1]  # the planted direction dominates
+    assert np.allclose(arr.mean(axis=0), 0.0, atol=1e-2)  # centered
+
+    out2 = ann.pca_project(df, "vec_id", "embedding", k=3)
+    arr2 = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in out2.collect()])
+    assert np.array_equal(arr, arr2)  # run-to-run determinism
