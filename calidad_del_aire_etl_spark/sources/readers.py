@@ -61,6 +61,29 @@ def read_json_with_quarantine(
     return good, bad
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_json_with_quarantine`: PERMISSIVE parse,
+    malformed lines land in the dead-letter relation instead of failing
+    the load. Completes the quarantine story across both text-delimited
+    ingest formats (crawl dumps arrive as both)."""
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", header)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (reference loads to PostgreSQL, dag:323-348). Needs a
     driver jar on the classpath; raises a clear error when absent."""

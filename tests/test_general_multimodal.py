@@ -205,3 +205,24 @@ def test_feature_extract_batch_path_matches_rowwise_decode(spark):
             assert out[i]["ok"]
             assert out[i]["features"] == multimodal._fake_decode(t.encode())
             assert out[i]["byte_len"] == len(t.encode())
+
+
+def test_read_csv_with_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from calidad_del_aire_etl_spark.sources import readers
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,v\n"
+        "1,2.5\n"
+        "boom,1.0\n"      # id wrong type -> quarantined
+        "3,4.0\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    good, bad = readers.read_csv_with_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 1 and "boom" in bad_rows[0]
