@@ -83,6 +83,7 @@ HEADLINE = [
     "etl_sensor_gaps",
     "hll_rollup_merge",
     "embed_pca_project",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -719,3 +719,153 @@ def fuzzy_pairs_sql(
       ON a.pfx = b.pfx AND a.id < b.id AND abs(a.len - b.len) <= {max_dist}
     WHERE levenshtein(a.t, b.t) <= {max_dist}
     """
+
+
+# --- incremental MinHash dedup (new batch vs stored corpus) ---------------
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, sig, b, bkey) band relation — the persistable signature
+    store for incremental dedup. In production this is written once per
+    corpus (bucketed by ``bkey`` so daily probes join shuffle-free) and
+    only APPENDED to; re-signing 100 TB per increment is the thing this
+    exists to avoid."""
+    rows = num_hashes // bands
+    sig_expr = (
+        f"aggregate({hashed_shingles_expr(text_col, n)}, "
+        f"transform(sequence(0, {num_hashes - 1}), k -> cast({MINHASH_P} as bigint)), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(m, k) -> least(m, {_minhash_lambda(num_hashes)})))"
+    )
+    sig = df.select(F.col(id_col).alias("id"), F.expr(sig_expr).alias("sig"))
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("b"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+            "x -> cast(x as string)), ',')"
+        ),
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus without re-signing
+    the corpus: per new doc, is it an LSH-candidate near-dup of any
+    corpus doc with signature-estimated Jaccard ≥ threshold?
+
+    Scale asymmetry is the point: the daily increment is orders of
+    magnitude smaller than the corpus, so the new side's band relation
+    BROADCASTS and the corpus band store streams once, map-side — no
+    corpus shuffle at all (with the store bucketed by bkey the residual
+    join cost is zero even when the increment outgrows broadcast).
+    Output per new doc: dup flag, minimum matching corpus id (or NULL),
+    best estimated Jaccard.
+    """
+    cb = minhash_bands(corpus, id_col, text_col, n, num_hashes, bands)
+    nb = minhash_bands(new_batch, id_col, text_col, n, num_hashes, bands)
+    est = (
+        F.expr(
+            f"size(filter(sequence(1, {num_hashes}), "
+            "i -> element_at(csig, i) = element_at(nsig, i)))"
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    cand = (
+        cb.select(
+            F.col("id").alias("corpus_id"), F.col("sig").alias("csig"), "b", "bkey"
+        )
+        .join(
+            F.broadcast(
+                nb.select(
+                    F.col("id").alias("new_id"), F.col("sig").alias("nsig"), "b", "bkey"
+                )
+            ),
+            ["b", "bkey"],
+        )
+        .select("new_id", "corpus_id", r4(est).alias("est"))
+        .filter(F.col("est") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.min("corpus_id").alias("matched_corpus_id"),
+            F.max("est").alias("best_est_jaccard"),
+        )
+    )
+    return (
+        new_batch.select(F.col(id_col).alias("new_id"))
+        .join(cand, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("matched_corpus_id").isNotNull().cast("int").alias("is_dup_of_corpus"),
+            "matched_corpus_id",
+            "best_est_jaccard",
+        )
+    )
+
+
+def incremental_minhash_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    corpus_pred: str,
+    new_pred: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    rows = num_hashes // bands
+    return f"""
+    WITH sig AS (
+      SELECT {id_col} AS id,
+             list_transform(generate_series(0, {num_hashes - 1}),
+               k -> list_min(list_transform(hs, h -> {_minhash_lambda(num_hashes)})))
+               AS sig,
+             is_new
+      FROM (
+        SELECT {id_col}, {hashed_shingles_sql(text_col, n)} AS hs,
+               CASE WHEN {new_pred} THEN 1 ELSE 0 END AS is_new
+        FROM {table} WHERE ({corpus_pred}) OR ({new_pred})
+      )
+    ), banded AS (
+      SELECT id, sig, is_new, b,
+             array_to_string(list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), ',')
+               AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+    ), cand AS (
+      SELECT nb.id AS new_id, cb.id AS corpus_id,
+             ROUND(CAST(len(list_filter(generate_series(1, {num_hashes}),
+                                        i -> cb.sig[i] = nb.sig[i])) AS DOUBLE)
+                   / {num_hashes}.0 + 1e-9, 4) AS est
+      FROM banded cb JOIN banded nb ON cb.b = nb.b AND cb.bkey = nb.bkey
+      WHERE cb.is_new = 0 AND nb.is_new = 1
+    ), hit AS (
+      SELECT new_id, MIN(corpus_id) AS matched_corpus_id,
+             MAX(est) AS best_est_jaccard
+      FROM cand WHERE est >= {threshold} GROUP BY new_id
+    )
+    SELECT t.{id_col},
+           CAST(CASE WHEN hit.matched_corpus_id IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_dup_of_corpus,
+           hit.matched_corpus_id, hit.best_est_jaccard
+    FROM (SELECT {id_col} FROM {table} WHERE {new_pred}) t
+    LEFT JOIN hit ON t.{id_col} = hit.new_id
+    """

@@ -627,6 +627,32 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    dedup.incremental_minhash_dedup_sql(
+        "documents",
+        "doc_id",
+        "text",
+        corpus_pred="doc_id % 5 != 0",
+        new_pred="doc_id % 5 = 0",
+        n=3,
+        threshold=0.5,
+    ),
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #27b — incremental dedup: the 'new batch' (every 5th
+    doc) is LSH-probed against the 'corpus' (the rest) WITHOUT
+    re-signing the corpus — the daily-increment pattern that avoids
+    re-hashing 100 TB per load. New side broadcasts (the scale
+    asymmetry); corpus band store streams map-side."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_minhash_dedup(
+        corpus, new_batch, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register(
     "dedup_cluster_star",
     dedup.resolve_duplicate_clusters_sql(
         "documents",

@@ -161,3 +161,33 @@ def test_star_cc_matches_label_prop_and_beats_diameter(spark):
         for r in resolve_duplicate_clusters(docs2, "doc_id", pairs).collect()
     }
     assert star == prop
+
+
+def test_incremental_minhash_flags_corpus_dups_only(spark):
+    """A new-batch doc duplicating a corpus doc is flagged with that
+    corpus id; a fresh doc is not — and corpus docs are never re-signed
+    into the output (only new ids appear)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different corpus document about engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+            (11, "entirely novel content that matches nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_minhash_dedup(
+            corpus, new, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {10, 11}
+    assert out[10]["is_dup_of_corpus"] == 1 and out[10]["matched_corpus_id"] == 1
+    assert out[10]["best_est_jaccard"] == 1.0
+    assert out[11]["is_dup_of_corpus"] == 0 and out[11]["matched_corpus_id"] is None
