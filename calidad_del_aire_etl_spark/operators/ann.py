@@ -123,22 +123,56 @@ def ivf_topk(
     re-assigned to its NEAREST centroid; each query probes its ``nprobe``
     nearest cells and ranks only those cells' vectors.
 
-    Scan fraction per query ≈ nprobe / |cells|. All joins against the
-    codebook and the probe list broadcast; ties on the rounded cosine
-    break by cell/neighbor id so both engines agree exactly.
+    Scale shape (the k-means codebook discipline, kmeans_fit above): the
+    |cells|×dim codebook is computed with one map-side-combined
+    posexplode aggregate and ``collect()``-ed — the ONLY driver traffic,
+    bounded by the codebook size, never the corpus. Assignment and the
+    nprobe probe list are then ONE narrow projection per row over the
+    literal codebook (``array_sort`` of per-centroid (−cosine, cell)
+    structs — no crossJoin, no window, no extra shuffle). The single
+    shuffle left in the plan is the per-query top-k window.
+
+    Scan fraction per query ≈ nprobe / |cells|. Ties on the rounded
+    cosine break by cell/neighbor id so both engines agree exactly.
     """
-    cents = ivf_centroids(df, vec_col, cell_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    ccos = r4(F.expr(COSINE_SPARK.format(a="v", b="cv")))
-    scored_cells = base.crossJoin(F.broadcast(cents)).select(
-        "id", "v", F.col("cell"), ccos.alias("ccos")
+    import math
+
+    cents = ivf_centroids(df, vec_col, cell_col).collect()
+    codebook = sorted(
+        (r["cell"], [float(x) for x in r["cv"]]) for r in cents
     )
-    w_assign = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
-    ranked = scored_cells.withColumn("crank", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("crank") == 1).select("id", "v", "cell")
-    probes = (
-        ranked.filter(query_ids_pred(F.col("id")) & (F.col("crank") <= nprobe))
-        .select(F.col("id").alias("qid"), F.col("v").alias("qv"), "cell")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Bind the query-vector norm once per row; per-centroid norms are
+    # Python-computed literals (same left-to-right fold order as the
+    # SQL ``aggregate``, so bit-identical before the r4 rounding).
+    nv = (
+        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), "
+        "(acc, x) -> acc + x))"
+    )
+    structs = []
+    for cell, cv in codebook:
+        arr = "array(" + ", ".join(f"{w!r}D" for w in cv) + ")"
+        cnorm = math.sqrt(_seq_sum_sq(cv))
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+        )
+        cell_lit = repr(cell) if isinstance(cell, str) else str(cell)
+        structs.append(
+            f"struct(-round({dot} / (nv * {cnorm!r}D) + 1e-9, 4) as nc, "
+            f"{cell_lit} as cell)"
+        )
+    ranked_expr = "array_sort(array(" + ", ".join(structs) + "))"
+    withcells = base.select(
+        "id", "v", F.expr(nv).alias("nv")
+    ).select("id", "v", F.expr(ranked_expr).alias("rk"))
+    assign = withcells.select("id", "v", F.expr("rk[0].cell").alias("cell"))
+    probes = withcells.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.expr(f"transform(slice(rk, 1, {nprobe}), s -> s.cell)")
+        ).alias("cell"),
     )
     cos = r4(F.expr(COSINE_SPARK.format(a="qv", b="v")))
     scored = (
@@ -152,6 +186,15 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rank")
     )
+
+
+def _seq_sum_sq(xs: list[float]) -> float:
+    """Left-to-right sum of squares — matches the SQL ``aggregate`` fold
+    order exactly (no pairwise/Kahan reordering)."""
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc
 
 
 def ivf_topk_sql(
