@@ -677,29 +677,50 @@ def fuzzy_pairs(
     edits inside the first ``prefix_len`` chars are missed, which
     suits near-dup corpora whose variants share openings).
 
-    The expensive levenshtein() runs JVM-side only on within-bucket
-    pairs; bucket sizes bound the quadratic term exactly like LSH
-    banding does for MinHash."""
+    Kernel-cost control (the scale path, in evaluation order):
+
+    1. a 16-bin character histogram is computed once per row (narrow,
+       O(len)); per candidate pair the L1 distance between histograms
+       is an edit-distance LOWER bound (one edit moves at most two
+       histogram units), so ``L1 > 2·max_dist`` pairs are dropped for
+       O(bins) before any kernel runs — semantics-preserving, unlike a
+       second band;
+    2. survivors run ``levenshtein(a, b, max_dist)`` — Spark's
+       THRESHOLDED kernel, banded O(len·max_dist) with early exit
+       instead of the full O(len²) table.
+
+    Bucket sizes bound the quadratic pair term exactly like LSH banding
+    does for MinHash."""
+    bins = 16
+    hist = (
+        f"transform(sequence(0, {bins - 1}), "
+        f"b -> size(filter(split({{t}}, ''), c -> pmod(ascii(c), {bins}) = b)))"
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
         F.length(text_col).cast("int").alias("len"),
         F.lower(F.substring(text_col, 1, prefix_len)).alias("pfx"),
+        F.expr(hist.format(t=text_col)).alias("hist"),
     )
     a, b = base.alias("a"), base.alias("b")
+    l1 = F.expr(
+        "aggregate(zip_with(a.hist, b.hist, (x, y) -> abs(x - y)), 0, "
+        "(acc, x) -> acc + x)"
+    )
     pairs = a.join(
         b,
         (F.col("a.pfx") == F.col("b.pfx"))
         & (F.col("a.id") < F.col("b.id"))
         & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
-    )
+    ).filter(l1 <= 2 * max_dist)
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("int").alias("edit_dist"),
+            F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist).cast("int").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
