@@ -623,7 +623,10 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical survivor per duplicate cluster."""
     docs = load(spark, sf_dir, "documents", spread=True)
     pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return dedup.resolve_duplicate_clusters(docs, "doc_id", pairs)
+    # checkpoint=False: the standalone query is collected once, so the
+    # eager checkpoint's extra materialization job is pure cost here
+    # (r3 VERDICT #3); the composed pipelines keep the default.
+    return dedup.resolve_duplicate_clusters(docs, "doc_id", pairs, checkpoint=False)
 
 
 @register(
