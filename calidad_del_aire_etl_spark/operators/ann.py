@@ -537,25 +537,33 @@ def pca_project(
     pairs = ex.select(
         "i", "xi", F.posexplode("v").alias("j", "xj")
     ).filter(F.col("j") >= F.col("i"))  # symmetric: accumulate upper triangle
+    # ONE aggregate pass (r3 ADVICE — the previous version scanned the
+    # corpus twice): the Gram sums, the per-dimension sums (read off the
+    # diagonal (i, i) groups, where xi == xj's source value), and the
+    # row count all come out of the same map-side-combined groupBy.
     gram = (
         pairs.groupBy("i", "j")
         .agg(
             F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("s"),
+            F.sum(F.col("xi").cast("double")).alias("sx"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
     )
-    sums = (
-        base.select(F.posexplode("v").alias("i", "xi"))
-        .groupBy("i")
-        .agg(F.sum(F.col("xi").cast("double")).alias("s"))
-        .collect()
-    )
-    dim = max(r["i"] for r in sums) + 1
+    if not gram:
+        raise ValueError("pca_project: input has no non-empty vectors")
+    dim = max(r["j"] for r in gram) + 1
     n = next(r["n"] for r in gram if r["i"] == 0 and r["j"] == 0)
+    diag_n = {r["i"]: r["n"] for r in gram if r["i"] == r["j"]}
+    if sorted(diag_n) != list(range(dim)) or any(c != n for c in diag_n.values()):
+        raise ValueError(
+            "pca_project: ragged vector lengths — every row must carry a "
+            f"uniform {dim}-dimensional vector"
+        )
     mean = np.zeros(dim)
-    for r in sums:
-        mean[r["i"]] = r["s"] / n
+    for r in gram:
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["sx"] / n
     cov = np.zeros((dim, dim))
     for r in gram:
         cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["s"] / n

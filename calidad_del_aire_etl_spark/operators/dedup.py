@@ -490,7 +490,12 @@ def resolve_duplicate_clusters_star(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_iters):
+    converged = False
+    # max_iters bounds CONTRACTION rounds; convergence is observed by a
+    # round whose (count, xor) signature matches its input's, so a set
+    # reaching its fixed point exactly at round max_iters needs one more
+    # (cheap, no-op) confirming round — hence the +1.
+    for _ in range(max_iters + 1):
         # -- large-star: hook every node's larger neighbors onto m(u).
         # The neighbor minimum needs the symmetric view, but the emission
         # side doesn't: edges are stored hi→lo, so "pairs (u, v) with
@@ -534,8 +539,21 @@ def resolve_duplicate_clusters_star(
         )
         edges = small
         if prev_sig == (cnt, sig):
+            converged = True
             break
         prev_sig = (cnt, sig)
+    if not converged:
+        # The final groupBy(min) below assumes the edge set is a forest
+        # of stars; on a non-converged set a node with edges to multiple
+        # non-root vertices would get a NON-CANONICAL label with no
+        # signal (r3 ADVICE). O(log² n) rounds means max_iters=12 covers
+        # components of ~2^(2^?) practical size; hitting this means the
+        # budget was set far too low — fail loudly, never mislabel.
+        raise RuntimeError(
+            f"resolve_duplicate_clusters_star: star contraction did not "
+            f"reach its fixed point within max_iters={max_iters} rounds; "
+            "labels would be non-canonical. Increase max_iters."
+        )
     # Fixed point = stars rooted at component minima: each non-root node
     # appears exactly once as u with v = its component min.
     lbl = edges.groupBy("u").agg(F.min("v").alias("lbl"))
@@ -805,16 +823,21 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus without re-signing
     the corpus: per new doc, is it an LSH-candidate near-dup of any
     corpus doc with signature-estimated Jaccard ≥ threshold?
 
     Scale asymmetry is the point: the daily increment is orders of
-    magnitude smaller than the corpus, so the new side's band relation
-    BROADCASTS and the corpus band store streams once, map-side — no
-    corpus shuffle at all (with the store bucketed by bkey the residual
-    join cost is zero even when the increment outgrows broadcast).
+    magnitude smaller than the corpus, so with ``broadcast_new=True``
+    (default) the new side's band relation broadcasts and the corpus
+    band store streams once, map-side — no corpus shuffle at all. An
+    increment that outgrows driver/broadcast limits would FAIL the job
+    under an unconditional hint (r3 ADVICE), so callers with oversized
+    batches pass ``broadcast_new=False`` to fall back to a shuffle join
+    on (b, bkey) — and with the corpus store bucketed by bkey that
+    fallback co-locates, costing only the small side's shuffle.
     Output per new doc: dup flag, minimum matching corpus id (or NULL),
     best estimated Jaccard.
     """
@@ -827,18 +850,16 @@ def incremental_minhash_dedup(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
+    new_bands = nb.select(
+        F.col("id").alias("new_id"), F.col("sig").alias("nsig"), "b", "bkey"
+    )
+    if broadcast_new:
+        new_bands = F.broadcast(new_bands)
     cand = (
         cb.select(
             F.col("id").alias("corpus_id"), F.col("sig").alias("csig"), "b", "bkey"
         )
-        .join(
-            F.broadcast(
-                nb.select(
-                    F.col("id").alias("new_id"), F.col("sig").alias("nsig"), "b", "bkey"
-                )
-            ),
-            ["b", "bkey"],
-        )
+        .join(new_bands, ["b", "bkey"])
         .select("new_id", "corpus_id", r4(est).alias("est"))
         .filter(F.col("est") >= threshold)
         .groupBy("new_id")

@@ -364,21 +364,32 @@ GAP_OUT_SCHEMA = (
 GAP_STATE_SCHEMA = "last_us bigint"
 
 
-def _gap_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-sensor gap detector: state is one integer — the last seen
-    event time in epoch-micros. Events are processed in event-time order
-    within the micro-batch; a jump beyond the threshold emits a gap row.
-    State is O(1) per key forever (vs buffering readings), the shape
-    that keeps a million-sensor fleet's state store flat."""
-    import pandas as pd
+def _make_gap_fn(max_gap_minutes: int):
+    """Build the per-sensor gap detector with the threshold bound in
+    (closure, so the streaming twin matches the batch operator at ANY
+    threshold, not just the default — r3 ADVICE)."""
+    threshold_us = max_gap_minutes * 60 * 1_000_000
 
-    threshold_us = 120 * 60 * 1_000_000
-    last = state.get[0] if state.exists else None
-    rows = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
+    def _gap_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-sensor gap detector: state is one integer — the last seen
+        event time in epoch-micros. State is O(1) per key forever (vs
+        buffering readings), the shape that keeps a million-sensor
+        fleet's state store flat.
+
+        applyInPandasWithState delivers a group's micro-batch rows as
+        MULTIPLE Arrow chunks with no ordering guarantee, so all chunks
+        are concatenated and sorted ONCE before the scan — sorting each
+        chunk independently can miss gaps or emit wrong bounds when
+        events split across chunks arrive out of event-time order
+        (r3 ADVICE)."""
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        ts_sorted = sorted(t for pdf in pdfs for t in pdf["ts"])
+        rows = []
+        for ts in ts_sorted:
             cur = int(pd.Timestamp(ts).value // 1_000)  # ns -> us
             if last is not None and cur - last > threshold_us:
                 rows.append(
@@ -390,20 +401,22 @@ def _gap_fn(
                     )
                 )
             last = cur if last is None else max(last, cur)
-    state.update((last,))
-    yield pd.DataFrame(
-        rows, columns=["user_id", "gap_start", "gap_end", "gap_minutes"]
-    )
+        state.update((last,))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "gap_start", "gap_end", "gap_minutes"]
+        )
+
+    return _gap_fn
 
 
-def streaming_sensor_gaps(stream: DataFrame) -> DataFrame:
+def streaming_sensor_gaps(stream: DataFrame, max_gap_minutes: int = 120) -> DataFrame:
     """#40c — streaming twin of the batch ``etl_sensor_gaps`` operator
     (operators/cleaning.py): per-sensor reading-gap rows as they become
     detectable, across micro-batch boundaries (the gap between the last
     event of batch N and the first of batch N+1 is found via the
     carried state, which a per-batch window could never see)."""
     return stream.groupBy("user_id").applyInPandasWithState(
-        _gap_fn,
+        _make_gap_fn(max_gap_minutes),
         outputStructType=GAP_OUT_SCHEMA,
         stateStructType=GAP_STATE_SCHEMA,
         outputMode="append",

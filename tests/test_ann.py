@@ -152,3 +152,20 @@ def test_pca_project_spectral_invariants(spark):
     out2 = ann.pca_project(df, "vec_id", "embedding", k=3)
     arr2 = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in out2.collect()])
     assert np.array_equal(arr, arr2)  # run-to-run determinism
+
+
+def test_pca_project_rejects_empty_and_ragged(spark):
+    """Empty input and ragged vector lengths must fail loudly — the
+    covariance normalization silently skews otherwise (r3 ADVICE)."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-empty vectors"):
+        ann.pca_project(empty, "vec_id", "embedding", k=2)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        ann.pca_project(ragged, "vec_id", "embedding", k=2)

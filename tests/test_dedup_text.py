@@ -163,6 +163,24 @@ def test_star_cc_matches_label_prop_and_beats_diameter(spark):
     assert star == prop
 
 
+def test_star_cc_raises_on_exhausted_budget(spark):
+    """A budget too small to reach the star fixed point must raise, not
+    silently emit non-canonical labels (r3 ADVICE)."""
+    import pytest
+
+    from calidad_del_aire_etl_spark.operators.dedup import (
+        resolve_duplicate_clusters_star,
+    )
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not reach its fixed point"):
+        resolve_duplicate_clusters_star(docs, "doc_id", chain, max_iters=1)
+
+
 def test_incremental_minhash_flags_corpus_dups_only(spark):
     """A new-batch doc duplicating a corpus doc is flagged with that
     corpus id; a fresh doc is not — and corpus docs are never re-signed

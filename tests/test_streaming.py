@@ -326,3 +326,55 @@ def test_streaming_sensor_gaps_across_batches(spark, input_dir):
     assert g["user_id"] == 7 and g["gap_minutes"] == 305.0
     assert g["gap_start"] == dt.datetime(2024, 1, 1, 10, 30)
     assert g["gap_end"] == late
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving state functions directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_gap_fn_multi_chunk_out_of_order():
+    """applyInPandasWithState may deliver a group's rows as several Arrow
+    chunks in ANY order; the detector must concatenate and sort across
+    chunks, or an early event arriving in a later chunk is absorbed by
+    the max() guard and its gap is missed / mis-bounded (r3 ADVICE)."""
+    import pandas as pd
+
+    fn = jobs._make_gap_fn(60)  # custom threshold: 60 min
+    # chunk 1 holds the LATER events, chunk 2 the earlier one.
+    chunk1 = pd.DataFrame({"ts": [dt.datetime(2024, 1, 1, 5, 0),
+                                  dt.datetime(2024, 1, 1, 9, 0)]})
+    chunk2 = pd.DataFrame({"ts": [dt.datetime(2024, 1, 1, 0, 0)]})
+    state = _FakeState()
+    out = pd.concat(list(fn((7,), iter([chunk1, chunk2]), state)))
+    # correct event-time order 00:00 -> 05:00 -> 09:00: two gaps (300, 240 min)
+    assert list(out["gap_minutes"]) == [300.0, 240.0]
+    assert list(out["gap_start"]) == [dt.datetime(2024, 1, 1, 0, 0),
+                                      dt.datetime(2024, 1, 1, 5, 0)]
+    assert state.get == (int(pd.Timestamp(dt.datetime(2024, 1, 1, 9, 0)).value // 1_000),)
+
+
+def test_gap_fn_threshold_parameter():
+    """The closure threshold matches the batch operator's parameter: a
+    45-minute silence is a gap at max_gap_minutes=30, not at 120."""
+    import pandas as pd
+
+    chunk = pd.DataFrame({"ts": [dt.datetime(2024, 1, 1, 0, 0),
+                                 dt.datetime(2024, 1, 1, 0, 45)]})
+    tight = pd.concat(list(jobs._make_gap_fn(30)((7,), iter([chunk]), _FakeState())))
+    loose = pd.concat(list(jobs._make_gap_fn(120)((7,), iter([chunk]), _FakeState())))
+    assert list(tight["gap_minutes"]) == [45.0]
+    assert len(loose) == 0
