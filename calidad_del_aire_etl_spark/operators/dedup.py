@@ -404,11 +404,15 @@ def resolve_duplicate_clusters(
     #   stalls plan compilation even though execution reads the cache
     #   (r2 VERDICT #5). The label relation is (id, lbl) — tiny next to
     #   the corpus — so the checkpoint write is negligible there.
-    # - checkpoint=False (standalone query, collected once): skip the
-    #   extra materialization job and return a projection of the
-    #   already-persisted final labels (the convergence aggregate
-    #   materialized that cache). The final round's (id, lbl) cache is
-    #   left pinned for the caller to consume; edges still unpersist.
+    # - checkpoint=False (standalone query, collected once): a LAZY
+    #   localCheckpoint — the plan text still truncates to a LogicalRDD
+    #   immediately (explain/AQE formatting stays bounded, which the
+    #   plan-ceiling test enforces), but no extra materialization job
+    #   runs: the caller's own first action computes the checkpoint by
+    #   reading the already-persisted final labels (the convergence
+    #   aggregate materialized that cache). The (id, lbl) cache stays
+    #   pinned — unpersisting it before the lazy checkpoint computes
+    #   would re-expand the whole round history; edges still unpersist.
     proj = labels.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("canonical_id"),
@@ -418,7 +422,7 @@ def resolve_duplicate_clusters(
         result = proj.localCheckpoint(eager=True)
         labels.unpersist()
     else:
-        result = proj
+        result = proj.localCheckpoint(eager=False)
     edges.unpersist()
     return result
 

@@ -243,3 +243,31 @@ def test_dash_kpis_single_fact_pass(spark):
     (r2 VERDICT regression)."""
     p = plan(spark, "dash_kpis")
     assert "Scan parquet" not in p
+
+
+def test_every_headliner_under_plan_size_ceiling(spark):
+    """Hard gate on formatted-plan size for EVERY benched query (r3
+    VERDICT #7): plan_audit.py only failed when run as a script, so a
+    ballooning plan (the r2 flagship hit 1100+ Exchange mentions from
+    iterative lineage re-expansion) could land without tripping CI.
+    Exchange-mention count is the canary — lineage blowup inflates it
+    first; the ceiling is far above any sane plan (~30) but far below
+    the pathology (1100+)."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import EXCHANGE_MENTION_CEILING
+    from bench import HEADLINE
+
+    qs = registry.queries()
+    oversized = []
+    for name in HEADLINE:
+        p_text = plan(spark, name)
+        n = p_text.count("Exchange")
+        if n > EXCHANGE_MENTION_CEILING:
+            oversized.append((name, n))
+    assert not oversized, (
+        f"plan-size ceiling ({EXCHANGE_MENTION_CEILING} Exchange mentions) "
+        f"exceeded: {oversized} — runaway lineage; checkpoint the iterative "
+        "or multi-consumer boundary"
+    )
