@@ -128,12 +128,23 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Best-of-2 per query (r3 VERDICT #4): single-shot timings on a
+    # shared machine showed 2-4x contention inflation vs a dedicated
+    # session (ann_bruteforce_topk 2.11s benched vs 0.89s dedicated),
+    # turning round-over-round comparisons into phantom regressions.
+    # The min of two back-to-back runs is the steady-state number the
+    # plan actually costs; suite wall time roughly doubles, which the
+    # driver's budget absorbs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
