@@ -134,13 +134,15 @@ def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **options
 ) -> None:
     """JDBC sink (reference dag:323-348's PostgreSQL path). Requires a
-    driver jar; raises a clear error when absent."""
+    driver jar; raises a clear error when absent. Integration-tested
+    against embedded Derby (shipped in Spark's jars) in
+    tests/test_jdbc.py — overwrite and append round-trips."""
     try:
         w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
         for k, v in options.items():
             w = w.option(k, v)
         w.save()
-    except Exception as e:  # pragma: no cover - no jdbc driver in test image
+    except Exception as e:  # pragma: no cover - driver genuinely absent
         raise RuntimeError(
             "JDBC sink unavailable (no driver jar on the classpath); "
             "add e.g. postgresql.jar via spark.jars"

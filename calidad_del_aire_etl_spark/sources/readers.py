@@ -86,13 +86,16 @@ def read_csv_with_quarantine(
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (reference loads to PostgreSQL, dag:323-348). Needs a
-    driver jar on the classpath; raises a clear error when absent."""
+    driver jar on the classpath; raises a clear error when absent.
+    Integration-tested against embedded Derby (shipped in Spark's jars)
+    in tests/test_jdbc.py — round-trip, partitioned parallel read, and
+    filter pushdown."""
     try:
         reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load()
-    except Exception as e:  # pragma: no cover - no jdbc driver in test image
+    except Exception as e:  # pragma: no cover - driver genuinely absent
         raise RuntimeError(
             "JDBC source unavailable (no driver jar on the classpath); "
             "add e.g. postgresql.jar via spark.jars"
