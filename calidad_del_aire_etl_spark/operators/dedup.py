@@ -455,6 +455,7 @@ def resolve_duplicate_clusters_star(
     id_col: str,
     pairs: DataFrame,
     max_iters: int = 12,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., *Connected Components in MapReduce and
@@ -569,8 +570,14 @@ def resolve_duplicate_clusters_star(
             F.coalesce("lbl", "id").alias("canonical_id"),
             (F.coalesce("lbl", "id") == F.col("id")).cast("int").alias("is_canonical"),
         )
-        .localCheckpoint(eager=True)
     )
+    # The per-round edges are already checkpoint leaves, so the result's
+    # plan text is bounded either way; the final EAGER checkpoint (which
+    # materializes a corpus-sized relation in its own job) is worth
+    # paying only when the caller composes/reuses the result — the
+    # same standalone-vs-pipeline trade as resolve_duplicate_clusters.
+    if checkpoint:
+        result = result.localCheckpoint(eager=True)
     return result
 
 

@@ -671,7 +671,9 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure), so parity proves the two CC variants agree."""
     docs = load(spark, sf_dir, "documents", spread=True)
     pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return dedup.resolve_duplicate_clusters_star(docs, "doc_id", pairs)
+    return dedup.resolve_duplicate_clusters_star(
+        docs, "doc_id", pairs, checkpoint=False
+    )
 
 
 @register("text_lang_id", text.lang_id_sql("documents", "doc_id", "text"))
