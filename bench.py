@@ -84,6 +84,12 @@ HEADLINE = [
     "hll_rollup_merge",
     "embed_pca_project",
     "dedup_incremental_minhash",
+    # round-4 additions
+    "text_readability",
+    "corpus_unigram_logprob",
+    "corpus_split_decontaminated",
+    "etl_outlier_mad",
+    "events_cusum_alarms",
 ]
 
 

@@ -740,3 +740,139 @@ def seasonal_anomaly_sql(z_thresh: float = 3.0) -> str:
     WHERE b.sigma IS NOT NULL AND b.sigma > 0
       AND ROUND(abs((k.value - b.mu) / b.sigma) + 1e-9, 4) > {z_thresh}
     """
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outliers
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(events: DataFrame, k: float = 3.5) -> DataFrame:
+    """Robust per-``event_type`` outliers via the modified z-score:
+    |x − median| > k · 1.4826 · MAD (MAD = median absolute deviation).
+    Unlike the mean/stddev z-score (etl_outlier_iqr's cousin), a single
+    extreme reading cannot drag the threshold — the 50% breakdown point
+    is the reason fleet telemetry pipelines prefer MAD.
+
+    Plan: two exact-percentile aggregates over the fact (median, then
+    MAD of the residuals) — each map-side partially aggregated to one
+    sketch row per (type, partition) — with the tiny per-type results
+    broadcast back. The fact never shuffles; both joins are map-side.
+    Thresholds are r4-rounded on BOTH engines before the comparison so
+    an ulp of aggregate nondeterminism cannot flip a boundary row.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type").withColumn(
+        "rz",
+        F.round(
+            F.abs(F.col("value") - F.col("med"))
+            / F.greatest(F.lit(1.4826) * F.col("mad"), F.lit(1e-9))
+            + F.lit(1e-9),
+            4,
+        ),
+    )
+    return (
+        scored.filter(F.col("rz") > k)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            r4(F.col("med")).alias("type_median"),
+            r4(F.col("mad")).alias("type_mad"),
+            F.col("rz").alias("robust_z"),
+        )
+    )
+
+
+def mad_outliers_sql(k: float = 3.5) -> str:
+    return f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    ), scored AS (
+      SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+             ROUND(abs(e.value - m.med)
+                   / GREATEST(1.4826 * d.mad, 1e-9) + 1e-9, 4) AS rz
+      FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    )
+    SELECT event_id, event_type, value,
+           ROUND(med + 1e-9, 4) AS type_median,
+           ROUND(mad + 1e-9, 4) AS type_mad,
+           rz AS robust_z
+    FROM scored WHERE rz > {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint alarms
+# ---------------------------------------------------------------------------
+
+
+def cusum_alarms(events: DataFrame, slack: float = 0.5, h: float = 5.0) -> DataFrame:
+    """One-sided CUSUM drift alarms per user: S_i = max(0, S_{i−1} +
+    (x_i − target − slack)) crossing ``h`` flags a sustained upward
+    shift (a sensor drifting hot) that per-point outlier tests miss.
+
+    The recursive definition has a closed form over prefix sums —
+    S_i = cs_i − min_{j≤i}(cs_j) with cs the running sum of deviations —
+    so the whole operator is ONE window pass (two window functions over
+    the same (user, ts) frame, one shuffle), instead of an iterative
+    loop. The window order includes event_id so the sequential FP
+    summation order — hence the bitwise result — is identical across
+    engines; the target is the r4-rounded per-user mean on BOTH sides.
+    """
+    target = events.groupBy("user_id").agg(r4(F.avg("value")).alias("target"))
+    dev = events.join(F.broadcast(target), "user_id").withColumn(
+        "d", F.col("value") - F.col("target") - F.lit(slack)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = dev.withColumn("cs", F.sum("d").over(w)).withColumn(
+        "s", F.col("cs") - F.least(F.min("cs").over(w), F.lit(0.0))
+    )
+    return (
+        run.withColumn("s", F.round(F.col("s") + F.lit(1e-9), 4))
+        .filter(F.col("s") > h)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            F.col("s").alias("cusum"),
+        )
+    )
+
+
+def cusum_alarms_sql(slack: float = 0.5, h: float = 5.0) -> str:
+    return f"""
+    WITH target AS (
+      SELECT user_id, ROUND(AVG(value) + 1e-9, 4) AS target
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.ts, e.value,
+             e.value - t.target - {slack} AS d
+      FROM events e JOIN target t USING (user_id)
+    ), cs AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cs
+      FROM dev
+    ), run AS (
+      SELECT user_id, event_id, ts, value, cs,
+             LEAST(MIN(cs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING), 0.0) AS mn
+      FROM cs
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+           ROUND(cs - mn + 1e-9, 4) AS cusum
+    FROM run WHERE ROUND(cs - mn + 1e-9, 4) > {h}
+    """

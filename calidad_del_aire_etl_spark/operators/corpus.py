@@ -622,3 +622,176 @@ def dup_spans_sql(
     FROM sp JOIN per_span USING (h)
     GROUP BY sp.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM log-prob scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    head_size: int = 4096,
+) -> DataFrame:
+    """Per-document mean log2 probability under the corpus's own
+    unigram LM — the classic LM-quality filter (CCNet / Wenzek et al.):
+    documents whose tokens are improbable under the corpus distribution
+    (boilerplate, lists, garbled bytes) score low and get filtered or
+    down-weighted before training.
+
+    Scale shape: the token→frequency join is Zipf-skewed — the head
+    token ("the") appears in essentially every document, so a plain
+    shuffle join sends its entire fan-out to one reducer. Guard: the
+    ``head_size`` most frequent tokens (the entire skew, by Zipf's law)
+    BROADCAST and join map-side with no shuffle; only the long tail —
+    where per-token fan-out is tiny by construction — takes the shuffle
+    join. The split is plan-level only: probabilities are identical on
+    both paths, so the DuckDB twin needs no notion of it.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.expr(_TOKS.format(t=text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("s"))
+    head = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(head_size)
+    hit_head = toks.join(F.broadcast(head), "tok")
+    tail_freq = freq.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+    hit_tail = toks.join(
+        F.broadcast(head.select("tok")), "tok", "left_anti"
+    ).join(tail_freq, "tok")
+    scored = hit_head.unionByName(hit_tail).crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            r4(F.avg(F.log2(F.col("c").cast("double") / F.col("s")))).alias(
+                "mean_log2_prob"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_log2_prob")
+    )
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS s FROM freq
+    )
+    SELECT t.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(log2(CAST(f.c AS DOUBLE) / tot.s)) + 1e-9, 4)
+             AS mean_log2_prob
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY t.id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated train/test split (split hygiene)
+# ---------------------------------------------------------------------------
+
+
+def split_decontaminated(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    test_buckets: int = 10,
+    test_cut: int = 2,
+) -> DataFrame:
+    """Hash-deterministic train/test split with leakage flags — the
+    split-hygiene step (test docs sharing verbatim n-grams with train
+    docs inflate eval scores; Dodge et al. 2021). Docs land in ``test``
+    when their md5 bucket < ``test_cut`` of ``test_buckets`` (stable
+    across runs/engines — no RNG); a test doc is ``is_leaked`` when it
+    shares ANY word ``n``-gram with any train doc.
+
+    Scale shape: the train side — the big one — NEVER shuffles: the
+    (small) distinct test-gram set broadcasts into a map-side semi-probe
+    over the exploded train grams, whose matches (bounded by the test
+    gram count) are deduped and broadcast back to flag test docs. Both
+    shuffles in the plan are over test-sized relations only.
+    """
+    bucket = F.expr(
+        f"pmod(cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) "
+        f"as bigint), {test_buckets})"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(bucket < test_cut, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+        F.col(text_col).alias("__t"),
+    )
+    grams = F.explode(F.expr(f"array_distinct({_ngram_expr('__t', n)})"))
+    test_grams = (
+        base.filter(F.col("split") == "test").select(grams.alias("gram")).distinct()
+    )
+    leaked_grams = (
+        base.filter(F.col("split") == "train")
+        .select(grams.alias("gram"))
+        .join(F.broadcast(test_grams), "gram")
+        .distinct()
+    )
+    leaked_docs = (
+        base.filter(F.col("split") == "test")
+        .select(F.col(id_col), grams.alias("gram"))
+        .join(F.broadcast(leaked_grams), "gram")
+        .select(id_col)
+        .distinct()
+        .withColumn("__leak", F.lit(1))
+    )
+    return (
+        base.join(leaked_docs, id_col, "left")
+        .select(
+            F.col(id_col),
+            "split",
+            F.when(F.col("split") == "test", F.coalesce(F.col("__leak"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_leaked"),
+        )
+    )
+
+
+def split_decontaminated_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    test_buckets: int = 10,
+    test_cut: int = 2,
+) -> str:
+    grams = _ngram_sql(text_col, n)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {text_col},
+             CASE WHEN (('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
+                        % {test_buckets}) < {test_cut}
+                  THEN 'test' ELSE 'train' END AS split
+      FROM {table}
+    ), test_grams AS (
+      SELECT DISTINCT unnest(list_distinct({grams})) AS gram
+      FROM base WHERE split = 'test'
+    ), leaked_grams AS (
+      SELECT DISTINCT g.gram
+      FROM (SELECT unnest(list_distinct({grams})) AS gram
+            FROM base WHERE split = 'train') g
+      JOIN test_grams USING (gram)
+    ), leaked_docs AS (
+      SELECT DISTINCT b.{id_col}
+      FROM (SELECT {id_col}, unnest(list_distinct({grams})) AS gram
+            FROM base WHERE split = 'test') b
+      JOIN leaked_grams USING (gram)
+    )
+    SELECT base.{id_col}, base.split,
+           CAST(CASE WHEN base.split = 'test' AND leaked_docs.{id_col} IS NOT NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS is_leaked
+    FROM base LEFT JOIN leaked_docs USING ({id_col})
+    """

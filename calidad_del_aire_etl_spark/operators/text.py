@@ -401,3 +401,62 @@ def normalize_sql(table: str, id_col: str, text_col: str) -> str:
            md5({norm}) AS norm_hash
     FROM {table}
     """
+
+
+# --- #35e readability ------------------------------------------------------
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch-reading-ease-style readability per document, from three
+    regexp counts (all JVM-side, zero shuffle):
+
+    - words: whitespace tokens;
+    - sentences: runs of ``.!?`` (min 1 — headline-like fragments count
+      as one sentence);
+    - syllables: vowel-group runs ``[aeiouyAEIOUY]+`` — the standard
+      cheap proxy (hyphenation dictionaries don't distribute).
+
+    score = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word).
+    Low scores flag run-on/dense docs — a quality-filter axis
+    complementary to `text_quality_score` (which sees punctuation soup
+    and stopword density, not sentence structure)."""
+    t = F.col(text_col)
+    n_words = F.greatest(
+        F.size(F.split(F.trim(t), r"\s+")).cast("double"), F.lit(1.0)
+    )
+    n_sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("double"), F.lit(1.0)
+    )
+    n_syll = F.regexp_count(t, F.lit(r"[aeiouyAEIOUY]+")).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        r4(score).alias("flesch_score"),
+    )
+
+
+def readability_sql(table: str, id_col: str, text_col: str) -> str:
+    t = text_col
+    n_words = rf"GREATEST(CAST(len(regexp_split_to_array(trim({t}), '\s+')) AS DOUBLE), 1.0)"
+    n_sents = r"GREATEST(CAST(len(regexp_extract_all(" + t + r", '[.!?]+')) AS DOUBLE), 1.0)"
+    n_syll = r"CAST(len(regexp_extract_all(" + t + r", '[aeiouyAEIOUY]+')) AS DOUBLE)"
+    return f"""
+    SELECT {id_col},
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sentences,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (n_words / n_sents)
+                 - 84.6 * (n_syll / n_words) + 1e-9, 4) AS flesch_score
+    FROM (
+      SELECT {id_col}, {n_words} AS n_words, {n_sents} AS n_sents,
+             {n_syll} AS n_syll
+      FROM {table}
+    )
+    """

@@ -2716,3 +2716,55 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell baseline — the reference's mean±k·sigma rule (dag:207-215),
     cycle-adjusted; baseline broadcast, narrow z projection."""
     return analytics2.seasonal_anomaly(load(spark, sf_dir, "events"), 3.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: readability, unigram-LM scoring, split hygiene,
+# robust outliers, CUSUM changepoints.
+# ---------------------------------------------------------------------------
+
+
+@register("text_readability", text.readability_sql("documents", "doc_id", "text"))
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #35e — Flesch-style readability from three regexp
+    counts; zero-shuffle narrow projection."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return text.readability(docs, "doc_id", "text")
+
+
+@register(
+    "corpus_unigram_logprob",
+    corpus.unigram_logprob_sql("documents", "doc_id", "text"),
+)
+def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49h — CCNet-style unigram-LM quality score; the
+    Zipf-head token join broadcasts (skew guard), only the long tail
+    shuffles."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.unigram_logprob(docs, "doc_id", "text")
+
+
+@register(
+    "corpus_split_decontaminated",
+    corpus.split_decontaminated_sql("documents", "doc_id", "text"),
+)
+def q_corpus_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49i — hash-deterministic train/test split with
+    verbatim n-gram leakage flags; the train side never shuffles."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.split_decontaminated(docs, "doc_id", "text")
+
+
+@register("etl_outlier_mad", analytics2.mad_outliers_sql(3.5))
+def q_etl_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #4b — robust median/MAD outliers per event type
+    (50% breakdown point vs the IQR/z rules); fact never shuffles,
+    per-type stats broadcast."""
+    return analytics2.mad_outliers(load(spark, sf_dir, "events"), 3.5)
+
+
+@register("events_cusum_alarms", analytics2.cusum_alarms_sql(0.5, 5.0))
+def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #18b — one-sided CUSUM drift alarms per user via the
+    prefix-sum closed form: one window shuffle, no iteration."""
+    return analytics2.cusum_alarms(load(spark, sf_dir, "events"), 0.5, 5.0)
