@@ -90,6 +90,7 @@ HEADLINE = [
     "corpus_split_decontaminated",
     "etl_outlier_mad",
     "events_cusum_alarms",
+    "ann_pq_topk",
 ]
 
 

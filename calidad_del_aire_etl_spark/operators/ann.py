@@ -585,3 +585,154 @@ def pca_project(
         )
         proj_cols.append(F.round(F.expr(expr) + F.lit(1e-9), 4).alias(f"pc{ci + 1}"))
     return base.select(F.col("id").alias(id_col), *proj_cols)
+
+
+# --- product-quantized (PQ) top-k ------------------------------------------
+# The classic ANN compression family (Jégou et al., TPAMI'11) alongside
+# SQ and IVF: vectors are chopped into M subspaces, each encoded as the
+# id of its nearest subspace centroid -> M small ints per vector (here
+# 8 codes ~ 8 bytes vs 256 bytes of float32: 32x less corpus-side
+# bandwidth). Queries stay exact and score candidates with the
+# asymmetric distance (ADC): sum over subspaces of the query-subvector
+# -> centroid distance looked up by the corpus code.
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_ids_pred,
+    k: int = 5,
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """PQ approximate top-k. The per-subspace codebooks are slices of
+    the per-``cell_col`` mean vectors (the same deterministic stand-in
+    for a k-means training pass as ivf_topk, and literally the same
+    collected |cells|×dim codebook — the ONLY driver traffic).
+
+    Plan shape: encoding is one narrow projection per corpus row
+    (M × |cells| literal-centroid distances, argmin by first-occurrence
+    of the rounded minimum); queries broadcast; the single shuffle is
+    the per-query top-k window. Distances are r4-rounded BEFORE every
+    argmin/lookup on BOTH engines, so an ulp of centroid-average
+    nondeterminism cannot flip a code assignment.
+    """
+    cents = ivf_centroids(df, vec_col, cell_col).collect()
+    codebook = sorted((r["cell"], [float(x) for x in r["cv"]]) for r in cents)
+    dim = len(codebook[0][1])
+    assert dim % m_subspaces == 0, "dim must divide into subspaces"
+    sub = dim // m_subspaces
+
+    def _sub_dist(vec_expr: str, m: int, cv: list[float]) -> str:
+        """Rounded squared-L2 between a vector's m-th subspace slice and
+        a literal centroid slice."""
+        s = cv[m * sub : (m + 1) * sub]
+        arr = "array(" + ", ".join(f"{w!r}D" for w in s) + ")"
+        return (
+            f"round(aggregate(zip_with(slice({vec_expr}, {m * sub + 1}, {sub}), {arr}, "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "cast(0 as double), (acc, x) -> acc + x) + 1e-9, 4)"
+        )
+
+    # corpus codes: per subspace, 1-based index of the first-minimum
+    # centroid distance (matches DuckDB list_position semantics)
+    code_terms = []
+    for m in range(m_subspaces):
+        darr = "array(" + ", ".join(_sub_dist("v", m, cv) for _, cv in codebook) + ")"
+        code_terms.append(
+            f"get(transform(array({darr}), d -> array_position(d, array_min(d))), 0)"
+        )
+    codes_expr = "array(" + ", ".join(code_terms) + ")"
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    encoded = base.select("id", F.expr(codes_expr).alias("code"))
+    queries = base.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    # ADC: per subspace, the query's rounded distance to EVERY centroid
+    # rides as a small array; the corpus code picks one by index.
+    adc_terms = []
+    for m in range(m_subspaces):
+        darr = "array(" + ", ".join(_sub_dist("qv", m, cv) for _, cv in codebook) + ")"
+        adc_terms.append(f"element_at({darr}, cast(element_at(code, {m + 1}) as int))")
+    adc = F.round(F.expr(" + ".join(adc_terms)) + F.lit(1e-9), 4)
+    scored = (
+        encoded.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("neighbor_id"), adc.alias("pq_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "pq_dist", "rank")
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    m_subspaces: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`pq_topk`: recomputes the same
+    per-cell mean codebook, encodes with the same first-minimum argmin
+    over r4-rounded subspace distances, scores with the same ADC."""
+    sub = dim // m_subspaces
+
+    def _sub_dist_sql(vec: str, m: int, cvec: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> (CAST({vec}[{m * sub}+i] AS DOUBLE) - {cvec}[{m * sub}+i])"
+            f" * (CAST({vec}[{m * sub}+i] AS DOUBLE) - {cvec}[{m * sub}+i]))) + 1e-9, 4)"
+        )
+
+    code_cols = ", ".join(
+        "list_position(dl{m}, list_min(dl{m})) AS c{m}".format(m=m)
+        for m in range(m_subspaces)
+    )
+    dl_cols = ", ".join(
+        f"list_transform(cb.cbl, cv -> {_sub_dist_sql('b.v', m, 'cv')}) AS dl{m}"
+        for m in range(m_subspaces)
+    )
+    qdl_cols = ", ".join(
+        f"list_transform(cb.cbl, cv -> {_sub_dist_sql('b.v', m, 'cv')}) AS qdl{m}"
+        for m in range(m_subspaces)
+    )
+    adc = " + ".join(f"q.qdl{m}[e.c{m}]" for m in range(m_subspaces))
+    return f"""
+    WITH ex AS (
+      SELECT {cell_col} AS cell,
+             generate_subscripts({vec_col}, 1) AS pos,
+             unnest({vec_col}) AS x
+      FROM {table}
+    ), cent AS (
+      SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
+    ), cvec AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), cb AS (
+      SELECT list(cv ORDER BY cell) AS cbl FROM cvec
+    ), b AS (
+      SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    ), dists AS (
+      SELECT b.id, b.v, {dl_cols} FROM b CROSS JOIN cb
+    ), enc AS (
+      SELECT id, {code_cols} FROM dists
+    ), q AS (
+      SELECT b.id AS qid, b.v AS qv, {qdl_cols}
+      FROM (SELECT id, v FROM b) b CROSS JOIN cb
+      WHERE ({query_pred_sql})
+    )
+    SELECT query_id, neighbor_id, pq_dist, rank FROM (
+      SELECT q.qid AS query_id, e.id AS neighbor_id,
+             ROUND(({adc}) + 1e-9, 4) AS pq_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(({adc}) + 1e-9, 4) ASC, e.id ASC) AS INTEGER) AS rank
+      FROM enc e CROSS JOIN q WHERE e.id != q.qid
+    ) WHERE rank <= {k}
+    """

@@ -2763,6 +2763,22 @@ def q_etl_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics2.mad_outliers(load(spark, sf_dir, "events"), 3.5)
 
 
+@register(
+    "ann_pq_topk",
+    ann.pq_topk_sql(
+        "embeddings", "vec_id", "embedding", "label", "id < 10", k=5, m_subspaces=8
+    ),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31f — product-quantized top-5: 8 subspace codes per
+    vector (32x less corpus bandwidth than float32), asymmetric-distance
+    scoring; codebook collected once, single window shuffle."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.pq_topk(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, m_subspaces=8
+    )
+
+
 @register("events_cusum_alarms", analytics2.cusum_alarms_sql(0.5, 5.0))
 def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #18b — one-sided CUSUM drift alarms per user via the

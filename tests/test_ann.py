@@ -169,3 +169,51 @@ def test_pca_project_rejects_empty_and_ragged(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         ann.pca_project(ragged, "vec_id", "embedding", k=2)
+
+
+def test_pq_distance_fidelity_and_recall_above_chance(spark, sf_dir):
+    """What PQ actually guarantees is that the asymmetric distance
+    approximates true L2 — so the pin is (a) a positive rank
+    correlation between pq_dist and the exact L2 distance over a
+    query's full candidate list, and (b) top-5 recall vs the exact-L2
+    baseline comfortably above chance. (The testdata embeddings are
+    near-isotropic and the label-mean codebook is deliberately a
+    deterministic training stand-in, so ABSOLUTE recall is weak by
+    construction — the structural contract, not a tuned recall number,
+    is what this test protects.) Ranks must be dense, distances
+    non-negative."""
+    import numpy as np
+
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in em.collect()}
+    n = len(vecs)
+    truth = set()
+    for qid in (i for i in vecs if i < 10):
+        d = sorted(
+            (float(np.sum((vecs[qid] - v) ** 2)), nid)
+            for nid, v in vecs.items() if nid != qid
+        )[:5]
+        truth |= {(qid, nid) for _, nid in d}
+    # full candidate list for one query: k = n-1 exposes every distance
+    full = ann.pq_topk(
+        em, "vec_id", "embedding", "label", lambda c: c == 0, k=n - 1
+    ).collect()
+    exact = {nid: float(np.sum((vecs[0] - v) ** 2)) for nid, v in vecs.items() if nid != 0}
+    pq_d = np.array([r["pq_dist"] for r in full])
+    ex_d = np.array([exact[r["neighbor_id"]] for r in full])
+    rho = np.corrcoef(np.argsort(np.argsort(pq_d)), np.argsort(np.argsort(ex_d)))[0, 1]
+    assert rho > 0.2, f"ADC distance lost the L2 geometry: rho={rho}"
+    pq = ann.pq_topk(em, "vec_id", "embedding", "label", lambda c: c < 10, k=5)
+    rows = pq.collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(approx) > 0
+    recall = len(truth & approx) / len(truth)
+    chance = 5.0 / (n - 1)
+    assert recall >= 2 * chance, f"PQ recall not above chance: {recall} vs {chance}"
+    by_q = {}
+    for r in rows:
+        assert r["pq_dist"] >= 0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
