@@ -91,6 +91,9 @@ HEADLINE = [
     "etl_outlier_mad",
     "events_cusum_alarms",
     "ann_pq_topk",
+    "graph_triangles",
+    "basket_affinity",
+    "conversion_attribution",
 ]
 
 

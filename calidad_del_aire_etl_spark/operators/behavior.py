@@ -192,3 +192,153 @@ JOIN (SELECT from_type, SUM(n) AS tot FROM counts GROUP BY 1) t
   ON c.from_type = t.from_type
 ORDER BY c.from_type, c.to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (pair support + lift)
+# ---------------------------------------------------------------------------
+
+
+def basket_affinity(
+    lineitem: DataFrame, min_support: int = 3, topn: int = 50
+) -> DataFrame:
+    """Part-pair affinity over order baskets: for parts a < b
+    co-occurring in ≥ ``min_support`` orders, lift =
+    (n_ab · N) / (n_a · n_b) — the classic association signal
+    (lift > 1: bought together more than chance).
+
+    Scale shape: the pair self-join is keyed on the ORDER — fan-out is
+    bounded by basket size (TPC-H orders hold ≤ 7 lines), so the
+    quadratic term is per-basket-size², never corpus-wide. Counts are
+    map-side partially aggregated; the scalar N rides in via a 1-row
+    broadcast crossJoin (the codebook pattern); top-N is a TakeOrdered,
+    not a global sort.
+    """
+    basket = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = basket.select("ok").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
+    part_n = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    scored = (
+        pair_n.join(part_n.select(F.col("pk").alias("pa"), F.col("n_part").alias("na")), "pa")
+        .join(part_n.select(F.col("pk").alias("pb"), F.col("n_part").alias("nb")), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").cast("bigint").alias("n_together"),
+            r4(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()).limit(topn)
+
+
+def basket_affinity_sql(min_support: int = 3, topn: int = 50) -> str:
+    return f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_orders FROM basket
+    ), part_n AS (
+      SELECT pk, COUNT(*) AS n_part FROM basket GROUP BY 1
+    ), pair_n AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+      FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+    )
+    SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_together,
+           ROUND(CAST(n_ab AS DOUBLE) * n_orders.n_orders
+                 / (CAST(na.n_part AS DOUBLE) * CAST(nb.n_part AS DOUBLE)) + 1e-9, 4)
+             AS lift
+    FROM pair_n
+    JOIN part_n na ON pair_n.pa = na.pk
+    JOIN part_n nb ON pair_n.pb = nb.pk
+    CROSS JOIN n_orders
+    ORDER BY lift DESC, pa ASC, pb ASC
+    LIMIT {topn}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (first/last touch)
+# ---------------------------------------------------------------------------
+
+
+def conversion_attribution(events: DataFrame) -> DataFrame:
+    """First-touch and last-touch attribution per conversion: for every
+    ``purchase`` event, the first and the most recent PRECEDING
+    ``click``/``view`` touch by the same user (ties on ts broken by
+    event_id, so both engines agree row-for-row).
+
+    One window shuffle on user: running first/last over the ordered
+    event stream via conditional min/max of a (ts, event_id)-encoded
+    struct — no self-join, no per-conversion rescan (the naive
+    formulation joins conversions × touches and explodes on active
+    users; this form is linear in the stream).
+    """
+    touch = F.col("event_type").isin("click", "view")
+    # encode (ts, event_id) as a sortable string so min/max pick the
+    # earliest/latest touch; micros are < 16 digits, ids < 19.
+    key = F.when(
+        touch,
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 19, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = events.withColumn("first_touch_key", F.min(key).over(w)).withColumn(
+        "last_touch_key", F.max(key).over(w)
+    )
+    conv = enriched.filter(F.col("event_type") == "purchase")
+    to_id = lambda c: F.expr(f"cast(cast(split({c}, '\\\\|')[1] as bigint) as bigint)")
+    return conv.select(
+        "user_id",
+        F.col("event_id").alias("conversion_id"),
+        F.unix_micros("ts").alias("conversion_ts_us"),
+        to_id("first_touch_key").alias("first_touch_id"),
+        to_id("last_touch_key").alias("last_touch_id"),
+    )
+
+
+def conversion_attribution_sql() -> str:
+    return """
+    WITH keyed AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type IN ('click', 'view') THEN
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0') || '|'
+               || lpad(CAST(event_id AS VARCHAR), 19, '0')
+             END AS tkey
+      FROM events
+    ), run AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(tkey) OVER w AS first_touch_key,
+             MAX(tkey) OVER w AS last_touch_key
+      FROM keyed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id AS conversion_id,
+           epoch_us(ts) AS conversion_ts_us,
+           CAST(str_split(first_touch_key, '|')[2] AS BIGINT) AS first_touch_id,
+           CAST(str_split(last_touch_key, '|')[2] AS BIGINT) AS last_touch_id
+    FROM run WHERE event_type = 'purchase'
+    """

@@ -85,3 +85,96 @@ def order_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
     rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     return fwd.unionAll(rev)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented node-iterator)
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected edge list (id_a, id_b)
+    — the standard cohesion/clustering signal for the near-dup graph
+    (triangle-dense clusters are true duplicate families; triangle-free
+    stars are often boilerplate hubs worth different handling).
+
+    Degree-oriented node-iterator (the MapReduce-classic from Suri &
+    Vassilvitskii's "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): edges orient from the (degree, id)-SMALLER
+    endpoint to the larger, so every node's out-degree is O(√m) even
+    for hub nodes — the wedge join fan-out (the quadratic term) is
+    bounded per node regardless of skew, which is exactly the "last
+    reducer" fix. Each triangle is then counted exactly once: wedges
+    (two out-edges of the low node) probe the oriented edge set.
+
+    Plan: degree aggregate → two broadcast degree joins to orient →
+    wedge self-join on the low vertex → semi-probe join — all
+    equi-joins on ids, no cross product anywhere.
+    """
+    # Multi-consumer boundaries get LAZY localCheckpoints: sym feeds the
+    # degree aggregate AND the orientation join (so the upstream pair
+    # generation would re-expand twice), and oriented feeds four
+    # consumers (two wedge views + two probe directions → 4× subtree
+    # re-expansion, ~450 Exchange mentions in the formatted plan before
+    # this). Lazy = the plan truncates to a leaf immediately but the
+    # edge-sized materialization happens inside the first action, no
+    # extra job.
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient: keep (u, v) where (d_u, u) < (d_v, v)
+    oriented = (
+        sym.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("a"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("b"))
+    wedges = w1.join(w2, "u").filter(F.col("a") < F.col("b"))
+    # Spark union is POSITIONAL — both selects must emit (a, b) in that
+    # order, or the swapped branch silently re-emits the original.
+    probe = oriented.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+        oriented.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    tri = wedges.join(probe, ["a", "b"])
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def triangle_count_sql(pairs_sql: str) -> str:
+    """DuckDB oracle twin: same degree orientation, same wedge-probe."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM sym GROUP BY 1
+    ), oriented AS (
+      SELECT s.u, s.v
+      FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+      WHERE (du.d < dv.d) OR (du.d = dv.d AND s.u < s.v)
+    ), wedges AS (
+      SELECT w1.v AS a, w2.v AS b
+      FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v
+    ), probe AS (
+      SELECT u AS a, v AS b FROM oriented
+      UNION ALL
+      SELECT v AS a, u AS b FROM oriented
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM wedges JOIN probe USING (a, b)
+    """

@@ -2784,3 +2784,34 @@ def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #18b — one-sided CUSUM drift alarms per user via the
     prefix-sum closed form: one window shuffle, no iteration."""
     return analytics2.cusum_alarms(load(spark, sf_dir, "events"), 0.5, 5.0)
+
+
+@register(
+    "graph_triangles",
+    graph.triangle_count_sql(
+        dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5)
+    ),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24u — triangle count over the near-dup graph via
+    degree-oriented node-iterator (Suri-Vassilvitskii): out-degree
+    bounded O(sqrt(m)) per node, no last-reducer skew."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return graph.triangle_count(pairs)
+
+
+@register("basket_affinity", behavior.basket_affinity_sql(3, 50))
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24v — market-basket part-pair lift: order-keyed
+    self-join (fan-out bounded by basket size), scalar N broadcast,
+    TakeOrdered top-50."""
+    return behavior.basket_affinity(load(spark, sf_dir, "lineitem"), 3, 50)
+
+
+@register("conversion_attribution", behavior.conversion_attribution_sql())
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24w — first/last-touch attribution per purchase in
+    ONE window pass (conditional running min/max of an encoded touch
+    key) — no conversions×touches self-join."""
+    return behavior.conversion_attribution(load(spark, sf_dir, "events"))
