@@ -2815,3 +2815,15 @@ def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE window pass (conditional running min/max of an encoded touch
     key) — no conversions×touches self-join."""
     return behavior.conversion_attribution(load(spark, sf_dir, "events"))
+
+
+@register("cms_user_counts", None)  # probabilistic frequency — rows-only
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #22c — Count-Min per-user event-frequency estimates:
+    mergeable d×w partition sketches sum-merged on the driver, broadcast
+    vectorized probe; never-undercount + eps·N bounds pytest-proven
+    (tests/test_cms.py)."""
+    from .operators import cms
+
+    ev = load(spark, sf_dir, "events")
+    return cms.cms_frequency_profile(ev, "user_id", eps=0.001, delta=0.01)

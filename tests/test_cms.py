@@ -1,0 +1,35 @@
+"""Count-Min sketch guarantees against exact counts (rows-only gate —
+the sketch is approximate by design, so the pin is the Cormode-
+Muthukrishnan bounds, not a value hash)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from calidad_del_aire_etl_spark.operators import cms
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    rows = [(i % 50,) for i in range(5000)] + [(999, )] * 777
+    df = spark.createDataFrame(rows, ["user_id"]).repartition(8)
+    exact = {r["user_id"]: r["c"] for r in
+             df.groupBy("user_id").count().withColumnRenamed("count", "c").collect()}
+    eps, n = 0.001, len(rows)
+    out = cms.cms_frequency_profile(df, "user_id", eps=eps, delta=0.01).collect()
+    assert {r["user_id"] for r in out} == set(exact)
+    for r in out:
+        true = exact[r["user_id"]]
+        assert r["est_count"] >= true, "CMS undercounted — broken invariant"
+        assert r["est_count"] <= true + eps * n + 1, "overcount beyond eps*N"
+
+
+def test_cms_is_merge_invariant_across_partitionings(spark):
+    rows = [(i % 13,) for i in range(1300)]
+    a = spark.createDataFrame(rows, ["k"]).repartition(2)
+    b = spark.createDataFrame(rows, ["k"]).repartition(17)
+    ca, w, d = cms.build_cms(a, "k", eps=0.01, delta=0.05)
+    cb, _, _ = cms.build_cms(b, "k", eps=0.01, delta=0.05)
+    assert (ca == cb).all(), "sketch must not depend on partitioning"
