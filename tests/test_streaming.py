@@ -378,3 +378,29 @@ def test_gap_fn_threshold_parameter():
     loose = pd.concat(list(jobs._make_gap_fn(120)((7,), iter([chunk]), _FakeState())))
     assert list(tight["gap_minutes"]) == [45.0]
     assert len(loose) == 0
+
+
+def test_late_data_audit_counts_watermark_drops(spark, input_dir):
+    """A row far older than the advanced watermark must be counted in
+    numRowsDroppedByWatermark (surfaced by late_drop_metrics), while the
+    observe metric sees every input row — the observability pair that
+    sizes a production watermark."""
+    stream = jobs.read_events_stream(spark, input_dir)
+    agg = jobs.windowed_agg_with_late_audit(stream, window="5 minutes",
+                                            watermark="10 minutes")
+    _write_batch(spark, input_dir, [
+        (1, _t(0), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 11, 0), 1, "click", 1.0),  # watermark → ~10:50
+    ], 0)
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_out").start())
+    try:
+        q.processAllAvailable()
+        # hours late relative to the watermark
+        _write_batch(spark, input_dir, [(3, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.0)], 1)
+        q.processAllAvailable()
+        m = jobs.late_drop_metrics(q)
+    finally:
+        q.stop()
+    assert m["rows_observed"] == 3
+    assert m["rows_dropped_late"] >= 1
