@@ -211,3 +211,67 @@ def test_zorder_key_never_negative_at_four_cols(spark):
     key = writers.zorder_key(df, ["a", "b", "c", "d"])  # default bits=16
     lo = df.select(key).agg(F.min("__zkey").alias("lo")).collect()[0].lo
     assert lo >= 0
+
+
+def test_hilbert_walk_matches_reference_and_is_continuous(spark):
+    """The SQL aggregate fold must reproduce the classic xy→d walk
+    bit-for-bit, and the curve must be CONTINUOUS: consecutive d values
+    map to grid-adjacent cells (Manhattan distance 1) — the property
+    Z-order lacks (Morton seams) and the reason Hilbert clusters
+    tighter."""
+
+    def hilbert_py(x, y, bits):
+        d = 0
+        for i in range(bits - 1, -1, -1):
+            s = 1 << i
+            rx = (x >> i) & 1
+            ry = (y >> i) & 1
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+        return d
+
+    bits = 4
+    n = 1 << bits
+    # full grid: quantization is identity when values are 0..n-1
+    rows = [(y * n + x, float(x), float(y)) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    key = writers.hilbert_key(df, ["a", "b"], bits=bits)
+    got = {r["id"]: r["__hkey"] for r in df.select("id", key).collect()}
+    cell_of = {}
+    for i, x, y in rows:
+        assert got[i] == hilbert_py(int(x), int(y), bits)
+        cell_of[got[i]] = (int(x), int(y))
+    assert sorted(cell_of) == list(range(n * n))  # a bijection (space-filling)
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = cell_of[d - 1], cell_of[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, f"curve jumps at d={d}"
+
+
+def test_hilbert_write_tightens_spans_like_zorder(spark, tmp_path):
+    """Same contract as the Z-order layout test: both dims' per-file
+    spans must be far tighter than a single-column sort's secondary
+    dim."""
+    import glob
+
+    df = (
+        spark.range(40000)
+        .selectExpr("cast(id % 200 as double) a", "cast(cast(id / 200 as int) as double) b")
+    )
+    hpath, lpath = str(tmp_path / "h"), str(tmp_path / "lex")
+    writers.write_parquet_hilbert(df, hpath, ["a", "b"], num_files=16)
+    writers.write_parquet_clustered(df.repartition(16), lpath, ["a"])
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            spans.append(r.hi - r.lo)
+        return sum(spans) / len(spans)
+
+    assert mean_span(hpath, "b") < 0.5 * mean_span(lpath, "b")
+    assert mean_span(hpath, "a") < 100
