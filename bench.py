@@ -94,6 +94,7 @@ HEADLINE = [
     "graph_triangles",
     "basket_affinity",
     "conversion_attribution",
+    "ab_welch_t",
 ]
 
 

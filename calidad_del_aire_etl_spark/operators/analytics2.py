@@ -876,3 +876,90 @@ def cusum_alarms_sql(slack: float = 0.5, h: float = 5.0) -> str:
            ROUND(cs - mn + 1e-9, 4) AS cusum
     FROM run WHERE ROUND(cs - mn + 1e-9, 4) > {h}
     """
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test (A/B readout)
+# ---------------------------------------------------------------------------
+
+
+def ab_welch_t(events: DataFrame, buckets: int = 2) -> DataFrame:
+    """Per-event-type A/B readout: users hash-split into two arms
+    (md5 parity — deterministic, no RNG, the same assignment every
+    engine/run), then Welch's unequal-variance t statistic and
+    Satterthwaite degrees of freedom over ``value``.
+
+    One map-side-combined aggregate per (event_type, arm) — the fact
+    never shuffles more than the tiny stats relation; the arm pivot is
+    a self-join of two 5-row relations. Welch, not Student: arm
+    variances genuinely differ under any real treatment, and pooling
+    would understate the error.
+    """
+    arm = (
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) "
+            f"as bigint), {buckets})"
+        )
+        == 0
+    )
+    stats = (
+        events.withColumn("arm", F.when(arm, F.lit("a")).otherwise(F.lit("b")))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = stats.filter(F.col("arm") == "a").select(
+        "event_type",
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = stats.filter(F.col("arm") == "b").select(
+        "event_type",
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    j = a.join(b, "event_type")
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    dof = (se2 * se2) / (
+        (F.col("va") / F.col("na")) * (F.col("va") / F.col("na")) / (F.col("na") - 1)
+        + (F.col("vb") / F.col("nb")) * (F.col("vb") / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return j.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r4(F.col("ma")).alias("mean_a"),
+        r4(F.col("mb")).alias("mean_b"),
+        r4((F.col("ma") - F.col("mb")) / F.sqrt(se2)).alias("t_stat"),
+        r4(dof).alias("welch_df"),
+    )
+
+
+def ab_welch_t_sql(buckets: int = 2) -> str:
+    return f"""
+    WITH armed AS (
+      SELECT event_type, value,
+             CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                        % {buckets}) = 0 THEN 'a' ELSE 'b' END AS arm
+      FROM events
+    ), stats AS (
+      SELECT event_type, arm, CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS m, VAR_SAMP(value) AS v
+      FROM armed GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(a.m + 1e-9, 4) AS mean_a,
+           ROUND(b.m + 1e-9, 4) AS mean_b,
+           ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 4) AS t_stat,
+           ROUND(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1))
+                 + 1e-9, 4) AS welch_df
+    FROM stats a JOIN stats b ON a.event_type = b.event_type
+    WHERE a.arm = 'a' AND b.arm = 'b'
+    """

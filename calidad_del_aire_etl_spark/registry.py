@@ -2827,3 +2827,11 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return cms.cms_frequency_profile(ev, "user_id", eps=0.001, delta=0.01)
+
+
+@register("ab_welch_t", analytics2.ab_welch_t_sql(2))
+def q_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23m — Welch unequal-variance t statistic per event
+    type over a deterministic md5 user split; one map-side-combined
+    stats aggregate, fact never re-shuffles."""
+    return analytics2.ab_welch_t(load(spark, sf_dir, "events"), 2)
