@@ -214,9 +214,15 @@ def basket_affinity(
     broadcast crossJoin (the codebook pattern); top-N is a TakeOrdered,
     not a global sort.
     """
-    basket = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # four consumers (order count, part counts, both self-join sides) —
+    # lazy checkpoint so the distinct runs once and the plan stays flat
+    basket = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = basket.select("ok").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_orders")
     )
