@@ -95,6 +95,7 @@ HEADLINE = [
     "basket_affinity",
     "conversion_attribution",
     "ab_welch_t",
+    "dedup_semantic",
 ]
 
 

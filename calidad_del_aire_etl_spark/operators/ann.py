@@ -736,3 +736,127 @@ def pq_topk_sql(
       FROM enc e CROSS JOIN q WHERE e.id != q.qid
     ) WHERE rank <= {k}
     """
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-partition the embedding
+    space, then drop any vector with a LOWER-id near-duplicate
+    (cosine ≥ τ) in its OWN cluster — semantic near-dups that share no
+    n-grams (paraphrases, translations-of-boilerplate) and therefore
+    slip past every lexical dedup family.
+
+    Scale shape: the quadratic term is per-cluster (the k-means
+    partition is the banding, exactly as LSH bands bound MinHash);
+    kmeans_fit's codebook discipline bounds driver traffic at k×dim.
+    Output: (id, cluster, is_kept) for every input row.
+    """
+    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    sl = assigned.select("id", "v", "cluster").localCheckpoint(eager=False)
+    a, b = sl.alias("a"), sl.alias("b")
+    cos = r4(F.expr(COSINE_SPARK.format(a="a.v", b="b.v")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= tau)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        sl.join(pairs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.when(F.col("__dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
+def _kmeans_cte_sql(table: str, id_col: str, vec_col: str, k: int, iters: int) -> str:
+    """Unrolled-iteration k-means CTE chain (same text per stage as the
+    proven embed_kmeans oracle), ending in ``final`` = (id, v, cluster)."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, len(b.v)), "
+        "i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i])))"
+    )
+
+    def assign(name: str, cents: str, with_v: bool) -> str:
+        cols = "id, v, cluster, d" if with_v else "id, cluster, d"
+        return f"""{name} AS (
+  SELECT {cols} FROM (
+    SELECT b.id, b.v, c.cluster, {d2} AS d,
+           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY {d2} ASC, c.cluster ASC) AS rk
+    FROM b CROSS JOIN {cents} c
+  ) WHERE rk = 1
+)"""
+
+    def recompute(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos, AVG(x) AS c FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM {src}
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+
+    parts = [
+        f"""b AS (
+  SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+)""",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster, v AS cv
+  FROM (SELECT id, v FROM b ORDER BY id LIMIT {k})
+)""",
+    ]
+    for t in range(iters):
+        parts.append(assign(f"a{t}", f"c{t}", with_v=True))
+        parts.append(recompute(f"c{t + 1}", f"a{t}"))
+    parts.append(assign("final", f"c{iters}", with_v=True))
+    return ",\n".join(parts)
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.7,
+) -> str:
+    from .dedup import COSINE_DUCK
+
+    # the cosine runs on the RAW float column on both engines (the
+    # DOUBLE[] cast exists only for the k-means distance CTEs) — mixed
+    # float/double products would drift the 4th decimal across engines
+    cos = COSINE_DUCK.format(a="fa.fv", b="fp.fv")
+    return f"""
+    WITH {_kmeans_cte_sql(table, id_col, vec_col, k, iters)},
+    bf AS (
+      SELECT {id_col} AS id, {vec_col} AS fv FROM {table}
+    ),
+    dropped AS (
+      SELECT DISTINCT p.id
+      FROM final a JOIN final p
+        ON a.cluster = p.cluster AND a.id < p.id
+      JOIN bf fa ON fa.id = a.id
+      JOIN bf fp ON fp.id = p.id
+      WHERE ROUND({cos} + 1e-9, 4) >= {tau}
+    )
+    SELECT f.id AS {id_col}, CAST(f.cluster AS INTEGER) AS cluster,
+           CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM final f LEFT JOIN dropped d ON f.id = d.id
+    """

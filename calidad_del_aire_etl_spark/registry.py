@@ -2835,3 +2835,16 @@ def q_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     type over a deterministic md5 user split; one map-side-combined
     stats aggregate, fact never re-shuffles."""
     return analytics2.ab_welch_t(load(spark, sf_dir, "events"), 2)
+
+
+@register(
+    "dedup_semantic",
+    ann.semantic_dedup_sql("embeddings", "vec_id", "embedding", k=8, iters=3, tau=0.35),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #29d — SemDeDup: k-means-partitioned embedding near-dup
+    removal (cos ≥ 0.35 within a learned cluster) — catches paraphrase
+    dups every lexical family misses; quadratic term bounded per
+    cluster."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.semantic_dedup(em, "vec_id", "embedding", k=8, iters=3, tau=0.35)
