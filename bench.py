@@ -96,6 +96,7 @@ HEADLINE = [
     "conversion_attribution",
     "ab_welch_t",
     "dedup_semantic",
+    "decayed_counts",
 ]
 
 

@@ -963,3 +963,51 @@ def ab_welch_t_sql(buckets: int = 2) -> str:
     FROM stats a JOIN stats b ON a.event_type = b.event_type
     WHERE a.arm = 'a' AND b.arm = 'b'
     """
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed counts (recency-weighted popularity)
+# ---------------------------------------------------------------------------
+
+
+def decayed_counts(events: DataFrame, half_life_days: float = 7.0) -> DataFrame:
+    """Recency-weighted activity per event type: each event contributes
+    2^(−age/half_life), so a week-old event counts half as much as a
+    fresh one — the standard trending/popularity scoring that a plain
+    count cannot express and a window cannot bound.
+
+    Deterministic anchor: "now" is the corpus's max timestamp (a 1-row
+    broadcast, the scalar pattern) — no wall clock, so results are
+    reproducible across runs and engines. One map-side-combined
+    aggregate; the exp sum's FP order is absorbed by r4.
+    """
+    anchor = events.agg(F.max("ts").alias("anchor"))
+    aged = events.crossJoin(F.broadcast(anchor)).withColumn(
+        "w",
+        F.expr(
+            f"pow(cast(0.5 as double), "
+            f"(unix_micros(anchor) - unix_micros(ts)) / 86400.0e6 / {half_life_days})"
+        ),
+    )
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            r4(F.sum("w")).alias("decayed_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def decayed_counts_sql(half_life_days: float = 7.0) -> str:
+    return f"""
+    WITH anchor AS (SELECT MAX(ts) AS anchor FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(pow(CAST(0.5 AS DOUBLE),
+                         (epoch_us(anchor.anchor) - epoch_us(ts)) / 86400.0e6
+                         / {half_life_days})) + 1e-9, 4) AS decayed_count
+    FROM events CROSS JOIN anchor
+    GROUP BY event_type
+    ORDER BY event_type
+    """

@@ -2848,3 +2848,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann.semantic_dedup(em, "vec_id", "embedding", k=8, iters=3, tau=0.35)
+
+
+@register("decayed_counts", analytics2.decayed_counts_sql(7.0))
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23n — exponentially-decayed (7-day half-life) activity
+    per event type; deterministic max-ts anchor broadcast as a scalar."""
+    return analytics2.decayed_counts(load(spark, sf_dir, "events"), 7.0)

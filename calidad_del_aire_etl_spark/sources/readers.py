@@ -223,3 +223,16 @@ def read_http_json(
         .select("url", "rec.*")
     )
     return records, failures
+
+
+def read_parquet_evolving(
+    spark: SparkSession, *paths: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Schema-evolution reader: union parquet datasets written at
+    different schema versions (columns added over time) into one frame
+    via ``mergeSchema`` — missing columns surface as NULL instead of
+    failing the scan. The production shape for long-lived fact
+    directories where day N+1 adds a column day N never had.
+    Column pruning still reaches the scan (pass ``columns``)."""
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return df.select(*columns) if columns else df

@@ -94,3 +94,20 @@ def test_jdbc_filter_reaches_the_database(derby):
     )
     assert "PushedFilters" in plan and "id" in plan.lower()
     assert back.count() == 10
+
+
+def test_read_parquet_evolving_merges_added_columns(spark, tmp_path):
+    """Old files without the new column read as NULL; new files keep it;
+    pruning to shared columns still works."""
+    from calidad_del_aire_etl_spark.sources.readers import read_parquet_evolving
+
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p2)
+    df = read_parquet_evolving(spark, p1, p2)
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    pruned = read_parquet_evolving(spark, p1, p2, columns=["id"])
+    assert pruned.columns == ["id"]
