@@ -463,3 +463,80 @@ def late_drop_metrics(query) -> dict:
         if obs:
             observed += obs.get("n_input_rows", 0) or 0
     return {"rows_dropped_late": dropped, "rows_observed": observed}
+
+
+HLL_STREAM_OUT = "shard int, est_distinct double, n_registers int"
+HLL_STREAM_STATE = "regs binary"
+
+
+def streaming_distinct_hll(
+    stream: DataFrame, col: str, shards: int = 4, p: int = 12
+) -> DataFrame:
+    """#40m — streaming approximate distinct count: per-shard HyperLogLog
+    register state (2^p bytes, FIXED — the whole point) carried across
+    micro-batches via applyInPandasWithState. Values route to shards by
+    hash; each shard's registers max-merge new observations (HLL's
+    merge = elementwise max, so replays/duplicates are idempotent by
+    construction); the global estimate is the HLL union of shard
+    registers downstream.
+
+    This is the unbounded-cardinality counterpart of
+    ``dropDuplicatesWithinWatermark`` + count: exact streaming distinct
+    needs per-key state that grows with cardinality forever; HLL state
+    is shards × 2^p bytes for the life of the stream.
+    """
+    import numpy as np
+
+    m = 1 << p
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        regs = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(m, dtype=np.uint8)
+        )
+        from pandas.util import hash_array
+
+        for pdf in pdfs:
+            vals = pdf["v"].astype("str").to_numpy()
+            if not len(vals):
+                continue
+            h = hash_array(vals)
+            idx = (h & np.uint64(m - 1)).astype(np.int64)
+            rest = (h >> np.uint64(p)).astype(np.uint64)
+            # rank = leading-zero count of the remaining 64-p bits + 1;
+            # computed as position of the highest set bit
+            nbits = 64 - p
+            rank = np.full(len(rest), nbits + 1, dtype=np.uint8)
+            nz = rest != 0
+            hi = np.zeros(len(rest), dtype=np.int64)
+            hi[nz] = np.frexp(rest[nz].astype(np.float64))[1]  # ≈ bit length
+            rank[nz] = (nbits - hi[nz] + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rank)
+        state.update((regs.tobytes(),))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "est_distinct": [float(est)],
+                "n_registers": [m],
+            }
+        )
+
+    keyed = stream.select(
+        F.col(col).cast("string").alias("v"),
+        F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=HLL_STREAM_OUT,
+        stateStructType=HLL_STREAM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -404,3 +404,36 @@ def test_late_data_audit_counts_watermark_drops(spark, input_dir):
         q.stop()
     assert m["rows_observed"] == 3
     assert m["rows_dropped_late"] >= 1
+
+
+def test_streaming_hll_distinct_estimates_and_is_idempotent(spark, input_dir):
+    """The per-shard HLL state must estimate the true distinct count
+    within sketch tolerance across micro-batches, and REPLAYED rows
+    must not move the estimate (register merge = max → idempotent)."""
+    import math
+
+    stream = jobs.read_events_stream(spark, input_dir)
+    hll = jobs.streaming_distinct_hll(stream, "user_id", shards=4, p=12)
+    rows1 = [(i, _t(i % 50), i, "click", 1.0) for i in range(120)]
+    _write_batch(spark, input_dir, rows1, 0)
+    q = jobs.run_to_memory(hll, "hll_out", output_mode="update")
+    try:
+        _write_batch(spark, input_dir,
+                     [(200 + i, _t(i % 50), 120 + i, "click", 1.0) for i in range(80)], 1)
+        q.processAllAvailable()
+        est_after_batches = spark.sql(
+            "SELECT SUM(est) FROM (SELECT shard, MAX(est_distinct) est "
+            "FROM hll_out GROUP BY shard)"
+        ).collect()[0][0]
+        # replay batch 1 verbatim (same user_ids) — estimate must not move
+        _write_batch(spark, input_dir, rows1, 2)
+        q.processAllAvailable()
+        est_after_replay = spark.sql(
+            "SELECT SUM(est) FROM (SELECT shard, MAX(est_distinct) est "
+            "FROM hll_out GROUP BY shard)"
+        ).collect()[0][0]
+    finally:
+        q.stop()
+    true_n = 200
+    assert abs(est_after_batches - true_n) / true_n < 0.15
+    assert math.isclose(est_after_batches, est_after_replay, rel_tol=1e-9)
