@@ -112,3 +112,53 @@ def test_salted_join_bounds_per_task_input(skewed_events):
         out.drop("__salt").exceptAll(plain).count() == 0
         and plain.exceptAll(out.drop("__salt")).count() == 0
     )
+
+
+def test_unigram_logprob_head_guard_absorbs_hot_tokens(spark):
+    """The Zipf-head guard: a token planted in EVERY doc must land in
+    the broadcast head set (handled map-side), so the shuffled tail
+    join never carries a key whose fan-out exceeds the head threshold —
+    the last-reducer guard for the token→frequency join. Correctness is
+    cross-checked against a direct single-join computation."""
+    from calidad_del_aire_etl_spark.operators import corpus
+
+    n = 300
+    rows = [(i, f"the unique{i} filler{i % 7}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_log2_prob"])
+        for r in corpus.unigram_logprob(docs, "doc_id", "text", head_size=4).collect()
+    }
+    assert len(out) == n and all(v[0] == 3 for v in out.values())
+
+    # reference: plain exploded join, same probabilities
+    toks = docs.select("doc_id", F.explode(F.expr(
+        corpus._TOKS.format(t="text"))).alias("tok"))
+    freq = toks.groupBy("tok").count()
+    total = float(freq.agg(F.sum("count")).collect()[0][0])
+    ref = {
+        r["doc_id"]: round(r["m"] + 1e-9, 4)
+        for r in toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log2(F.col("count") / F.lit(total))).alias("m"))
+        .collect()
+    }
+    for d, (_, got) in out.items():
+        assert abs(got - ref[d]) < 1e-9, f"doc {d}: {got} vs {ref[d]}"
+
+    # the skew invariant: every token whose doc-frequency exceeds the
+    # head threshold is IN the head set, so the tail join's per-key
+    # fan-out is bounded by the smallest head frequency
+    head = (
+        freq.orderBy(F.col("count").desc(), F.col("tok").asc()).limit(4).collect()
+    )
+    head_toks = {r["tok"] for r in head}
+    min_head_freq = min(r["count"] for r in head)
+    tail_max = (
+        freq.filter(~F.col("tok").isin(head_toks))
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert "the" in head_toks
+    assert tail_max <= min_head_freq
