@@ -97,6 +97,7 @@ HEADLINE = [
     "ab_welch_t",
     "dedup_semantic",
     "decayed_counts",
+    "daily_percentile_bands",
 ]
 
 

@@ -1011,3 +1011,38 @@ def decayed_counts_sql(half_life_days: float = 7.0) -> str:
     GROUP BY event_type
     ORDER BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Daily percentile bands (p50/p95 trend)
+# ---------------------------------------------------------------------------
+
+
+def daily_percentile_bands(events: DataFrame) -> DataFrame:
+    """Per-(event_type, day) exact p50/p95 bands — the fleet-health
+    trend view (median tracks the regime, p95 tracks the tail; their
+    divergence is the capacity signal). One map-side-combined aggregate;
+    both engines use the same linear-interpolation percentile."""
+    return (
+        events.groupBy(
+            "event_type", F.to_date("ts").cast("string").alias("date")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.expr("percentile(value, 0.5)")).alias("p50"),
+            r4(F.expr("percentile(value, 0.95)")).alias("p95"),
+        )
+        .orderBy("event_type", "date")
+    )
+
+
+def daily_percentile_bands_sql() -> str:
+    return """
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+           ROUND(quantile_cont(value, 0.95) + 1e-9, 4) AS p95
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, date
+    """

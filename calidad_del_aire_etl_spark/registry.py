@@ -2855,3 +2855,10 @@ def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #23n — exponentially-decayed (7-day half-life) activity
     per event type; deterministic max-ts anchor broadcast as a scalar."""
     return analytics2.decayed_counts(load(spark, sf_dir, "events"), 7.0)
+
+
+@register("daily_percentile_bands", analytics2.daily_percentile_bands_sql())
+def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23o — exact p50/p95 daily bands per event type (tail
+    divergence = the capacity signal); one partial-aggregated pass."""
+    return analytics2.daily_percentile_bands(load(spark, sf_dir, "events"))
