@@ -776,3 +776,63 @@ JOIN dim d ON f.user_id = d.d_user
           AND (d.to_us IS NULL OR f.ts_us < d.to_us)
 ORDER BY f.event_id
 """
+
+
+# --- grid-bucketed spatial self-join ---------------------------------------
+
+
+def geo_close_pairs(
+    coords: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    max_km: float = 5.0,
+) -> DataFrame:
+    """All pairs of points within ``max_km`` (equirectangular km:
+    111.32·√(Δlat² + Δlon²)) WITHOUT the all-pairs cross join — the
+    spatial-join banding pattern: points hash into grid cells of side ≥
+    max_km, one side replicates into its 3×3 cell neighborhood (9 rows,
+    a constant), and the equi-join on the cell key finds every
+    candidate exactly once (a pair within range can differ by at most
+    one cell index on each axis). The quadratic term is bounded per
+    cell — the same guarantee LSH bands give MinHash — and the exact
+    distance filter keeps the output identical to the naive join.
+
+    Output (id_a < id_b, dist_km ≤ max_km), each pair exactly once:
+    replicating only side A means the ordered probe (a → b's home
+    cell) matches at one unique offset.
+    """
+    cell_deg = max_km / 111.32
+    base = coords.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.floor(F.col(lat_col) / cell_deg).cast("long").alias("cx"),
+        F.floor(F.col(lon_col) / cell_deg).cast("long").alias("cy"),
+    )
+    probes = base.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> struct(cx + dx as cx, cy + dy as cy))))"
+            )
+        ).alias("cell"),
+    ).select("id_a", "lat_a", "lon_a", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    dist = r4(
+        F.lit(111.32)
+        * F.sqrt(
+            (F.col("lat_a") - F.col("lat")) * (F.col("lat_a") - F.col("lat"))
+            + (F.col("lon_a") - F.col("lon")) * (F.col("lon_a") - F.col("lon"))
+        )
+    )
+    return (
+        probes.join(base, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id"))
+        .select(
+            "id_a", F.col("id").alias("id_b"), dist.alias("dist_km")
+        )
+        .filter(F.col("dist_km") <= max_km)
+    )

@@ -2862,3 +2862,29 @@ def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #23o — exact p50/p95 daily bands per event type (tail
     divergence = the capacity signal); one partial-aggregated pass."""
     return analytics2.daily_percentile_bands(load(spark, sf_dir, "events"))
+
+
+@register(
+    "geo_close_pairs",
+    f"""
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           ROUND(111.32 * sqrt((a.ulat - b.ulat) * (a.ulat - b.ulat)
+                 + (a.ulon - b.ulon) * (a.ulon - b.ulon)) + 1e-9, 4) AS dist_km
+    FROM ({_user_coords_sql()}) a JOIN ({_user_coords_sql()}) b
+      ON a.user_id < b.user_id
+    WHERE ROUND(111.32 * sqrt((a.ulat - b.ulat) * (a.ulat - b.ulat)
+                + (a.ulon - b.ulon) * (a.ulon - b.ulon)) + 1e-9, 4) <= 10.0
+    """,
+)
+def q_geo_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24g — user pairs within 10 km via grid-cell bucketing
+    (3×3 neighbor replication, per-cell-bounded quadratic term); the
+    oracle is the naive all-pairs theta join — identical output proves
+    the banding is exact."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.lit(40.4) + (F.col("user_id") % 200) * 0.01 - 1.0).alias("ulat"),
+        (F.lit(-3.7) + ((F.col("user_id") * 7) % 200) * 0.01 - 1.0).alias("ulon"),
+    )
+    return general.geo_close_pairs(users, "user_id", "ulat", "ulon", max_km=10.0)
