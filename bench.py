@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_semantic",
     "decayed_counts",
     "daily_percentile_bands",
+    "geo_close_pairs",
 ]
 
 
