@@ -184,3 +184,39 @@ def test_star_cc_matches_union_find(spark, raw_edges):
         for r in resolve_duplicate_clusters_star(docs, "doc_id", pairs).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=24),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_histogram_l1_never_exceeds_twice_edit_distance(texts, max_dist):
+    """The fuzzy_pairs prefilter invariant, property-tested: for ANY two
+    strings, L1(hist_a, hist_b) ≤ 2·levenshtein(a, b) — one edit moves
+    at most two histogram units — so the `L1 ≤ 2·max_dist` filter can
+    never drop a pair the edit-distance predicate would keep."""
+    import itertools
+
+    def hist(t, bins=16):
+        h = [0] * bins
+        for ch in t:
+            h[ord(ch) % bins] += 1
+        return h
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[len(b)]
+
+    for a, b in itertools.combinations(texts, 2):
+        l1 = sum(abs(x - y) for x, y in zip(hist(a), hist(b)))
+        assert l1 <= 2 * lev(a, b)
