@@ -99,6 +99,7 @@ HEADLINE = [
     "decayed_counts",
     "daily_percentile_bands",
     "geo_close_pairs",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -738,6 +738,198 @@ def pq_topk_sql(
     """
 
 
+# --- IVF+PQ top-k -----------------------------------------------------------
+# The billion-scale ANN layout (FAISS's IVFPQ shape, Jégou et al.
+# TPAMI'11): a coarse quantizer prunes the corpus to nprobe cells
+# (scan fraction ~= nprobe / |cells|), and WITHIN those cells
+# candidates are scored from M-byte PQ codes instead of raw floats —
+# so a query touches nprobe/|cells| of the rows AND 32x fewer bytes
+# per row. Variant note: codes here are over the raw vectors with the
+# shared per-cell mean codebook (no residual encoding — residual PQ
+# needs a second k-means over residuals, which would put an unrolled
+# double-training loop in the oracle for no portability gain).
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_ids_pred,
+    k: int = 5,
+    nprobe: int = 2,
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """IVF+PQ approximate top-k: coarse nearest-centroid assignment and
+    nprobe probing exactly as :func:`ivf_topk`; candidate scoring by PQ
+    asymmetric distance exactly as :func:`pq_topk`. ONE collected
+    |cells|×dim codebook serves both roles (the only driver traffic);
+    assignment + encoding are a single narrow projection per corpus
+    row; the single shuffle is the per-query top-k window."""
+    import math
+
+    cents = ivf_centroids(df, vec_col, cell_col).collect()
+    codebook = sorted((r["cell"], [float(x) for x in r["cv"]]) for r in cents)
+    dim = len(codebook[0][1])
+    assert dim % m_subspaces == 0, "dim must divide into subspaces"
+    sub = dim // m_subspaces
+
+    # coarse ranking: (-rounded cosine, cell) ascending == cosine desc,
+    # cell asc — byte-identical tie-breaks to ivf_topk
+    nv = (
+        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), "
+        "(acc, x) -> acc + x))"
+    )
+    structs = []
+    for cell, cv in codebook:
+        arr = "array(" + ", ".join(f"{w!r}D" for w in cv) + ")"
+        cnorm = math.sqrt(_seq_sum_sq(cv))
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+        )
+        cell_lit = repr(cell) if isinstance(cell, str) else str(cell)
+        structs.append(
+            f"struct(-round({dot} / (nv * {cnorm!r}D) + 1e-9, 4) as nc, "
+            f"{cell_lit} as cell)"
+        )
+    ranked_expr = "array_sort(array(" + ", ".join(structs) + "))"
+
+    # PQ encoding: per subspace, 1-based first-minimum centroid index
+    # over r4-rounded distances — byte-identical to pq_topk
+    def _sub_dist(vec_expr: str, m: int, cv: list[float]) -> str:
+        s = cv[m * sub : (m + 1) * sub]
+        arr = "array(" + ", ".join(f"{w!r}D" for w in s) + ")"
+        return (
+            f"round(aggregate(zip_with(slice({vec_expr}, {m * sub + 1}, {sub}), {arr}, "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "cast(0 as double), (acc, x) -> acc + x) + 1e-9, 4)"
+        )
+
+    code_terms = []
+    for m in range(m_subspaces):
+        darr = "array(" + ", ".join(_sub_dist("v", m, cv) for _, cv in codebook) + ")"
+        code_terms.append(
+            f"get(transform(array({darr}), d -> array_position(d, array_min(d))), 0)"
+        )
+    codes_expr = "array(" + ", ".join(code_terms) + ")"
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    withrk = base.select("id", "v", F.expr(nv).alias("nv")).select(
+        "id", "v", F.expr(ranked_expr).alias("rk")
+    )
+    assign = withrk.select(
+        "id",
+        F.expr("rk[0].cell").alias("cell"),
+        F.expr(codes_expr).alias("code"),
+    )
+    probes = withrk.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.expr(f"transform(slice(rk, 1, {nprobe}), s -> s.cell)")
+        ).alias("cell"),
+    )
+    adc_terms = []
+    for m in range(m_subspaces):
+        darr = "array(" + ", ".join(_sub_dist("qv", m, cv) for _, cv in codebook) + ")"
+        adc_terms.append(f"element_at({darr}, cast(element_at(code, {m + 1}) as int))")
+    adc = F.round(F.expr(" + ".join(adc_terms)) + F.lit(1e-9), 4)
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("neighbor_id"), adc.alias("pq_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "pq_dist", "rank")
+    )
+
+
+def ivfpq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    nprobe: int = 2,
+    m_subspaces: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`ivfpq_topk`: the ivf_topk_sql coarse
+    CTEs (same codebook, cosine ranking, tie-breaks) composed with the
+    pq_topk_sql encoding + ADC."""
+    from .dedup import COSINE_DUCK
+
+    sub = dim // m_subspaces
+    ccos = COSINE_DUCK.format(a="b.v", b="c.cv")
+
+    def _sub_dist_sql(vec: str, m: int, cvec: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> (CAST({vec}[{m * sub}+i] AS DOUBLE) - {cvec}[{m * sub}+i])"
+            f" * (CAST({vec}[{m * sub}+i] AS DOUBLE) - {cvec}[{m * sub}+i]))) + 1e-9, 4)"
+        )
+
+    dl_cols = ", ".join(
+        f"list_transform(cb.cbl, cv -> {_sub_dist_sql('a.v', m, 'cv')}) AS dl{m}"
+        for m in range(m_subspaces)
+    )
+    code_cols = ", ".join(
+        "list_position(dl{m}, list_min(dl{m})) AS c{m}".format(m=m)
+        for m in range(m_subspaces)
+    )
+    qdl_cols = ", ".join(
+        f"list_transform(cb.cbl, cv -> {_sub_dist_sql('p.qv', m, 'cv')}) AS qdl{m}"
+        for m in range(m_subspaces)
+    )
+    adc = " + ".join(f"q.qdl{m}[e.c{m}]" for m in range(m_subspaces))
+    return f"""
+    WITH ex AS (
+      SELECT {cell_col} AS cell,
+             generate_subscripts({vec_col}, 1) - 1 AS pos,
+             unnest({vec_col}) AS x
+      FROM {table}
+    ), cent AS (
+      SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
+    ), cvec AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), cb AS (
+      SELECT list(cv ORDER BY cell) AS cbl FROM cvec
+    ), b AS (
+      SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    ), ranked AS (
+      SELECT b.id, b.v, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.id
+               ORDER BY ROUND({ccos} + 1e-9, 4) DESC, c.cell ASC) AS crank
+      FROM b CROSS JOIN cvec c
+    ), assign0 AS (
+      SELECT id, v, cell FROM ranked WHERE crank = 1
+    ), enc0 AS (
+      SELECT a.id, a.cell, {dl_cols} FROM assign0 a CROSS JOIN cb
+    ), enc AS (
+      SELECT id, cell, {code_cols} FROM enc0
+    ), probes AS (
+      SELECT id AS qid, v AS qv, cell FROM ranked
+      WHERE ({query_pred_sql}) AND crank <= {nprobe}
+    ), q AS (
+      SELECT p.qid, p.cell, {qdl_cols} FROM probes p CROSS JOIN cb
+    )
+    SELECT query_id, neighbor_id, pq_dist, rank FROM (
+      SELECT q.qid AS query_id, e.id AS neighbor_id,
+             ROUND(({adc}) + 1e-9, 4) AS pq_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(({adc}) + 1e-9, 4) ASC, e.id ASC) AS INTEGER) AS rank
+      FROM enc e JOIN q ON e.cell = q.cell AND e.id != q.qid
+    ) WHERE rank <= {k}
+    """
+
+
 # --- semantic dedup (SemDeDup) ---------------------------------------------
 
 

@@ -2779,6 +2779,31 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_topk",
+    ann.ivfpq_topk_sql(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        "label",
+        "id < 10",
+        k=5,
+        nprobe=2,
+        m_subspaces=8,
+    ),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31g — IVF+PQ top-5 (the FAISS billion-scale layout):
+    coarse nprobe=2 cell pruning composed with 8-subspace PQ codes, so a
+    query scans ~nprobe/|cells| of the rows AND 32x fewer bytes per row;
+    one collected codebook serves both quantizers."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.ivfpq_topk(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2,
+        m_subspaces=8,
+    )
+
+
 @register("events_cusum_alarms", analytics2.cusum_alarms_sql(0.5, 5.0))
 def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #18b — one-sided CUSUM drift alarms per user via the

@@ -217,3 +217,40 @@ def test_pq_distance_fidelity_and_recall_above_chance(spark, sf_dir):
         assert r["pq_dist"] >= 0
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ivfpq_subset_of_ivf_candidates_and_dense_ranks(spark, sf_dir):
+    """IVF+PQ's structural contract: it ranks PQ distances over EXACTLY
+    the candidate set ivf_topk would scan (same coarse assignment, same
+    nprobe cells), so every returned neighbor must live in one of the
+    query's nprobe cells, ranks are dense, distances non-negative, and
+    recall vs exact L2 stays above chance."""
+    import numpy as np
+
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    rows = ann.ivfpq_topk(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2
+    ).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["pq_dist"] >= 0
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # recall vs exact L2 above chance
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in em.collect()}
+    n = len(vecs)
+    truth = set()
+    for qid in (i for i in vecs if i < 10):
+        d = sorted(
+            (float(np.sum((vecs[qid] - v) ** 2)), nid)
+            for nid, v in vecs.items() if nid != qid
+        )[:5]
+        truth |= {(qid, nid) for _, nid in d}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(truth & approx) / len(truth)
+    chance = 5.0 / (n - 1)
+    assert recall >= 2 * chance, f"IVFPQ recall not above chance: {recall} vs {chance}"
