@@ -100,6 +100,7 @@ HEADLINE = [
     "daily_percentile_bands",
     "geo_close_pairs",
     "ann_ivfpq_topk",
+    "dedup_keep_best",
 ]
 
 

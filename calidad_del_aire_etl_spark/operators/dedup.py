@@ -939,3 +939,85 @@ def incremental_minhash_dedup_sql(
     FROM (SELECT {id_col} FROM {table} WHERE {new_pred}) t
     LEFT JOIN hit ON t.{id_col} = hit.new_id
     """
+
+
+# --- dedup policy: keep the best document per near-dup cluster ------------
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 8,
+) -> DataFrame:
+    """The production dedup DECISION step: near-dup pairs (exact
+    shingle Jaccard >= threshold) -> connected components -> keep ONE
+    document per cluster, chosen by highest quality_score (tie: lowest
+    id). This is what an LLM-corpus pipeline actually emits — not the
+    pair list, but a keep/drop verdict that retains the best-written
+    representative instead of an arbitrary one.
+
+    Scale shape: reuses the skew-guarded pair generation and the
+    persisted-per-round label propagation; the policy itself adds ONE
+    narrow quality projection (no extra scan of text beyond it) and ONE
+    window over clusters — cluster sizes are near-clique small, so the
+    window partition is never skewed. Output: (id, cluster_id,
+    quality_score, is_kept) for every input document.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    labels = resolve_duplicate_clusters(
+        df, id_col, pairs, max_iters=max_iters, checkpoint=False
+    )
+    q = quality_score(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("id"), "quality_score"
+    )
+    joined = labels.select(
+        F.col(id_col).alias("id"), F.col("canonical_id").alias("cluster_id")
+    ).join(q, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "quality_score",
+            (F.col("rk") == 1).cast("int").alias("is_kept"),
+        )
+    )
+
+
+def dedup_keep_best_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle twin: the exact recursive-CTE closure composed with
+    the quality projection and the same (score desc, id asc) policy."""
+    from .text import quality_score_sql
+
+    closure = resolve_duplicate_clusters_sql(
+        table, id_col, jaccard_pairs_sql(table, id_col, text_col, n=n, threshold=threshold)
+    )
+    return f"""
+    WITH labels AS ({closure}),
+    q AS ({quality_score_sql(table, id_col, text_col)})
+    SELECT {id_col}, cluster_id, quality_score,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM (
+      SELECT l.{id_col}, l.canonical_id AS cluster_id, q.quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.canonical_id
+               ORDER BY q.quality_score DESC, l.{id_col} ASC) AS rk
+      FROM labels l JOIN q ON l.{id_col} = q.{id_col}
+    )
+    """

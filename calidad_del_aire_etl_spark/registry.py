@@ -2913,3 +2913,16 @@ def q_geo_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(-3.7) + ((F.col("user_id") * 7) % 200) * 0.01 - 1.0).alias("ulon"),
     )
     return general.geo_close_pairs(users, "user_id", "ulat", "ulon", max_km=10.0)
+
+
+@register(
+    "dedup_keep_best",
+    dedup.dedup_keep_best_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #26e — the dedup DECISION step: Jaccard near-dup pairs
+    → connected components → keep the highest-quality doc per cluster
+    (tie: lowest id). One quality projection + one per-cluster window on
+    top of the proven pair/CC machinery."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dedup.dedup_keep_best(docs, "doc_id", "text", n=3, threshold=0.5)

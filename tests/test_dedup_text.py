@@ -209,3 +209,21 @@ def test_incremental_minhash_flags_corpus_dups_only(spark):
     assert out[10]["is_dup_of_corpus"] == 1 and out[10]["matched_corpus_id"] == 1
     assert out[10]["best_est_jaccard"] == 1.0
     assert out[11]["is_dup_of_corpus"] == 0 and out[11]["matched_corpus_id"] is None
+
+
+def test_keep_best_one_keeper_per_cluster_and_policy(docs):
+    """Every near-dup cluster keeps EXACTLY one doc, and the keeper is
+    the (quality desc, id asc) argmax of its cluster; singletons keep
+    themselves."""
+    out = dedup.dedup_keep_best(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(out) == 5  # verdict for every input doc
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # docs 1/2/3 are one near-dup cluster; 4 and 5 are singletons
+    assert sorted(len(v) for v in by_cluster.values()) == [1, 1, 3]
+    for rows in by_cluster.values():
+        keepers = [r for r in rows if r["is_kept"] == 1]
+        assert len(keepers) == 1
+        best = sorted(rows, key=lambda r: (-r["quality_score"], r["doc_id"]))[0]
+        assert keepers[0]["doc_id"] == best["doc_id"]
