@@ -101,6 +101,7 @@ HEADLINE = [
     "geo_close_pairs",
     "ann_ivfpq_topk",
     "dedup_keep_best",
+    "dedup_containment",
 ]
 
 

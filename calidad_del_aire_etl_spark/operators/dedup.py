@@ -1021,3 +1021,85 @@ def dedup_keep_best_sql(
       FROM labels l JOIN q ON l.{id_col} = q.{id_col}
     )
     """
+
+
+# --- containment / overlap-coefficient pairs ------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Sub-document duplication (Broder containment): pairs whose
+    shingle OVERLAP COEFFICIENT |A∩B| / min(|A|, |B|) ≥ threshold. A
+    short doc pasted inside a long one scores ~1.0 here while its
+    Jaccard (|A∩B| / |A∪B|) stays low — the boilerplate-inclusion and
+    quote-expansion dups every symmetric measure under-reports.
+
+    Same scale machinery as :func:`jaccard_pairs`: per-doc-distinct
+    60-bit shingles, optional hot-shingle doc-frequency cap before the
+    equi-join, map-side-combined pair counts. Output adds both
+    asymmetric directions' denominators so the caller can tell which
+    side is the contained one."""
+    ex, counts = guarded_shingles(df, id_col, text_col, n, max_doc_freq)
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("id").alias("id_a"), F.col("ns").alias("na"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "containment",
+            r4(F.col("inter").cast("double") / F.least("na", "nb").cast("double")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            "containment",
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> str:
+    hot_filter = (
+        f"""ex0 AS (SELECT id, unnest(s) AS sg FROM sh),
+       hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > {max_doc_freq}),
+       ex AS (SELECT id, sg FROM ex0 ANTI JOIN hot USING (sg)),"""
+        if max_doc_freq is not None
+        else "ex AS (SELECT id, unnest(s) AS sg FROM sh),"
+    )
+    cont = "ROUND(CAST(i AS DOUBLE) / CAST(LEAST(na.ns, nb.ns) AS DOUBLE) + 1e-9, 4)"
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS s FROM {table}
+    ), {hot_filter}
+       cnt AS (SELECT id, CAST(len(s) AS BIGINT) AS ns FROM sh),
+       inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, na.ns AS na, nb.ns AS nb, {cont} AS containment
+    FROM inter
+    JOIN cnt na ON inter.id_a = na.id
+    JOIN cnt nb ON inter.id_b = nb.id
+    WHERE {cont} >= {threshold}
+    """

@@ -2926,3 +2926,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     top of the proven pair/CC machinery."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.dedup_keep_best(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_containment",
+    dedup.containment_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.6),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #26f — sub-document duplication via shingle overlap
+    coefficient |A∩B|/min(|A|,|B|) ≥ 0.6: the short-doc-pasted-into-
+    long-doc dups symmetric Jaccard under-reports; same skew-guarded
+    pair machinery."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)

@@ -227,3 +227,24 @@ def test_keep_best_one_keeper_per_cluster_and_policy(docs):
         assert len(keepers) == 1
         best = sorted(rows, key=lambda r: (-r["quality_score"], r["doc_id"]))[0]
         assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc pasted verbatim inside a much longer one: overlap
+    coefficient ~1.0 (flagged) while Jaccard stays under 0.5 (missed) —
+    the asymmetric-dup gap containment exists to close."""
+    short = "alpha beta gamma delta epsilon zeta"
+    longer = (
+        short
+        + " plus a very long tail of additional running prose that keeps"
+        " going with many extra words so the union grows far beyond the"
+        " intersection and the symmetric measure dilutes toward zero"
+    )
+    docs2 = spark.createDataFrame(
+        [(1, short), (2, longer)], "doc_id long, text string"
+    )
+    cont = dedup.containment_pairs(docs2, "doc_id", "text", n=3, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0]["containment"] >= 0.99
+    assert cont[0]["na"] < cont[0]["nb"]  # short side is the contained one
+    jac = dedup.jaccard_pairs(docs2, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses it entirely
