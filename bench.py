@@ -102,6 +102,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "dedup_keep_best",
     "dedup_containment",
+    "quantile_rollup_merge",
 ]
 
 

@@ -147,3 +147,139 @@ def hll_reaggregate(
         )
     )
     return monthly.orderBy("month", group_col)
+
+
+# --- mergeable histogram quantile rollup -----------------------------------
+
+
+def quantile_histogram_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    bins: int = 256,
+) -> DataFrame:
+    """Mergeable-partial percentiles, the 100 TB replacement for exact
+    month-grain percentile_approx re-scans: build ONE equi-width
+    histogram per (day, group) cell — the B-bounded partial a lakehouse
+    persists alongside its daily rollups — then answer the month×group
+    p50/p95 question by SUM-MERGING the daily bin counts, never
+    rescanning the fact. Histogram merge is exact (counts add), so the
+    only error is in-bin interpolation, bounded by one bin width —
+    pytest pins |est − exact percentile| ≤ (hi − lo)/bins.
+
+    Unlike sketch bytes, the partial here is plain (bin, count) rows
+    and the estimator is pure arithmetic, so the DuckDB twin replays it
+    bit-for-bit — a FULL hash-parity gate, not rows-only.
+
+    Estimator (both engines, identical text): global [lo, hi] from one
+    scalar aggregate (broadcast, never collected); bin = clamp(floor(
+    (v − lo)/w), 0, B−1); per percentile p the first bin whose running
+    cum reaches target = ceil(p·n) interpolates
+    est = lo + w·(bin + (target − cum_before)/cnt).
+    """
+    w = Window.partitionBy("month", "g").orderBy("bin")
+    minmax = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).select("lo", (F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / bins).alias("w"))
+    binned = (
+        df.crossJoin(F.broadcast(minmax))
+        .select(
+            F.date_format(ts_col, "yyyy-MM").alias("month"),
+            F.to_date(ts_col).alias("d"),
+            F.col(group_col).alias("g"),
+            "lo",
+            "w",
+            F.least(
+                F.greatest(
+                    F.floor((F.col(value_col) - F.col("lo")) / F.col("w")), F.lit(0)
+                ),
+                F.lit(bins - 1),
+            ).cast("int").alias("bin"),
+        )
+    )
+    daily = binned.groupBy("month", "d", "g", "lo", "w", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = daily.groupBy("month", "g", "lo", "w", "bin").agg(
+        F.sum("cnt").alias("cnt"), F.countDistinct("d").alias("days")
+    )
+    cum = merged.select(
+        "*",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("month", "g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        F.max("days").over(
+            Window.partitionBy("month", "g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("days_merged"),
+    )
+
+    def est(p: float):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        hit = (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+        val = F.col("lo") + F.col("w") * (
+            F.col("bin")
+            + (target - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        )
+        return F.max(F.when(hit, F.round(val + F.lit(1e-9), 4)))
+
+    return (
+        cum.groupBy("month", F.col("g").alias(group_col))
+        .agg(
+            est(0.5).alias("p50_est"),
+            est(0.95).alias("p95_est"),
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("days_merged").cast("bigint").alias("days_merged"),
+        )
+        .orderBy("month", group_col)
+    )
+
+
+def quantile_histogram_rollup_sql(
+    table: str, ts_col: str, group_col: str, value_col: str, bins: int = 256
+) -> str:
+    """DuckDB twin: same [lo, hi] scalars, same clamp/floor binning, same
+    sum-merged counts, same ceil-target in-bin interpolation."""
+
+    def est(p: float) -> str:
+        return (
+            f"MAX(CASE WHEN cum >= CEIL({p} * n) AND (cum - cnt) < CEIL({p} * n) "
+            f"THEN ROUND(lo + w * (bin + CAST(CEIL({p} * n) - (cum - cnt) AS DOUBLE) "
+            "/ CAST(cnt AS DOUBLE)) + 1e-9, 4) END)"
+        )
+
+    return f"""
+    WITH mm AS (
+      SELECT MIN({value_col}) AS lo,
+             GREATEST(MAX({value_col}) - MIN({value_col}), 1e-12) / {bins} AS w
+      FROM {table}
+    ), binned AS (
+      SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS d,
+             {group_col} AS g, lo, w,
+             CAST(LEAST(GREATEST(FLOOR(({value_col} - lo) / w), 0), {bins - 1}) AS INTEGER) AS bin
+      FROM (SELECT {ts_col} AS ts, {group_col}, {value_col} FROM {table}) CROSS JOIN mm
+    ), daily AS (
+      SELECT month, d, g, lo, w, bin, COUNT(*) AS cnt FROM binned GROUP BY 1,2,3,4,5,6
+    ), merged AS (
+      SELECT month, g, lo, w, bin, SUM(cnt) AS cnt, COUNT(DISTINCT d) AS days
+      FROM daily GROUP BY 1,2,3,4,5
+    ), cum0 AS (
+      SELECT *,
+             SUM(cnt) OVER (PARTITION BY month, g ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY month, g) AS n,
+             MAX(days) OVER (PARTITION BY month, g) AS days_merged
+      FROM merged
+    )
+    SELECT month, g AS {group_col},
+           {est(0.5)} AS p50_est,
+           {est(0.95)} AS p95_est,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(days_merged) AS BIGINT) AS days_merged
+    FROM cum0 GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -2939,3 +2939,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair machinery."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@register(
+    "quantile_rollup_merge",
+    sketches.quantile_histogram_rollup_sql("events", "ts", "event_type", "value", 256),
+)
+def q_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #22d — mergeable histogram percentiles: daily 256-bin
+    partials per event type sum-merged to month-grain p50/p95 with no
+    fact rescan (the rolling-percentile analog of hll_rollup_merge);
+    in-bin interpolation error ≤ one bin width, pytest-pinned."""
+    ev = load(spark, sf_dir, "events")
+    return sketches.quantile_histogram_rollup(ev, "ts", "event_type", "value", 256)

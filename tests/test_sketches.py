@@ -107,3 +107,43 @@ def test_hll_reaggregation_tracks_exact(spark, sf_dir):
         assert abs(est[k] - exact[k]) <= max(0.05 * exact[k], 2.0), (
             k, est[k], exact[k]
         )
+
+
+def test_quantile_histogram_rollup_within_one_bin_of_exact(spark, sf_dir):
+    """Merging daily histogram partials is exact (counts add), so the
+    month-grain estimate must land within ONE bin width of the true
+    percentile — the guarantee that makes persisting daily partials a
+    safe substitute for re-scanning the fact at 100 TB."""
+    from calidad_del_aire_etl_spark.operators import sketches
+    from calidad_del_aire_etl_spark.registry import load
+    from calidad_del_aire_etl_spark.session import pin_oracle_compat
+
+    pin_oracle_compat(spark)
+    ev = load(spark, sf_dir, "events")
+    bins = 256
+    est = {
+        (r["month"], r["event_type"]): (r["p50_est"], r["p95_est"])
+        for r in sketches.quantile_histogram_rollup(
+            ev, "ts", "event_type", "value", bins
+        ).collect()
+    }
+    assert est
+    import numpy as np
+
+    rows = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("m"), "event_type", "value"
+    ).collect()
+    lo = min(r["value"] for r in rows)
+    hi = max(r["value"] for r in rows)
+    width = (hi - lo) / bins
+    by_cell: dict[tuple, list] = {}
+    for r in rows:
+        by_cell.setdefault((r["m"], r["event_type"]), []).append(r["value"])
+    for cell, vals in by_cell.items():
+        v = np.sort(np.array(vals))
+        for p, got in zip((0.5, 0.95), est[cell]):
+            exact = float(v[min(int(np.ceil(p * len(v))) - 1, len(v) - 1)])
+            assert abs(got - exact) <= width + 1e-6, (
+                f"{cell} p{int(p * 100)}: est {got} vs exact {exact} "
+                f"(bin width {width})"
+            )
