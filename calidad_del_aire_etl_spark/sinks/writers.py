@@ -313,3 +313,68 @@ def write_parquet_hilbert(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_parquet_manifest(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet with a Delta-style file-skipping manifest: data is
+    range-clustered on ``stats_cols[0]`` (tight per-file spans), and a
+    ``_manifest/`` side table records per-file min/max for every stats
+    column. Readers prune FILES from the manifest before Spark ever
+    lists/opens them — coarser than parquet row-group stats but paid at
+    the driver from a manifest thousands of times smaller than the
+    footers, which is the difference between a 100 TB scan planning in
+    milliseconds vs minutes. The ``_``-prefixed dir is invisible to
+    normal ``spark.read.parquet(path)`` (Spark's file index skips
+    ``_``/``.`` names), so the layout stays a plain parquet dataset.
+
+    The manifest is built from ONE distributed scan of the written
+    files (groupBy input_file_name), not from driver-side footer reads.
+    """
+    from pyspark.sql import functions as F
+
+    clustered = (
+        df.repartitionByRange(num_files, stats_cols[0])
+        if num_files
+        else df.repartitionByRange(stats_cols[0])
+    )
+    clustered.sortWithinPartitions(stats_cols[0]).write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    manifest = (
+        written.groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+
+
+def manifest_pruned_files(
+    spark, path: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """(files whose [min_col, max_col] overlaps [lo, hi], total files)
+    — the pruning decision, exposed for tests and for readers."""
+    m = spark.read.parquet(f"{path}/_manifest").select(
+        "file", f"min_{col}", f"max_{col}"
+    ).collect()
+    keep = [r["file"] for r in m if r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi]
+    return keep, len(m)
+
+
+def read_parquet_manifest_pruned(spark, path: str, col: str, lo, hi) -> DataFrame:
+    """Range read over a manifest dataset: open ONLY the overlapping
+    files, then apply the exact predicate (manifest pruning is a
+    superset guarantee, the predicate is still the contract)."""
+    from pyspark.sql import functions as F
+
+    files, _total = manifest_pruned_files(spark, path, col, lo, hi)
+    src = spark.read.parquet(*files) if files else spark.read.parquet(path)
+    out = src.filter(F.col(col).between(lo, hi))
+    return out if files else out.limit(0)

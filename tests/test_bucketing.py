@@ -275,3 +275,34 @@ def test_hilbert_write_tightens_spans_like_zorder(spark, tmp_path):
 
     assert mean_span(hpath, "b") < 0.5 * mean_span(lpath, "b")
     assert mean_span(hpath, "a") < 100
+
+
+def test_manifest_pruning_skips_files_and_keeps_answers_exact(spark, tmp_path):
+    """File-skipping contract: a narrow range predicate over a
+    range-clustered manifest dataset opens a strict subset of files,
+    and returns exactly the rows a full scan + filter returns."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 977).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "mfst")
+    writers.write_parquet_manifest(df, path, ["id", "k"], num_files=16)
+    lo, hi = 2_000, 2_499
+    files, total = writers.manifest_pruned_files(spark, path, "id", lo, hi)
+    assert total == 16
+    assert 0 < len(files) < total, f"no pruning: {len(files)}/{total}"
+    got = sorted(
+        r["id"]
+        for r in writers.read_parquet_manifest_pruned(spark, path, "id", lo, hi).collect()
+    )
+    assert got == list(range(lo, hi + 1))
+    # plain readers must not see the manifest side table
+    assert spark.read.parquet(path).count() == 10_000
+    # fully-disjoint range → empty result, no error
+    assert (
+        writers.read_parquet_manifest_pruned(spark, path, "id", 50_000, 60_000).count()
+        == 0
+    )
