@@ -2952,3 +2952,41 @@ def q_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bin interpolation error ≤ one bin width, pytest-pinned."""
     ev = load(spark, sf_dir, "events")
     return sketches.quantile_histogram_rollup(ev, "ts", "event_type", "value", 256)
+
+
+@register(
+    "lang_id_eval",
+    f"""
+    WITH pred AS ({text.lang_id_sql("documents", "doc_id", "text")})
+    SELECT d.lang AS label_lang, p.detected_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS DOUBLE)
+                 + 1e-9, 4) AS frac_of_label
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #32b — classifier evaluation loop: confusion matrix of
+    the stopword-profile language ID against the corpus's labeled
+    ``lang`` column, with per-label recall fractions. One narrow scoring
+    projection + one (label, pred) groupBy — the share-of-label window
+    runs over the ≤|langs|² matrix, never the corpus."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    scored = text.lang_scores(docs.select("doc_id", "lang", "text"), "text")
+    pred = scored.select("doc_id", "lang", text.lang_pick().alias("detected_lang"))
+    from pyspark.sql import Window
+
+    cell = pred.groupBy(
+        F.col("lang").alias("label_lang"), "detected_lang"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("label_lang")
+    return cell.select(
+        "label_lang",
+        "detected_lang",
+        "n_docs",
+        r4(F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "frac_of_label"
+        ),
+    ).orderBy("label_lang", "detected_lang")
