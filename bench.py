@@ -103,6 +103,8 @@ HEADLINE = [
     "dedup_keep_best",
     "dedup_containment",
     "quantile_rollup_merge",
+    "lang_id_eval",
+    "corpus_sentence_dedup",
 ]
 
 

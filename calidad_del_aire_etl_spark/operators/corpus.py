@@ -795,3 +795,101 @@ def split_decontaminated_sql(
                 THEN 1 ELSE 0 END AS INTEGER) AS is_leaked
     FROM base LEFT JOIN leaked_docs USING ({id_col})
     """
+
+
+# --- sentence-level boilerplate dedup (CCNet-style) ------------------------
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 3,
+) -> DataFrame:
+    """CCNet/Dolma-style sub-document dedup: drop every SENTENCE whose
+    normalized form appears in more than ``max_df`` distinct documents
+    (cookie banners, nav text, license boilerplate — the dup mass that
+    document-level dedup can't touch because the surrounding text
+    differs), then reassemble each document from its surviving
+    sentences in original order.
+
+    Scale shape: one explode + one map-side-combined doc-frequency
+    count; the boilerplate set (≤ total_sentences / max_df rows) rides
+    back as a BROADCAST anti-join, so the corpus-side relation never
+    shuffles on sentence text; reassembly is one groupBy(id) with a
+    sort inside the bounded per-doc list. Output: (id, clean_text,
+    n_sentences, n_removed) for every input document (fully-boilerplate
+    docs keep an empty clean_text).
+    """
+    sent = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias("pos", "s"),
+        )
+        .withColumn("s", F.trim("s"))
+        .filter(F.col("s") != "")
+        .withColumn("norm", F.lower(F.col("s")))
+    )
+    freq = (
+        sent.select("id", "norm")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("norm")
+    )
+    kept = sent.join(F.broadcast(freq), "norm", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.expr(
+            "concat_ws('. ', transform(array_sort(collect_list(struct(pos, s))), "
+            "x -> x.s))"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = sent.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sentences"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_sentences", F.lit(0)).cast("bigint").alias("n_sentences"),
+            (
+                F.coalesce("n_sentences", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def sentence_dedup_sql(table: str, id_col: str, text_col: str, max_df: int = 3) -> str:
+    """DuckDB twin: same split / normalize / doc-frequency threshold /
+    ordered reassembly."""
+    return rf"""
+    WITH sent AS (
+      SELECT id, pos, s, lower(s) AS norm FROM (
+        SELECT {id_col} AS id,
+               generate_subscripts(regexp_split_to_array({text_col}, '\.\s+'), 1) AS pos,
+               trim(unnest(regexp_split_to_array({text_col}, '\.\s+'))) AS s
+        FROM {table}
+      ) WHERE s != ''
+    ), freq AS (
+      SELECT norm FROM (SELECT DISTINCT id, norm FROM sent)
+      GROUP BY norm HAVING COUNT(*) > {max_df}
+    ), kept AS (
+      SELECT * FROM sent ANTI JOIN freq USING (norm)
+    ), rebuilt AS (
+      SELECT id, string_agg(s, '. ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY id
+    ), totals AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sentences FROM sent GROUP BY id
+    )
+    SELECT d.{id_col},
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(t.n_sentences, 0) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(t.n_sentences, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM (SELECT {id_col} FROM {table}) d
+    LEFT JOIN totals t ON d.{id_col} = t.id
+    LEFT JOIN rebuilt r ON d.{id_col} = r.id
+    """

@@ -2990,3 +2990,16 @@ def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_label"
         ),
     ).orderBy("label_lang", "detected_lang")
+
+
+@register(
+    "corpus_sentence_dedup",
+    corpus.sentence_dedup_sql("documents", "doc_id", "text", max_df=3),
+)
+def q_corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49j — CCNet-style sentence-level boilerplate removal:
+    drop sentences appearing in > 3 distinct docs, reassemble documents
+    in order. Broadcast anti-join on the small boilerplate set — the
+    corpus never shuffles on sentence text."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.sentence_dedup(docs, "doc_id", "text", max_df=3)

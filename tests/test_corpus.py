@@ -154,3 +154,29 @@ def test_dup_spans_flags_planted_duplication(spark):
     # docs 1 and 2 share the same prefix, so their duplicated span
     # COUNTS over the shared region agree
     assert out[1]["n_dup_spans"] == out[2]["n_dup_spans"]
+
+
+def test_sentence_dedup_strips_planted_boilerplate_keeps_order(spark):
+    """A cookie-banner sentence planted in every doc is removed; unique
+    sentences survive in original order; a fully-boilerplate doc keeps
+    an empty clean_text."""
+    from calidad_del_aire_etl_spark.operators import corpus
+
+    banner = "We use cookies to improve your experience"
+    rows = [
+        (1, f"{banner}. Alpha unique thought one. Beta unique thought two"),
+        (2, f"Gamma opens here. {banner}. Delta closes here"),
+        (3, f"{banner}"),
+        (4, f"{banner}. Epsilon stands alone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in corpus.sentence_dedup(docs, "doc_id", "text", max_df=3).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "Alpha unique thought one. Beta unique thought two"
+    assert out[2]["clean_text"] == "Gamma opens here. Delta closes here"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "Epsilon stands alone"
+    assert all(r["n_sentences"] - r["n_removed"] >= 0 for r in out.values())
