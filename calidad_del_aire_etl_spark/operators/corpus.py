@@ -829,6 +829,10 @@ def sentence_dedup(
         .withColumn("s", F.trim("s"))
         .filter(F.col("s") != "")
         .withColumn("norm", F.lower(F.col("s")))
+        # three consumers below (doc-frequency count, anti-join, per-doc
+        # totals) — checkpoint so the text split/explode runs once, not 3x
+        # (blocks are ContextCleaner-managed; lazy, first job materializes)
+        .localCheckpoint(eager=False)
     )
     freq = (
         sent.select("id", "norm")
