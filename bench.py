@@ -105,6 +105,7 @@ HEADLINE = [
     "quantile_rollup_merge",
     "lang_id_eval",
     "corpus_sentence_dedup",
+    "mm_phash_dedup",
 ]
 
 

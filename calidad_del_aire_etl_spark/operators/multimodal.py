@@ -277,3 +277,93 @@ def cogroup_align(
         .cogroup(right.groupBy(key_col))
         .applyInPandas(align, schema=COGROUP_SCHEMA)
     )
+
+
+# --- perceptual-hash near-dup over binary payloads -------------------------
+
+
+def phash64(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """64-bit average-hash fingerprint per binary payload: the payload's
+    bytes are cut into 64 equal blocks and bit i is set iff block i's
+    mean exceeds the payload's global mean — the aHash algorithm, run on
+    the byte stream as the decode stand-in (on decoded pixels with a
+    real decoder; the fingerprint/banding plumbing is identical).
+    Arrow-batched pandas UDF, numpy per element — no per-byte Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _phash(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            if arr.size == 0:
+                out.append(0)
+                continue
+            # pad to a multiple of 64 with the global mean (no bit bias)
+            pad = (-arr.size) % 64
+            if pad:
+                arr = np.concatenate([arr, np.full(pad, arr.mean())])
+            blocks = arr.reshape(64, -1).mean(axis=1)
+            bits = (blocks > arr.mean()).astype(np.uint64)
+            h = np.uint64(0)
+            for b in bits:
+                h = (h << np.uint64(1)) | b
+            out.append(int(h.astype(np.int64)))  # two's-complement into long
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("id"), _phash(F.col(payload_col)).alias("fp"))
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Multimodal near-dup pairs: fingerprints within ``max_hamming``
+    bits. Candidate generation is the pigeonhole band join — split the
+    64-bit hash into 4 × 16-bit bands; any pair within Hamming ≤ 3 MUST
+    agree on at least one band (3 differing bits can dirty at most 3 of
+    4 bands), so the per-band equi-join finds every true pair while
+    scanning only same-band buckets, never all pairs. Exact popcount
+    (bit_count of xor, JVM-side) then removes false candidates.
+
+    The guarantee is exactness of the banding for max_hamming ≤ 3; a
+    larger budget needs more/smaller bands (same trade as MinHash LSH).
+    """
+    assert max_hamming <= 3, "4x16 banding is exact only for hamming <= 3"
+    fp = phash64(df, id_col, payload_col).localCheckpoint(eager=False)
+    bands = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b as band, shiftrightunsigned(fp, b * 16) & 65535 as bkey))"
+            )
+        ).alias("bb"),
+    ).select("id", "fp", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -3003,3 +3003,15 @@ def q_corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles on sentence text."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return corpus.sentence_dedup(docs, "doc_id", "text", max_df=3)
+
+
+@register("mm_phash_dedup", None)  # fingerprint over binary payload — rows-only
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #37b — multimodal near-dup: 64-bit average-hash
+    fingerprints over binary payloads, 4×16-bit pigeonhole band join
+    (exact for Hamming ≤ 3), JVM-side popcount verification. Rows-only
+    (fingerprint rides a pandas UDF); banding exactness and planted-dup
+    recall are pytest-pinned (tests/test_general_multimodal.py)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    payload = multimodal.with_binary_payload(docs.select("doc_id", "text"), "text")
+    return multimodal.phash_near_dup_pairs(payload, "doc_id", max_hamming=3)

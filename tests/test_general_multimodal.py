@@ -226,3 +226,37 @@ def test_read_csv_with_quarantine(spark, tmp_path):
     assert sorted(r["id"] for r in good.collect()) == [1, 3]
     bad_rows = [r["_corrupt_record"] for r in bad.collect()]
     assert len(bad_rows) == 1 and "boom" in bad_rows[0]
+
+
+def test_phash_band_join_is_exact_for_hamming_le_3(spark):
+    """The 4x16 pigeonhole banding must find EXACTLY the pairs a
+    brute-force popcount over all fingerprint pairs finds (hamming <=
+    3): planted near-identical payloads (tiny tail edits) land inside
+    the budget, unrelated payloads stay out."""
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    rows = [
+        (1, base),
+        (2, base[:-3] + "cat"),            # tiny tail edit -> near-dup
+        (3, base.replace("quick", "azure")),  # small edit
+        (4, "completely different content " * 50),
+        (5, base),                          # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    payload = multimodal.with_binary_payload(docs, "text")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dup_pairs(payload, "doc_id", max_hamming=3).collect()
+    }
+    fps = {r["id"]: r["fp"] for r in multimodal.phash64(payload, "doc_id").collect()}
+    expect = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect, f"banding missed or invented pairs: {got} vs {expect}"
+    assert (1, 5) in got and got[(1, 5)] == 0  # exact dup
+    assert (1, 2) in got                       # planted tail edit
