@@ -106,6 +106,7 @@ HEADLINE = [
     "lang_id_eval",
     "corpus_sentence_dedup",
     "mm_phash_dedup",
+    "top_event_paths",
 ]
 
 

@@ -348,3 +348,52 @@ def conversion_attribution_sql() -> str:
            CAST(str_split(last_touch_key, '|')[2] AS BIGINT) AS last_touch_id
     FROM run WHERE event_type = 'purchase'
     """
+
+
+def top_event_paths(events: DataFrame, path_len: int = 3, k: int = 20) -> DataFrame:
+    """Top-k most common length-``path_len`` event-type sequences
+    (sliding n-grams over each user's ordered event stream) — the
+    which-journeys-dominate readout between the transition matrix
+    (order 1) and full funnel analysis (fixed target).
+
+    One window shuffle on user_id builds the lead n-gram; the path
+    groupBy is map-side combined down to |types|^len rows; top-k via
+    TakeOrdered (rank ties broken by path text so both engines agree).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, path_len)
+    ]
+    paths = events.select(
+        F.concat_ws(" > ", *cols).alias("path"),
+        cols[-1].isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w2 = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("path", "n", "rank")
+    )
+
+
+def top_event_paths_sql(path_len: int = 3, k: int = 20) -> str:
+    leads = ["event_type"] + [
+        f"LEAD(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        for i in range(1, path_len)
+    ]
+    concat = " || ' > ' || ".join(leads)
+    last = leads[-1]
+    return f"""
+    WITH paths AS (
+      SELECT {concat} AS path, {last} AS lastv FROM events
+    ), counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths
+      WHERE lastv IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n, rank FROM (
+      SELECT path, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS INTEGER) AS rank
+      FROM counts
+    ) WHERE rank <= {k}
+    """

@@ -3015,3 +3015,11 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     payload = multimodal.with_binary_payload(docs.select("doc_id", "text"), "text")
     return multimodal.phash_near_dup_pairs(payload, "doc_id", max_hamming=3)
+
+
+@register("top_event_paths", behavior.top_event_paths_sql(3, 20))
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24x — top-20 three-step event-type journeys (sliding
+    n-grams per user): one window shuffle, map-side-combined path
+    counts, TakeOrdered top-k."""
+    return behavior.top_event_paths(load(spark, sf_dir, "events"), 3, 20)
