@@ -378,3 +378,76 @@ def read_parquet_manifest_pruned(spark, path: str, col: str, lo, hi) -> DataFram
     src = spark.read.parquet(*files) if files else spark.read.parquet(path)
     out = src.filter(F.col(col).between(lo, hi))
     return out if files else out.limit(0)
+
+
+def write_versioned_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Iceberg-shaped snapshot versioning over plain parquet: each
+    commit writes its data files under ``<path>/data/`` and a snapshot
+    manifest (the FULL list of files visible at that version —
+    copy-on-write metadata, exactly Iceberg's snapshot model) under
+    ``<path>/_snapshots/v=N/``. ``mode='append'`` makes the new
+    snapshot = previous file list + new files; ``mode='overwrite'``
+    starts the list fresh (logical truncate — old files stay on disk
+    for older snapshots, which is what makes time travel work).
+    Readers never list the data dir; they read one tiny manifest.
+    Returns the new version number.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(commit_dir)
+    new_files = [
+        r["f"]
+        for r in spark.read.parquet(commit_dir)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    current = latest_version(spark, path)
+    base: list[str] = []
+    if mode == "append" and current is not None:
+        base = [
+            r["file"]
+            for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+        ]
+    version = 0 if current is None else current + 1
+    manifest = spark.createDataFrame(
+        [(f,) for f in base + sorted(new_files)], "file string"
+    )
+    manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
+    return version
+
+
+def latest_version(spark, path: str) -> int | None:
+    """Highest committed snapshot version, None for an empty table."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_snapshots")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return None
+    versions = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jvm_path)
+        if st.getPath().getName().startswith("v=")
+    ]
+    return max(versions) if versions else None
+
+
+def read_versioned_parquet(spark, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read (time travel): ``version=None`` reads the latest
+    snapshot; any earlier N reads the table exactly as committed at N,
+    regardless of later appends/overwrites."""
+    if version is None:
+        version = latest_version(spark, path)
+    if version is None:
+        raise ValueError(f"no snapshots at {path}")
+    files = [
+        r["file"] for r in spark.read.parquet(f"{path}/_snapshots/v={version}").collect()
+    ]
+    return spark.read.parquet(*files)

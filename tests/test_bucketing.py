@@ -306,3 +306,31 @@ def test_manifest_pruning_skips_files_and_keeps_answers_exact(spark, tmp_path):
         writers.read_parquet_manifest_pruned(spark, path, "id", 50_000, 60_000).count()
         == 0
     )
+
+
+def test_versioned_parquet_time_travel(spark, tmp_path):
+    """Snapshot contract: append grows the visible set, overwrite
+    logically truncates, and EVERY earlier version stays readable
+    exactly as committed."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    path = str(tmp_path / "vt")
+    d = lambda lo, hi: spark.range(lo, hi).select(F.col("id"))
+    v0 = writers.write_versioned_parquet(d(0, 100), path, mode="append")
+    v1 = writers.write_versioned_parquet(d(100, 150), path, mode="append")
+    v2 = writers.write_versioned_parquet(d(500, 510), path, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert writers.latest_version(spark, path) == 2
+
+    def ids(version=None):
+        return sorted(
+            r["id"]
+            for r in writers.read_versioned_parquet(spark, path, version).collect()
+        )
+
+    assert ids(0) == list(range(0, 100))
+    assert ids(1) == list(range(0, 150))
+    assert ids(2) == list(range(500, 510))
+    assert ids() == ids(2)  # latest
