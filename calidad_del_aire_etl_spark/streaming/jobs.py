@@ -540,3 +540,77 @@ def streaming_distinct_hll(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QH_STREAM_OUT = "event_type string, p50_est double, p95_est double, n_rows long"
+QH_STREAM_STATE = "counts binary"
+
+
+def streaming_quantile_bands(
+    stream: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> DataFrame:
+    """#40n — streaming p50/p95 per event type from FIXED-SIZE histogram
+    state: each group carries ``bins`` int64 counts (2 KiB at 256 bins —
+    constant for the life of the stream, the same bounded-state argument
+    as the HLL job) across micro-batches via applyInPandasWithState,
+    emitting interpolated percentile estimates each batch. The batch
+    twin is ``sketches.quantile_histogram_rollup`` — same binning, same
+    ceil-target in-bin interpolation, error ≤ one bin width against the
+    exact percentile (pytest-pinned on both).
+
+    The [lo, hi] range is a declared parameter (a stream can't take a
+    global min/max first); out-of-range values clamp into the edge bins.
+    Counting state is NOT replay-idempotent (counts add) — exactly-once
+    sinks or upstream dedup are the contract, as for every counting
+    stream."""
+    import numpy as np
+
+    width = (hi - lo) / bins
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        counts = (
+            np.frombuffer(state.get[0], dtype=np.int64).copy()
+            if state.exists
+            else np.zeros(bins, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            v = pdf["v"].to_numpy(dtype=np.float64)
+            if not len(v):
+                continue
+            idx = np.clip(
+                np.floor((v - lo) / width).astype(np.int64), 0, bins - 1
+            )
+            np.add.at(counts, idx, 1)
+        state.update((counts.tobytes(),))
+        n = int(counts.sum())
+        cum = counts.cumsum()
+
+        def est(p: float) -> float:
+            target = int(np.ceil(p * n))
+            b = int(np.searchsorted(cum, target))
+            cum_before = int(cum[b] - counts[b])
+            return float(
+                lo + width * (b + (target - cum_before) / float(counts[b]))
+            )
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "p50_est": [round(est(0.5) + 1e-9, 4) if n else None],
+                "p95_est": [round(est(0.95) + 1e-9, 4) if n else None],
+                "n_rows": [n],
+            }
+        )
+
+    keyed = stream.select("event_type", F.col(value_col).alias("v"))
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=QH_STREAM_OUT,
+        stateStructType=QH_STREAM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

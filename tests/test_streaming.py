@@ -437,3 +437,40 @@ def test_streaming_hll_distinct_estimates_and_is_idempotent(spark, input_dir):
     true_n = 200
     assert abs(est_after_batches - true_n) / true_n < 0.15
     assert math.isclose(est_after_batches, est_after_replay, rel_tol=1e-9)
+
+
+def test_streaming_quantile_bands_tracks_exact_within_bin(spark, input_dir):
+    """Histogram state accumulates across micro-batches and the final
+    p50/p95 estimates land within one bin width of the exact percentile
+    over ALL rows seen — the batch twin's guarantee, held by the
+    stream."""
+    import numpy as np
+
+    lo, hi, bins = 0.0, 100.0, 200
+    stream = jobs.read_events_stream(spark, input_dir)
+    qb = jobs.streaming_quantile_bands(stream, "value", lo=lo, hi=hi, bins=bins)
+    vals1 = [float((7 * i) % 100) for i in range(150)]
+    vals2 = [float((13 * i) % 100) for i in range(100)]
+    _write_batch(
+        spark, input_dir,
+        [(i, _t(i % 50), i, "click", v) for i, v in enumerate(vals1)], 0,
+    )
+    q = jobs.run_to_memory(qb, "qb_out", output_mode="update")
+    try:
+        _write_batch(
+            spark, input_dir,
+            [(1000 + i, _t(i % 50), i, "click", v) for i, v in enumerate(vals2)], 1,
+        )
+        q.processAllAvailable()
+        last = spark.sql(
+            "SELECT p50_est, p95_est, n_rows FROM qb_out "
+            "WHERE event_type = 'click' ORDER BY n_rows DESC LIMIT 1"
+        ).collect()[0]
+    finally:
+        q.stop()
+    allv = np.sort(np.array(vals1 + vals2))
+    assert last["n_rows"] == len(allv)
+    width = (hi - lo) / bins
+    for p, got in ((0.5, last["p50_est"]), (0.95, last["p95_est"])):
+        exact = float(allv[min(int(np.ceil(p * len(allv))) - 1, len(allv) - 1)])
+        assert abs(got - exact) <= width + 1e-6, f"p{int(p*100)}: {got} vs {exact}"
