@@ -162,3 +162,48 @@ def test_unigram_logprob_head_guard_absorbs_hot_tokens(spark):
     )
     assert "the" in head_toks
     assert tail_max <= min_head_freq
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's OTHER skew lever: with AQE skew-join on (the session
+    default), a sort-merge join whose left side has one key owning half
+    the rows must compile to SortMergeJoin(skew=true) with an
+    AQEShuffleRead marked skewed in the FINAL adaptive plan — proof the
+    runtime guard is armed, not just configured, so an unsalted
+    fact-fact join can't strand one straggler task at 100 TB.
+    Thresholds are scaled down to test-sized data (production defaults
+    target multi-GB partitions)."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        n = 400_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 997).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, (
+            "AQE did not mark the hot partition as skewed:\n" + final_plan[:2000]
+        )
+    finally:
+        for key, val in prev.items():
+            spark.conf.set(key, val)
