@@ -107,6 +107,7 @@ HEADLINE = [
     "corpus_sentence_dedup",
     "mm_phash_dedup",
     "top_event_paths",
+    "text_bm25_topk",
 ]
 
 

@@ -460,3 +460,154 @@ def readability_sql(table: str, id_col: str, text_col: str) -> str:
       FROM {table}
     )
     """
+
+
+# --- #35f BM25 ranked retrieval --------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a fixed query term
+    set (Robertson-Sparck-Jones BM25, idf = ln(1 + (N-df+0.5)/(df+0.5))).
+
+    The keyword-search primitive a corpus pipeline uses for targeted
+    audits ("show me the docs about X") and for building weak-label
+    retrieval sets. Reference analog: the dashboard's filter-then-rank
+    readouts (dashboard_calidad_aire.py:81-93) generalized to text.
+
+    Plan — zero wide shuffles on the corpus:
+    - per-doc term frequencies come from a NARROW projection
+      (``size(filter(tokens, t -> t = term))`` per query term — the
+      token array never explodes, nothing shuffles);
+    - corpus stats (N, avgdl, per-term document frequency) reduce to ONE
+      map-side-combined 1-row aggregate, broadcast back via crossJoin;
+    - the global top-k plans as TakeOrdered (per-partition top-k, k-way
+      driver merge) — no single-partition global window; the rank
+      column is assigned by a window over the already-limited k-row
+      relation.
+
+    At 100 TB the corpus is scanned twice (stats pass + scoring pass),
+    both narrow column-pruned scans of (id, text); the shuffle volume is
+    one 1-row stats relation and k output rows. Ordering uses the
+    r4-rounded score with doc-id tie-break so both engines agree."""
+    toks = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
+    )
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double").alias(f"__tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    per_term = []
+    for i in range(len(query_terms)):
+        tf, dfq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        sat = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+        per_term.append(F.when(tf > 0, idf * sat).otherwise(F.lit(0.0)))
+    total = per_term[0]
+    for c in per_term[1:]:
+        total = total + c
+    n_matched = None
+    for i in range(len(query_terms)):
+        m = (F.col(f"__tf{i}") > 0).cast("int")
+        n_matched = m if n_matched is None else n_matched + m
+    ranked = (
+        scored.select(
+            F.col(id_col),
+            F.col("__dl").cast("bigint").alias("dl"),
+            n_matched.alias("n_terms"),
+            r4(total).alias("score"),
+        )
+        .filter(F.col("n_terms") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("int").alias("rank"),
+        "score",
+        "n_terms",
+        "dl",
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})),"
+        r" '\s+'), t -> t <> '')"
+    )
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{term}')) AS DOUBLE)"
+        f" AS tf{i}"
+        for i, term in enumerate(query_terms)
+    )
+    df_exprs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(query_terms))
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(query_terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, CAST(len({toks}) AS DOUBLE) AS dl, {tf_exprs}
+  FROM {table}
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, {df_exprs}
+  FROM base
+), scored AS (
+  SELECT base.{id_col},
+         CAST(base.dl AS BIGINT) AS dl,
+         CAST({match_terms} AS INTEGER) AS n_terms,
+         ROUND(({score_terms}) + 1e-9, 4) AS score
+  FROM base, stats
+)
+SELECT {id_col}, CAST(rank AS INTEGER) AS rank, score, n_terms, dl
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, {id_col} ASC) AS rank
+  FROM scored WHERE n_terms > 0
+)
+WHERE rank <= {k}
+"""

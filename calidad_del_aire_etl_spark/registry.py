@@ -3023,3 +3023,16 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams per user): one window shuffle, map-side-combined path
     counts, TakeOrdered top-k."""
     return behavior.top_event_paths(load(spark, sf_dir, "events"), 3, 20)
+
+
+@register(
+    "text_bm25_topk",
+    text.bm25_topk_sql("documents", "doc_id", "text", ["hash", "join", "spark"], k=10),
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #35f — BM25 ranked retrieval: top-10 docs for a fixed
+    query term set. Zero wide shuffles: per-doc tfs are a narrow array
+    projection, corpus stats one broadcast 1-row aggregate, top-k plans
+    as TakeOrdered."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return text.bm25_topk(docs, "doc_id", "text", ["hash", "join", "spark"], k=10)
