@@ -108,6 +108,8 @@ HEADLINE = [
     "mm_phash_dedup",
     "top_event_paths",
     "text_bm25_topk",
+    "pareto_frontier",
+    "item_cf_cosine",
 ]
 
 

@@ -9,6 +9,7 @@ distributed double sum would be order-dependent.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1045,4 +1046,88 @@ def daily_percentile_bands_sql() -> str:
     FROM events
     GROUP BY 1, 2
     ORDER BY event_type, date
+    """
+
+
+# ---------------------------------------------------------------------------
+# #24h Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+
+def pareto_frontier(
+    part: DataFrame,
+    key_col: str = "p_partkey",
+    min_col: str = "p_retailprice",
+    max_col: str = "p_size",
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts no other part beats on BOTH
+    axes (lower ``min_col`` AND higher ``max_col``, strict on at least
+    one) — the best-price-for-size shortlist query. Börzsönyi et al.'s
+    SKYLINE OF operator (ICDE'01), expressed as two phases so it never
+    goes all-pairs:
+
+    1. **Local conservative prune** (narrow — truly no shuffle: an
+       Arrow-batched ``mapInPandas`` pass, one sort per ~10k-row batch):
+       within each batch, sort by (min asc, max desc) and drop any row
+       whose running strict max of ``max_col`` over preceding rows
+       exceeds its own — such a row is dominated by a same-batch row,
+       hence dominated globally, so dropping it is always sound.
+       For independently-distributed dims the survivors per batch are
+       ~O(log batch) in expectation.
+    2. **Exact global check** over the tiny pruned relation: a row is
+       dominated iff max(max_col) over rows with min_col <= its own
+       exceeds its max_col, OR some row with the SAME max_col has a
+       strictly lower min_col (the two cases cover strict-dominance
+       with ties exactly). The range-frame window here is
+       single-partition by design — it runs over phase-1 survivors, not
+       the input.
+
+    At 100 TB phase 1 is a narrow per-partition pass over the scan; the
+    only shuffle carries the pruned candidate set."""
+    proj = part.select(key_col, min_col, max_col)
+
+    def _prune(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            s = pdf.sort_values(
+                [min_col, max_col], ascending=[True, False], kind="mergesort"
+            )
+            mx = s[max_col].to_numpy()
+            prev = np.concatenate(([-np.inf], np.maximum.accumulate(mx)[:-1]))
+            yield s[prev <= mx]
+
+    local = proj.mapInPandas(_prune, schema=proj.schema)
+    w_le = (
+        Window.orderBy(F.col(min_col))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_eq = Window.partitionBy(F.col(max_col))
+    return (
+        local.withColumn("__maxle", F.max(max_col).over(w_le))
+        .withColumn("__minpeq", F.min(min_col).over(w_eq))
+        .filter(
+            (F.col("__maxle") <= F.col(max_col))
+            & (F.col("__minpeq") >= F.col(min_col))
+        )
+        .select(key_col, min_col, max_col)
+    )
+
+
+def pareto_frontier_sql(
+    table: str = "part",
+    key_col: str = "p_partkey",
+    min_col: str = "p_retailprice",
+    max_col: str = "p_size",
+) -> str:
+    # naive quadratic NOT EXISTS — the textbook skyline definition,
+    # proving the two-phase pruning drops nothing
+    return f"""
+    SELECT p.{key_col}, p.{min_col}, p.{max_col}
+    FROM {table} p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {table} q
+      WHERE q.{min_col} <= p.{min_col} AND q.{max_col} >= p.{max_col}
+        AND (q.{min_col} < p.{min_col} OR q.{max_col} > p.{max_col})
+    )
     """

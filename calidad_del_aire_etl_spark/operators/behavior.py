@@ -397,3 +397,80 @@ def top_event_paths_sql(path_len: int = 3, k: int = 20) -> str:
       FROM counts
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# #23q item-item collaborative filtering
+# ---------------------------------------------------------------------------
+
+
+def item_cf_cosine(events: DataFrame, min_co_users: int = 2) -> DataFrame:
+    """Item-item collaborative-filtering similarity (Sarwar et al.
+    WWW'01): cosine between event types' implicit-rating vectors, where
+    rating(user, type) = interaction count. The "users who did X also
+    did Y" recommender primitive.
+
+    Plan: the raw event stream reduces FIRST to the (user, type, cnt)
+    rating matrix (map-side-combined groupBy — the only pass over the
+    fact); the pair generation is a self-join on user_id whose fan-out
+    per user is bounded by the CATALOG size (< |items|² rows per user,
+    never |events|²); item norms reduce to an |items|-row relation that
+    broadcasts. At 100 TB the shuffles carry |users|·|items| rating
+    rows and |items|² pair partials — both catalog-bounded."""
+    ratings = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    a, b_ = ratings.alias("a"), ratings.alias("b")
+    pairs = (
+        a.join(b_, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("co_users"),
+        )
+    )
+    norms = ratings.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm")
+    )
+    na = F.broadcast(norms.select(F.col("event_type").alias("item_a"), F.col("norm").alias("__na")))
+    nb = F.broadcast(norms.select(F.col("event_type").alias("item_b"), F.col("norm").alias("__nb")))
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .filter(F.col("co_users") >= min_co_users)
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            r4(F.col("dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        )
+    )
+
+
+def item_cf_cosine_sql(min_co_users: int = 2) -> str:
+    return f"""
+    WITH ratings AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             SUM(a.cnt * b.cnt) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS co_users
+      FROM ratings a JOIN ratings b USING (user_id)
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT event_type, sqrt(SUM(cnt * cnt)) AS norm
+      FROM ratings GROUP BY 1
+    )
+    SELECT item_a, item_b, co_users,
+           ROUND(dot / (na.norm * nb.norm) + 1e-9, 4) AS cosine
+    FROM pairs
+    JOIN norms na ON na.event_type = item_a
+    JOIN norms nb ON nb.event_type = item_b
+    WHERE co_users >= {min_co_users}
+    """

@@ -3036,3 +3036,24 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as TakeOrdered."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return text.bm25_topk(docs, "doc_id", "text", ["hash", "join", "spark"], k=10)
+
+
+@register("pareto_frontier", analytics2.pareto_frontier_sql("part"))
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24h — 2-D Pareto frontier (skyline) of parts: best
+    price-for-size shortlist. Two-phase: Arrow-batched conservative
+    local prune (no shuffle), exact tie-correct global check over the
+    tiny survivor set. Oracle is the quadratic NOT-EXISTS definition,
+    proving the pruning drops nothing."""
+    return analytics2.pareto_frontier(
+        load(spark, sf_dir, "part"), "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+@register("item_cf_cosine", behavior.item_cf_cosine_sql(min_co_users=2))
+def q_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23q — item-item collaborative-filtering cosine over
+    implicit interaction counts (Sarwar et al. WWW'01): fact reduces to
+    the rating matrix first; pair fan-out per user bounded by catalog
+    size; norms broadcast."""
+    return behavior.item_cf_cosine(load(spark, sf_dir, "events"), min_co_users=2)

@@ -261,3 +261,48 @@ def test_spearman_null_rows_drop_pairwise(spark):
     }
     assert abs(got[("a", "b")] - 1.0) < 1e-9  # perfectly monotone, all 4 rows
     assert abs(got[("a", "c")] - 1.0) < 1e-9  # the 2 complete rows are monotone
+
+
+def test_pareto_frontier_planted(spark):
+    """Skyline with planted dominance chains and ties, scattered across
+    partitions so the batch prune + global check both do real work."""
+    from calidad_del_aire_etl_spark.operators.analytics2 import pareto_frontier
+
+    rows = [
+        # (key, price, size) — frontier: 1 (cheapest), 3 (best size/price
+        # tradeoff), 6+7 (duplicate frontier point: neither dominates)
+        (1, 10.0, 5),
+        (2, 12.0, 5),    # dominated by 1 (same size, pricier)
+        (3, 20.0, 9),
+        (4, 25.0, 9),    # dominated by 3
+        (5, 21.0, 8),    # dominated by 3 (pricier AND smaller)
+        (6, 30.0, 12),
+        (7, 30.0, 12),   # exact duplicate of 6 — both survive
+        (8, 35.0, 11),   # dominated by 6
+        (9, 10.0, 4),    # dominated by 1 (same price, smaller)
+    ]
+    df = spark.createDataFrame(rows, "k int, price double, sz int").repartition(4)
+    got = sorted(
+        (r.k for r in pareto_frontier(df, "k", "price", "sz").collect())
+    )
+    assert got == [1, 3, 6, 7]
+
+
+def test_item_cf_cosine_hand_computed(spark):
+    from calidad_del_aire_etl_spark.operators.behavior import item_cf_cosine
+
+    # u1: 2xA 1xB ; u2: 1xA 1xB ; u3: 1xB 3xC  → vectors over (u1,u2,u3)
+    # A=(2,1,0) B=(1,1,1) C=(0,0,3)
+    rows = []
+    for u, t, n in [(1, "A", 2), (1, "B", 1), (2, "A", 1), (2, "B", 1), (3, "B", 1), (3, "C", 3)]:
+        rows += [(u, t)] * n
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r.item_a, r.item_b): (r.co_users, r.cosine)
+        for r in item_cf_cosine(df, min_co_users=1).collect()
+    }
+    import math
+
+    assert out[("A", "B")] == (2, round(3 / (math.sqrt(5) * math.sqrt(3)) + 1e-9, 4))
+    assert out[("B", "C")] == (1, round(3 / (math.sqrt(3) * 3) + 1e-9, 4))
+    assert ("A", "C") not in out  # no co-user
