@@ -110,6 +110,7 @@ HEADLINE = [
     "text_bm25_topk",
     "pareto_frontier",
     "item_cf_cosine",
+    "fd_profile",
 ]
 
 

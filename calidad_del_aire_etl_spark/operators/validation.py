@@ -231,3 +231,78 @@ def column_profile_sql(
         + " UNION ALL ".join(rows)
         + " ORDER BY column_name, metric"
     )
+
+
+# ---------------------------------------------------------------------------
+# #11e functional-dependency profiler
+# ---------------------------------------------------------------------------
+
+
+def fd_profile(df: DataFrame, candidates: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs: for
+    each (lhs → rhs) report |distinct lhs|, |distinct (lhs, rhs)| and
+    whether the FD holds (they're equal) — the schema-inference /
+    key-detection pass a profiler runs before modeling a new feed
+    (TANE-style single-attribute check, restricted to non-null rows on
+    both sides since NULL FD semantics are undefined).
+
+    Plan: ONE full-scan aggregate computing every count-distinct
+    together (Catalyst's expand handles multi-distinct in a single
+    pass — the fact is read once however many candidates there are),
+    then a stack() reshape of the 1-row result to long form. At 100 TB
+    swap the exact count-distincts for approx_count_distinct and the
+    check becomes probabilistic with the same plan shape."""
+    aggs = []
+    for lhs, rhs in candidates:
+        # both counts restrict to rows where BOTH sides are non-null
+        # (COUNT DISTINCT over multiple columns skips any-null rows;
+        # the lhs count mirrors that via the when-guard) — otherwise an
+        # lhs value appearing only with null rhs would fake a violation
+        aggs.append(
+            F.count_distinct(F.when(F.col(rhs).isNotNull(), F.col(lhs)))
+            .cast("bigint")
+            .alias(f"__d_{lhs}_{rhs}")
+        )
+        aggs.append(
+            F.count_distinct(F.col(lhs), F.col(rhs))
+            .cast("bigint")
+            .alias(f"__p_{lhs}_{rhs}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{lhs}', '{rhs}', __d_{lhs}_{rhs}, __p_{lhs}_{rhs}"
+        for lhs, rhs in candidates
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(candidates)}, {stack_args})"
+            " as (lhs, rhs, n_distinct_lhs, n_distinct_pairs)"
+        )
+    ).select(
+        "lhs",
+        "rhs",
+        "n_distinct_lhs",
+        "n_distinct_pairs",
+        (F.col("n_distinct_lhs") == F.col("n_distinct_pairs"))
+        .cast("int")
+        .alias("fd_holds"),
+    )
+
+
+def fd_profile_sql(table: str, candidates: list[tuple[str, str]]) -> str:
+    parts = []
+    for lhs, rhs in candidates:
+        parts.append(f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           (SELECT CAST(COUNT(DISTINCT {lhs}) AS BIGINT) FROM {table}
+            WHERE {rhs} IS NOT NULL) AS n_distinct_lhs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT {lhs}, {rhs} FROM {table}
+               WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL)) AS n_distinct_pairs""")
+    union = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT lhs, rhs, n_distinct_lhs, n_distinct_pairs,
+           CAST(CASE WHEN n_distinct_lhs = n_distinct_pairs THEN 1 ELSE 0 END
+                AS INTEGER) AS fd_holds
+    FROM ({union})
+    """

@@ -3057,3 +3057,20 @@ def q_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rating matrix first; pair fan-out per user bounded by catalog
     size; norms broadcast."""
     return behavior.item_cf_cosine(load(spark, sf_dir, "events"), min_co_users=2)
+
+
+_FD_CANDIDATES = [
+    ("event_id", "user_id"),
+    ("event_id", "event_type"),
+    ("user_id", "event_type"),
+    ("event_type", "user_id"),
+]
+
+
+@register("fd_profile", validation.fd_profile_sql("events", _FD_CANDIDATES))
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #11e — functional-dependency profiler: key detection /
+    schema inference over candidate (lhs → rhs) pairs in ONE full-scan
+    multi-distinct aggregate (Catalyst expand), reshaped long via
+    stack."""
+    return validation.fd_profile(load(spark, sf_dir, "events"), _FD_CANDIDATES)

@@ -451,3 +451,75 @@ def read_versioned_parquet(spark, path: str, version: int | None = None) -> Data
         r["file"] for r in spark.read.parquet(f"{path}/_snapshots/v={version}").collect()
     ]
     return spark.read.parquet(*files)
+
+
+def merge_versioned_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    broadcast_keys: bool = True,
+) -> int:
+    """Delta-style copy-on-write MERGE into a versioned parquet table:
+    update-wins upsert (``etl_upsert_merge`` semantics) committed as a
+    new snapshot, rewriting ONLY the data files that contain a matched
+    key — untouched files carry over into the new manifest by
+    reference, which is what keeps a 100 TB table's daily merge
+    proportional to the touched files, not the table.
+
+    Plan: the update batch's distinct keys semi-join against the
+    current snapshot tagged with ``input_file_name()`` to find the
+    affected file set (a file-count-sized collect); survivors =
+    affected-file rows anti-joined on the keys; merged = survivors ∪
+    updates, written as fresh commit files. ``broadcast_keys=False``
+    drops the broadcast hint for an update batch too large for the
+    driver (falls back to a shuffle join — same result).
+
+    Contract: ``updates`` is key-unique (one row per key, as a CDC
+    compaction emits). Returns the new version number.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    current = latest_version(spark, path)
+    if current is None:
+        return write_versioned_parquet(updates, path, mode="overwrite")
+    files = [
+        r["file"]
+        for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+    ]
+    keys = updates.select(*key_cols).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+    affected = sorted(
+        r["__file"]
+        for r in tagged.join(keys, key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    untouched = [f for f in files if f not in set(affected)]
+    if affected:
+        survivors = spark.read.parquet(*affected).join(
+            keys, key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(updates)
+    else:
+        merged = updates
+    commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
+    merged.write.mode("error").parquet(commit_dir)
+    new_files = [
+        r["f"]
+        for r in spark.read.parquet(commit_dir)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    version = current + 1
+    manifest = spark.createDataFrame(
+        [(f,) for f in untouched + sorted(new_files)], "file string"
+    )
+    manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
+    return version

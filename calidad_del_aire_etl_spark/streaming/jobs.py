@@ -11,6 +11,7 @@ across batches) are asserted synchronously.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -612,5 +613,79 @@ def streaming_quantile_bands(
         outputStructType=QH_STREAM_OUT,
         stateStructType=QH_STREAM_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #40o streaming z-score anomaly detector
+# ---------------------------------------------------------------------------
+
+ANOMALY_OUT_SCHEMA = "user_id bigint, ts timestamp, value double, z double, is_anomaly int"
+ANOMALY_STATE_SCHEMA = "n bigint, mean double, m2 double"
+
+
+def _make_anomaly_fn(z_thresh: float, min_n: int):
+    def _anomaly_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming twin of ``etl_anomaly_flags``: per-user Welford
+        state (n, mean, M2) — O(1) per key forever. Each micro-batch is
+        scored against the stats of all PRIOR batches (a stable,
+        replay-deterministic baseline — scoring row-by-row against a
+        shifting intra-batch mean would make results depend on Arrow
+        chunking), then merged into the state via Chan's parallel
+        update. Until ``min_n`` observations exist the detector stays
+        silent (z NULL) instead of flagging against noise.
+
+        All chunks are concatenated before any math (a group's batch can
+        arrive as several Arrow chunks in arbitrary order — the
+        round-3-advice gap-detector lesson)."""
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        vals = pdf["value"].astype(float)
+        if n >= min_n and m2 > 0:
+            std = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+            z = (vals - mean) / std if std > 0 else vals * 0.0
+            zr = z.round(4)
+            flag = (z.abs() > z_thresh).astype(int)
+        else:
+            zr = pd.Series([None] * len(pdf), dtype="object")
+            flag = pd.Series([0] * len(pdf), dtype="int64")
+        # Chan et al. merge of (n, mean, m2) with the batch's moments
+        nb = int(len(vals))
+        if nb:
+            mb = float(vals.mean())
+            m2b = float(((vals - mb) ** 2).sum())
+            delta = mb - mean
+            tot = n + nb
+            mean = mean + delta * nb / tot
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            n = tot
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "z": zr,
+                "is_anomaly": flag,
+            }
+        )
+
+    return _anomaly_fn
+
+
+def streaming_anomaly(
+    stream: DataFrame, z_thresh: float = 3.0, min_n: int = 10
+) -> DataFrame:
+    """#40o — streaming anomaly flags: each event scored against its
+    user's running Welford baseline; state is three scalars per user
+    regardless of stream length."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_anomaly_fn(z_thresh, min_n),
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

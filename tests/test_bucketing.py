@@ -334,3 +334,63 @@ def test_versioned_parquet_time_travel(spark, tmp_path):
     assert ids(1) == list(range(0, 150))
     assert ids(2) == list(range(500, 510))
     assert ids() == ids(2)  # latest
+
+
+def test_merge_versioned_copy_on_write(spark, tmp_path):
+    """Delta-style MERGE: update-wins upsert lands as a new snapshot,
+    only key-matched data files are rewritten, untouched files carry
+    over by reference, and time travel still shows the pre-merge
+    state."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    path = str(tmp_path / "mg")
+
+    def d(lo, hi, val):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(val).alias("v")
+        ).repartition(4)
+
+    # two commits → two disjoint file sets
+    writers.write_versioned_parquet(d(0, 100, "old"), path, mode="append")
+    writers.write_versioned_parquet(d(100, 200, "old"), path, mode="append")
+    before = set(
+        r["file"]
+        for r in spark.read.parquet(f"{path}/_snapshots/v=1").collect()
+    )
+
+    # update 5 existing keys + insert 3 new ones
+    ups = spark.createDataFrame(
+        [(i, "new") for i in [3, 7, 150, 160, 199, 500, 501, 502]],
+        "id long, v string",
+    )
+    v = writers.merge_versioned_parquet(spark, path, ups, ["id"])
+    assert v == 2
+
+    after = {
+        r["file"]
+        for r in spark.read.parquet(f"{path}/_snapshots/v=2").collect()
+    }
+    # copy-on-write: some old files survive by reference, not all rewritten
+    carried = before & after
+    assert carried and before - after  # some carried, some replaced
+
+    got = {
+        r["id"]: r["v"]
+        for r in writers.read_versioned_parquet(spark, path).collect()
+    }
+    assert len(got) == 203
+    assert all(got[i] == "new" for i in [3, 7, 150, 160, 199, 500, 501, 502])
+    assert got[4] == "old" and got[198] == "old"
+    # pre-merge snapshot intact
+    pre = {
+        r["id"]: r["v"]
+        for r in writers.read_versioned_parquet(spark, path, 1).collect()
+    }
+    assert len(pre) == 200 and pre[3] == "old"
+
+    # merge into an empty table bootstraps version 0
+    p2 = str(tmp_path / "mg2")
+    assert writers.merge_versioned_parquet(spark, p2, ups, ["id"]) == 0
+    assert writers.read_versioned_parquet(spark, p2).count() == 8

@@ -474,3 +474,38 @@ def test_streaming_quantile_bands_tracks_exact_within_bin(spark, input_dir):
     for p, got in ((0.5, last["p50_est"]), (0.95, last["p95_est"])):
         exact = float(allv[min(int(np.ceil(p * len(allv))) - 1, len(allv) - 1)])
         assert abs(got - exact) <= width + 1e-6, f"p{int(p*100)}: {got} vs {exact}"
+
+
+def test_streaming_anomaly_welford_state(spark, input_dir):
+    """Batch 0 builds the baseline (silent: below min_n then absorbed);
+    batch 1's outlier is scored against the PRIOR-batch stats and
+    flagged; its normal neighbor is not."""
+    base = [(i, _t(i % 50), 7, "click", 10.0 + (i % 5)) for i in range(20)]
+    _write_batch(spark, input_dir, base, 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    out = jobs.streaming_anomaly(stream, z_thresh=3.0, min_n=10)
+    q = jobs.run_to_memory(out, "anom_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        warmup = spark.sql("SELECT * FROM anom_out").collect()
+        assert len(warmup) == 20
+        assert all(r["z"] is None and r["is_anomaly"] == 0 for r in warmup)
+        _write_batch(
+            spark,
+            input_dir,
+            [(100, _t(55), 7, "click", 100.0), (101, _t(56), 7, "click", 11.0)],
+            1,
+        )
+        q.processAllAvailable()
+        rows = {
+            r["event_id"]: r
+            for r in spark.sql(
+                "SELECT e.event_id, a.z, a.is_anomaly FROM anom_out a "
+                "JOIN (VALUES (100, 100.0), (101, 11.0)) e(event_id, v) "
+                "ON a.value = e.v"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert rows[100]["is_anomaly"] == 1 and rows[100]["z"] > 3
+    assert rows[101]["is_anomaly"] == 0 and abs(rows[101]["z"]) <= 3
