@@ -111,6 +111,8 @@ HEADLINE = [
     "pareto_frontier",
     "item_cf_cosine",
     "fd_profile",
+    "inclusion_profile",
+    "text_hash_features",
 ]
 
 

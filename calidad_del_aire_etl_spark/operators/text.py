@@ -611,3 +611,57 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+# --- #35g hashed bag-of-words features -------------------------------------
+
+
+def hash_features(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. ICML'09): a fixed ``k``-dim
+    hashed bag-of-words count vector per document — the classic
+    vocabulary-free featurization for corpus-scale classifiers (quality
+    filters, domain routers). Buckets come from the repo's portable
+    md5→bigint hash so both engines agree bit-for-bit; counts stay
+    integers, so parity is exact with no float rounding.
+
+    Plan: ONE narrow projection — tokenize, map tokens to buckets with
+    a single ``transform``, then ``k`` array-count expressions. Zero
+    shuffles, zero UDFs; at 100 TB this is a map-only pass whose output
+    is k ints per doc."""
+    toks = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
+    )
+    barr = (
+        f"transform({toks}, t -> cast(conv(substr(md5(cast(t as binary)), 1, 15),"
+        f" 16, 10) as bigint) % {k})"
+    )
+    cols = [
+        F.expr(f"cast(size(filter({barr}, b -> b = {j})) as bigint)").alias(f"f{j}")
+        for j in range(k)
+    ]
+    return df.select(
+        F.col(id_col),
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+        *cols,
+    )
+
+
+def hash_features_sql(table: str, id_col: str, text_col: str, k: int = 16) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(trim({text_col})),"
+        r" '\s+'), t -> t <> '')"
+    )
+    barr = (
+        f"list_transform({toks}, t ->"
+        f" (('0x' || substr(md5(t), 1, 15))::BIGINT) % {k})"
+    )
+    cols = ", ".join(
+        f"CAST(len(list_filter({barr}, b -> b = {j})) AS BIGINT) AS f{j}"
+        for j in range(k)
+    )
+    return f"""
+    SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens, {cols}
+    FROM {table}
+    """

@@ -306,3 +306,78 @@ def fd_profile_sql(table: str, candidates: list[tuple[str, str]]) -> str:
                 AS INTEGER) AS fd_holds
     FROM ({union})
     """
+
+
+# ---------------------------------------------------------------------------
+# #11f inclusion-dependency (foreign-key) profiler
+# ---------------------------------------------------------------------------
+
+
+def inclusion_profile(
+    candidates: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Inclusion-dependency discovery (the FK half of profiling, next to
+    :func:`fd_profile`'s key half): for each candidate
+    ``child.col ⊆ parent.col`` report the child's distinct-value count,
+    how many of those values are missing from the parent (orphans), and
+    whether the FK holds. Candidates are (child_name, child_df,
+    child_col, parent_name, parent_df, parent_col).
+
+    Plan per candidate: the child reduces to its distinct key set FIRST
+    (map-side-combined groupBy — the shuffle carries distinct keys, not
+    rows), then a LEFT ANTI join against the parent's distinct keys
+    counts orphans; dimension-sized parents broadcast under AQE. The
+    per-candidate results are 1-row aggregates unioned together."""
+    parts = []
+    for child_name, child_df, ccol, parent_name, parent_df, pcol in candidates:
+        ckeys = (
+            child_df.select(F.col(ccol).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+        )
+        pkeys = (
+            parent_df.select(F.col(pcol).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+        )
+        orphans = ckeys.join(pkeys, "__k", "left_anti")
+        parts.append(
+            ckeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            )
+            .select(
+                F.lit(f"{child_name}.{ccol}").alias("child"),
+                F.lit(f"{parent_name}.{pcol}").alias("parent"),
+                "n_child_distinct",
+                "n_orphans",
+                (F.col("n_orphans") == 0).cast("int").alias("fk_holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def inclusion_profile_sql(
+    candidates: list[tuple[str, str, str, str]],
+) -> str:
+    """Oracle twin over view names: (child_table, child_col,
+    parent_table, parent_col)."""
+    parts = []
+    for ct, cc, pt, pc in candidates:
+        parts.append(f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}
+            WHERE {cc} IS NOT NULL) AS n_child_distinct,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL)
+            WHERE k NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL))
+           AS n_orphans""")
+    union = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT child, parent, n_child_distinct, n_orphans,
+           CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INTEGER) AS fk_holds
+    FROM ({union})
+    """

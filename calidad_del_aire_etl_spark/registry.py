@@ -3074,3 +3074,37 @@ def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-distinct aggregate (Catalyst expand), reshaped long via
     stack."""
     return validation.fd_profile(load(spark, sf_dir, "events"), _FD_CANDIDATES)
+
+
+_INC_ORACLE = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "events", "user_id"),
+]
+
+
+@register("inclusion_profile", validation.inclusion_profile_sql(_INC_ORACLE))
+def q_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #11f — inclusion-dependency (FK) discovery: each
+    candidate's child reduces to distinct keys first, LEFT ANTI join
+    against the parent's keys counts orphans (the last candidate is a
+    deliberately-wrong FK, proving violations are reported)."""
+    t = {n: load(spark, sf_dir, n) for n in ["lineitem", "orders", "part", "customer", "events"]}
+    return validation.inclusion_profile(
+        [
+            ("lineitem", t["lineitem"], "l_orderkey", "orders", t["orders"], "o_orderkey"),
+            ("lineitem", t["lineitem"], "l_partkey", "part", t["part"], "p_partkey"),
+            ("orders", t["orders"], "o_custkey", "customer", t["customer"], "c_custkey"),
+            ("customer", t["customer"], "c_custkey", "events", t["events"], "user_id"),
+        ]
+    )
+
+
+@register("text_hash_features", text.hash_features_sql("documents", "doc_id", "text", k=16))
+def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #35g — feature hashing (Weinberger ICML'09): 16-dim
+    hashed bag-of-words count vectors, one narrow zero-shuffle
+    projection; integer counts → exact parity."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return text.hash_features(docs, "doc_id", "text", k=16)
