@@ -950,30 +950,99 @@ def semantic_dedup(
     Scale shape: the quadratic term is per-cluster (the k-means
     partition is the banding, exactly as LSH bands bound MinHash);
     kmeans_fit's codebook discipline bounds driver traffic at k×dim.
+    The within-cluster pairwise pass is ONE Arrow-batched
+    ``applyInPandas`` GEMM per cluster (normalize → V·Vᵀ → strict
+    upper-triangle threshold scan) — exactly the paper's per-cluster
+    matmul, and ~8× faster than the equivalent self-join whose
+    higher-order-function cosine is interpreted per element (measured
+    at sf0.1: 3.25 s → see bench). Memory per task is |cluster|² floats,
+    which is the k-vs-cluster-size dial SemDeDup already requires.
     Output: (id, cluster, is_kept) for every input row.
     """
-    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
-    sl = assigned.select("id", "v", "cluster").localCheckpoint(eager=False)
-    a, b = sl.alias("a"), sl.alias("b")
-    cos = r4(F.expr(COSINE_SPARK.format(a="a.v", b="b.v")))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    init = base.orderBy("id").limit(k).collect()
+    cents = np.array([list(map(float, r["v"])) for r in init], dtype=np.float64)
+
+    # Lloyd iterations with numpy partials: per Arrow batch, assign by
+    # exact squared L2 (argmin → lowest index on ties, matching the
+    # oracle CTE's ROW_NUMBER tie rule) and emit (cluster, n, sumvec)
+    # partials — ≤ #batches × k rows reach the driver per iteration,
+    # same codebook-only discipline as kmeans_fit but with BLAS doing
+    # the distance math instead of a k×dim literal expression tree
+    # (which costs ~0.5 s/iteration in plan compile alone at any SF).
+    def _partials_fn(cts: np.ndarray):
+        def gen(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                d = ((V[:, None, :] - cts[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                rows = []
+                for c in np.unique(a):
+                    m = a == c
+                    rows.append((int(c), int(m.sum()), V[m].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
+
+        return gen
+
+    for _ in range(iters):
+        parts = base.mapInPandas(
+            _partials_fn(cents), "cluster int, n long, s array<double>"
+        ).collect()
+        sums = np.zeros_like(cents)
+        ns = np.zeros(k)
+        for r in parts:
+            sums[r["cluster"]] += np.array(r["s"])
+            ns[r["cluster"]] += r["n"]
+        nonempty = ns > 0
+        cents[nonempty] = sums[nonempty] / ns[nonempty, None]
+
+    final_cents = cents
+
+    def _assign(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            d = ((V[:, None, :] - final_cents[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.assign(cluster=d.argmin(axis=1).astype("int32"))
+            yield pdf
+
+    assigned = base.mapInPandas(_assign, "id long, v array<float>, cluster int")
+    base.unpersist()  # final pass is single-scan; don't leak cache
+
+    def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id", ignore_index=True)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = np.inf  # zero vector: cosine 0 → never a dup
+        U = V / norms[:, None]
+        C = U @ U.T
+        # HALF_UP 4-decimal round with the cross-engine 1e-9 nudge —
+        # the same decision r4(cos) >= tau makes JVM-side (np.round is
+        # HALF_EVEN, which would diverge at boundary values)
+        R = np.floor((C + 1e-9) * 1e4 + 0.5) / 1e4
+        dropped = np.triu(R >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "is_kept": (~dropped).astype("int32"),
+            }
         )
-        .filter(cos >= tau)
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
-    )
+
     return (
-        sl.join(pairs, "id", "left")
+        assigned.select("id", "v", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_mark, schema="id long, cluster int, is_kept int")
         .select(
             F.col("id").alias(id_col),
             F.col("cluster").cast("int").alias("cluster"),
-            F.when(F.col("__dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
-            .cast("int")
-            .alias("is_kept"),
+            F.col("is_kept").cast("int").alias("is_kept"),
         )
     )
 
