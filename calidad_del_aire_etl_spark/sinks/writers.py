@@ -523,3 +523,60 @@ def merge_versioned_parquet(
     )
     manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
     return version
+
+
+def vacuum_versioned_parquet(spark, path: str, keep_last: int = 1) -> int:
+    """VACUUM for the versioned table: drop snapshot manifests older
+    than the last ``keep_last`` versions, then physically delete every
+    data file no retained snapshot references (and any commit directory
+    left empty). The other half of copy-on-write — without it, MERGE's
+    rewritten files accumulate forever. Returns deleted-file count.
+
+    Metadata-only planning: reads only the tiny retained manifests plus
+    one recursive listing of ``data/`` — never the data itself. Time
+    travel to vacuumed versions correctly fails afterwards (their
+    manifests are gone, not dangling)."""
+    current = latest_version(spark, path)
+    if current is None:
+        return 0
+    keep = {v for v in range(max(0, current - keep_last + 1), current + 1)}
+    referenced: set[str] = set()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for v in sorted(keep):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_snapshots/v={v}")
+        if not fs.exists(p):
+            continue
+        referenced |= {
+            r["file"]
+            for r in spark.read.parquet(f"{path}/_snapshots/v={v}").collect()
+        }
+    # normalize manifest URIs (input_file_name emits file:/...) to FS paths
+    ref_names = {f.split("://", 1)[-1].replace("file:", "") for f in referenced}
+
+    def _name(st) -> str:
+        return st.getPath().toUri().getPath()
+
+    deleted = 0
+    snap_root = jvm.org.apache.hadoop.fs.Path(f"{path}/_snapshots")
+    for st in fs.listStatus(snap_root):
+        name = st.getPath().getName()
+        if name.startswith("v=") and int(name.split("=", 1)[1]) not in keep:
+            fs.delete(st.getPath(), True)
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    if fs.exists(data_root):
+        for commit in fs.listStatus(data_root):
+            live = False
+            for st in fs.listStatus(commit.getPath()):
+                if not st.getPath().getName().endswith(".parquet"):
+                    continue
+                if _name(st) in ref_names:
+                    live = True
+                else:
+                    fs.delete(st.getPath(), False)
+                    deleted += 1
+            if not live:
+                fs.delete(commit.getPath(), True)
+    return deleted

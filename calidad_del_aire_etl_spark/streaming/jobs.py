@@ -16,6 +16,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as PSWindow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -688,4 +689,65 @@ def streaming_anomaly(
         stateStructType=ANOMALY_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #40p streaming CDC merge into a versioned table
+# ---------------------------------------------------------------------------
+
+
+def cdc_merge_sink(table_path: str, key_cols: list[str], order_col: str = "ts"):
+    """foreachBatch sink that MERGEs each micro-batch into a versioned
+    parquet table (Delta-style copy-on-write upsert, the streaming CDC
+    apply pattern): the batch first compacts to its LATEST row per key
+    (max ``order_col``, id-tiebroken — a batch can carry several changes
+    to one key), then ``merge_versioned_parquet`` rewrites only the
+    key-matched data files and commits a new snapshot.
+
+    Replay safety: at-least-once foreachBatch delivery would double-
+    commit snapshots, so each applied epoch drops a
+    ``_commits/batch-<id>`` marker and a redelivered epoch is skipped
+    — the transactional half of the idempotent-sink contract that the
+    partition-overwrite sink (#40e) gets for free."""
+    from ..sinks.writers import merge_versioned_parquet
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/_commits/batch-{batch_id}"
+        )
+        if fs.exists(marker):
+            return  # epoch replay — already committed
+        w = PSWindow.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col("event_id").desc()
+        )
+        compacted = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_versioned_parquet(spark, table_path, compacted, key_cols)
+        fs.mkdirs(marker)
+
+    return write_batch
+
+
+def run_cdc_merge(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    order_col: str = "ts",
+):
+    """Wire a change stream into the versioned-table MERGE sink."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(cdc_merge_sink(table_path, key_cols, order_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

@@ -394,3 +394,32 @@ def test_merge_versioned_copy_on_write(spark, tmp_path):
     p2 = str(tmp_path / "mg2")
     assert writers.merge_versioned_parquet(spark, p2, ups, ["id"]) == 0
     assert writers.read_versioned_parquet(spark, p2).count() == 8
+
+
+def test_vacuum_versioned_drops_unreferenced_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    path = str(tmp_path / "vac")
+    d = lambda lo, hi, v: spark.range(lo, hi).select(
+        F.col("id"), F.lit(v).alias("v")
+    ).repartition(3)
+    writers.write_versioned_parquet(d(0, 50, "a"), path, mode="append")   # v0
+    writers.write_versioned_parquet(d(50, 100, "a"), path, mode="append") # v1
+    ups = spark.createDataFrame([(i, "b") for i in range(0, 50, 2)], "id long, v string")
+    writers.merge_versioned_parquet(spark, path, ups, ["id"])             # v2
+
+    deleted = writers.vacuum_versioned_parquet(spark, path, keep_last=1)
+    assert deleted > 0  # v0's rewritten files physically gone
+    # latest still reads exactly
+    got = {r["id"]: r["v"] for r in writers.read_versioned_parquet(spark, path).collect()}
+    assert len(got) == 100 and got[0] == "b" and got[1] == "a"
+    # vacuumed versions are gone, not dangling
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        writers.read_versioned_parquet(spark, path, 0).collect()
+    assert writers.latest_version(spark, path) == 2
+    # idempotent: second vacuum deletes nothing
+    assert writers.vacuum_versioned_parquet(spark, path, keep_last=1) == 0

@@ -509,3 +509,44 @@ def test_streaming_anomaly_welford_state(spark, input_dir):
         q.stop()
     assert rows[100]["is_anomaly"] == 1 and rows[100]["z"] > 3
     assert rows[101]["is_anomaly"] == 0 and abs(rows[101]["z"]) <= 3
+
+
+def test_streaming_cdc_merge_versioned(spark, input_dir, tmp_path):
+    """Change stream MERGEs into the versioned table: latest change per
+    key wins within a batch, cross-batch upserts land as snapshots, and
+    a replayed epoch is skipped via the commit marker."""
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 0: users 1,2 — user 1 has two changes, later ts wins
+    _write_batch(spark, input_dir, [
+        (1, _t(0), 1, "click", 10.0),
+        (2, _t(5), 1, "click", 11.0),
+        (3, _t(1), 2, "view", 20.0),
+    ], 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    q = jobs.run_cdc_merge(stream, table, ["user_id"], ckpt)
+    try:
+        q.processAllAvailable()
+        got = {r["user_id"]: r["value"]
+               for r in writers.read_versioned_parquet(spark, table).collect()}
+        assert got == {1: 11.0, 2: 20.0}
+        _write_batch(spark, input_dir, [
+            (4, _t(9), 1, "click", 12.0),
+            (5, _t(9), 3, "signup", 30.0),
+        ], 1)
+        q.processAllAvailable()
+        got = {r["user_id"]: r["value"]
+               for r in writers.read_versioned_parquet(spark, table).collect()}
+        assert got == {1: 12.0, 2: 20.0, 3: 30.0}
+    finally:
+        q.stop()
+    v = writers.latest_version(spark, table)
+    # replaying epoch 0 by hand must be a no-op (marker exists)
+    sink = jobs.cdc_merge_sink(table, ["user_id"])
+    sink(spark.createDataFrame([(9, _t(0), 1, "click", 99.0)], jobs.EVENTS_SCHEMA), 0)
+    assert writers.latest_version(spark, table) == v
+    got = {r["user_id"]: r["value"]
+           for r in writers.read_versioned_parquet(spark, table).collect()}
+    assert got[1] == 12.0
