@@ -597,6 +597,15 @@ def pca_project(
 # -> centroid distance looked up by the corpus code.
 
 
+def _np_round4(x):
+    """numpy twin of the engines' ROUND(x + 1e-9, 4): HALF_UP away from
+    zero (np.round is HALF_EVEN, which diverges at boundary values)."""
+    import numpy as np
+
+    y = x + 1e-9
+    return np.sign(y) * np.floor(np.abs(y) * 1e4 + 0.5) / 1e4
+
+
 def pq_topk(
     df: DataFrame,
     id_col: str,
@@ -609,58 +618,71 @@ def pq_topk(
     """PQ approximate top-k. The per-subspace codebooks are slices of
     the per-``cell_col`` mean vectors (the same deterministic stand-in
     for a k-means training pass as ivf_topk, and literally the same
-    collected |cells|×dim codebook — the ONLY driver traffic).
+    collected |cells|x|dim| codebook — plus the handful of query vectors,
+    the ONLY driver traffic).
 
-    Plan shape: encoding is one narrow projection per corpus row
-    (M × |cells| literal-centroid distances, argmin by first-occurrence
-    of the rounded minimum); queries broadcast; the single shuffle is
-    the per-query top-k window. Distances are r4-rounded BEFORE every
-    argmin/lookup on BOTH engines, so an ulp of centroid-average
+    Plan shape: ONE Arrow-batched ``mapInPandas`` pass — encode (per
+    subspace, argmin of ROUNDED squared-L2 to each centroid slice;
+    first-occurrence = lowest cell on ties, matching the SQL twin's
+    array_position) and asymmetric-distance scoring against the
+    driver-precomputed query lookup tables happen batch-locally in
+    BLAS, and each batch emits only its own top-k rows per query, so
+    the single shuffle (the exact per-query top-k window) carries
+    ≤ batches x queries x k rows. The literal-expression form this
+    replaces spent ~2 s in plan compile + interpreted higher-order
+    evals at ANY scale factor; distances are rounded BEFORE every
+    argmin/lookup on both engines, so an ulp of centroid-average
     nondeterminism cannot flip a code assignment.
     """
+    import numpy as np
+    import pandas as pd
+
     cents = ivf_centroids(df, vec_col, cell_col).collect()
     codebook = sorted((r["cell"], [float(x) for x in r["cv"]]) for r in cents)
-    dim = len(codebook[0][1])
+    C = np.array([cv for _, cv in codebook], dtype=np.float64)
+    dim = C.shape[1]
     assert dim % m_subspaces == 0, "dim must divide into subspaces"
     sub = dim // m_subspaces
 
-    def _sub_dist(vec_expr: str, m: int, cv: list[float]) -> str:
-        """Rounded squared-L2 between a vector's m-th subspace slice and
-        a literal centroid slice."""
-        s = cv[m * sub : (m + 1) * sub]
-        arr = "array(" + ", ".join(f"{w!r}D" for w in s) + ")"
-        return (
-            f"round(aggregate(zip_with(slice({vec_expr}, {m * sub + 1}, {sub}), {arr}, "
-            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-            "cast(0 as double), (acc, x) -> acc + x) + 1e-9, 4)"
-        )
-
-    # corpus codes: per subspace, 1-based index of the first-minimum
-    # centroid distance (matches DuckDB list_position semantics)
-    code_terms = []
-    for m in range(m_subspaces):
-        darr = "array(" + ", ".join(_sub_dist("v", m, cv) for _, cv in codebook) + ")"
-        code_terms.append(
-            f"get(transform(array({darr}), d -> array_position(d, array_min(d))), 0)"
-        )
-    codes_expr = "array(" + ", ".join(code_terms) + ")"
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    encoded = base.select("id", F.expr(codes_expr).alias("code"))
-    queries = base.filter(query_ids_pred(F.col("id"))).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv")
-    )
-    # ADC: per subspace, the query's rounded distance to EVERY centroid
-    # rides as a small array; the corpus code picks one by index.
-    adc_terms = []
-    for m in range(m_subspaces):
-        darr = "array(" + ", ".join(_sub_dist("qv", m, cv) for _, cv in codebook) + ")"
-        adc_terms.append(f"element_at({darr}, cast(element_at(code, {m + 1}) as int))")
-    adc = F.round(F.expr(" + ".join(adc_terms)) + F.lit(1e-9), 4)
-    scored = (
-        encoded.crossJoin(F.broadcast(queries))
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", F.col("id").alias("neighbor_id"), adc.alias("pq_dist"))
-    )
+    qrows = base.filter(query_ids_pred(F.col("id"))).orderBy("id").collect()
+    qids = np.array([r["id"] for r in qrows])
+    Q = np.array([[float(x) for x in r["v"]] for r in qrows], dtype=np.float64)
+
+    def _sub_d(V: "np.ndarray", m: int) -> "np.ndarray":
+        lo, hi = m * sub, (m + 1) * sub
+        d = ((V[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+        return _np_round4(d)
+
+    # query lookup tables: rounded distance of each query's m-th slice
+    # to every centroid slice — (M, nq, ncells), tiny
+    Rq = np.stack([_sub_d(Q, m) for m in range(m_subspaces)])
+
+    def _score(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.stack(
+                [_sub_d(V, m).argmin(axis=1) for m in range(m_subspaces)]
+            )  # (M, batch) of 0-based centroid indices
+            # ADC in subspace order (left-to-right adds, like the SQL)
+            A = Rq[0][:, codes[0]]
+            for m in range(1, m_subspaces):
+                A = A + Rq[m][:, codes[m]]
+            A = _np_round4(A)  # (nq, batch)
+            out = []
+            for qi, qid in enumerate(qids):
+                keep = ids != qid
+                d, nid = A[qi][keep], ids[keep]
+                top = np.lexsort((nid, d))[:k]  # per-batch prune, exact
+                out.append(
+                    pd.DataFrame({"qid": qid, "neighbor_id": nid[top], "pq_dist": d[top]})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = base.mapInPandas(_score, "qid long, neighbor_id long, pq_dist double")
     w = Window.partitionBy("qid").orderBy(F.col("pq_dist").asc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -763,83 +785,83 @@ def ivfpq_topk(
     """IVF+PQ approximate top-k: coarse nearest-centroid assignment and
     nprobe probing exactly as :func:`ivf_topk`; candidate scoring by PQ
     asymmetric distance exactly as :func:`pq_topk`. ONE collected
-    |cells|×dim codebook serves both roles (the only driver traffic);
-    assignment + encoding are a single narrow projection per corpus
-    row; the single shuffle is the per-query top-k window."""
+    |cells|x|dim| codebook serves both quantizers (with the query
+    vectors, the only driver traffic).
+
+    Same single-pass Arrow-batched shape as :func:`pq_topk`: each batch
+    assigns its rows a coarse cell (argmax of rounded cosine, ties →
+    lowest cell — byte-identical tie-breaks to ivf_topk), encodes PQ
+    codes, scores only the rows inside each query's nprobe probe set
+    (the probe lists are driver-precomputed from the same codebook),
+    and emits its own exact top-k per query; the one shuffle is the
+    final per-query top-k window over ≤ batches x queries x k rows."""
     import math
+
+    import numpy as np
+    import pandas as pd
 
     cents = ivf_centroids(df, vec_col, cell_col).collect()
     codebook = sorted((r["cell"], [float(x) for x in r["cv"]]) for r in cents)
-    dim = len(codebook[0][1])
+    cells_arr = np.array([c for c, _ in codebook])
+    C = np.array([cv for _, cv in codebook], dtype=np.float64)
+    cnorms = np.array([math.sqrt(_seq_sum_sq(cv)) for _, cv in codebook])
+    dim = C.shape[1]
     assert dim % m_subspaces == 0, "dim must divide into subspaces"
     sub = dim // m_subspaces
 
-    # coarse ranking: (-rounded cosine, cell) ascending == cosine desc,
-    # cell asc — byte-identical tie-breaks to ivf_topk
-    nv = (
-        "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), "
-        "(acc, x) -> acc + x))"
-    )
-    structs = []
-    for cell, cv in codebook:
-        arr = "array(" + ", ".join(f"{w!r}D" for w in cv) + ")"
-        cnorm = math.sqrt(_seq_sum_sq(cv))
-        dot = (
-            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
-            "cast(0 as double), (acc, x) -> acc + x)"
-        )
-        cell_lit = repr(cell) if isinstance(cell, str) else str(cell)
-        structs.append(
-            f"struct(-round({dot} / (nv * {cnorm!r}D) + 1e-9, 4) as nc, "
-            f"{cell_lit} as cell)"
-        )
-    ranked_expr = "array_sort(array(" + ", ".join(structs) + "))"
+    def _coarse(V: "np.ndarray") -> "np.ndarray":
+        """(-rounded cosine) to each centroid — (rows, ncells)."""
+        nv = np.sqrt((V * V).sum(axis=1))
+        nv[nv == 0.0] = np.inf
+        return -_np_round4((V @ C.T) / (nv[:, None] * cnorms[None, :]))
 
-    # PQ encoding: per subspace, 1-based first-minimum centroid index
-    # over r4-rounded distances — byte-identical to pq_topk
-    def _sub_dist(vec_expr: str, m: int, cv: list[float]) -> str:
-        s = cv[m * sub : (m + 1) * sub]
-        arr = "array(" + ", ".join(f"{w!r}D" for w in s) + ")"
-        return (
-            f"round(aggregate(zip_with(slice({vec_expr}, {m * sub + 1}, {sub}), {arr}, "
-            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-            "cast(0 as double), (acc, x) -> acc + x) + 1e-9, 4)"
-        )
-
-    code_terms = []
-    for m in range(m_subspaces):
-        darr = "array(" + ", ".join(_sub_dist("v", m, cv) for _, cv in codebook) + ")"
-        code_terms.append(
-            f"get(transform(array({darr}), d -> array_position(d, array_min(d))), 0)"
-        )
-    codes_expr = "array(" + ", ".join(code_terms) + ")"
+    def _sub_d(V: "np.ndarray", m: int) -> "np.ndarray":
+        lo, hi = m * sub, (m + 1) * sub
+        d = ((V[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+        return _np_round4(d)
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    withrk = base.select("id", "v", F.expr(nv).alias("nv")).select(
-        "id", "v", F.expr(ranked_expr).alias("rk")
-    )
-    assign = withrk.select(
-        "id",
-        F.expr("rk[0].cell").alias("cell"),
-        F.expr(codes_expr).alias("code"),
-    )
-    probes = withrk.filter(query_ids_pred(F.col("id"))).select(
-        F.col("id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.explode(
-            F.expr(f"transform(slice(rk, 1, {nprobe}), s -> s.cell)")
-        ).alias("cell"),
-    )
-    adc_terms = []
-    for m in range(m_subspaces):
-        darr = "array(" + ", ".join(_sub_dist("qv", m, cv) for _, cv in codebook) + ")"
-        adc_terms.append(f"element_at({darr}, cast(element_at(code, {m + 1}) as int))")
-    adc = F.round(F.expr(" + ".join(adc_terms)) + F.lit(1e-9), 4)
-    scored = (
-        assign.join(F.broadcast(probes), "cell")
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", F.col("id").alias("neighbor_id"), adc.alias("pq_dist"))
-    )
+    qrows = base.filter(query_ids_pred(F.col("id"))).orderBy("id").collect()
+    qids = np.array([r["id"] for r in qrows])
+    Q = np.array([[float(x) for x in r["v"]] for r in qrows], dtype=np.float64)
+    ncq = _coarse(Q)
+    # per query: nprobe cells by (cosine desc, cell asc) == (nc asc, cell asc)
+    probe_sets = [
+        set(cells_arr[np.lexsort((cells_arr, ncq[qi]))[:nprobe]].tolist())
+        for qi in range(len(qids))
+    ]
+    Rq = np.stack([_sub_d(Q, m) for m in range(m_subspaces)])
+
+    def _score(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cell_of = cells_arr[_coarse(V).argmin(axis=1)]
+            codes = np.stack(
+                [_sub_d(V, m).argmin(axis=1) for m in range(m_subspaces)]
+            )
+            A = Rq[0][:, codes[0]]
+            for m in range(1, m_subspaces):
+                A = A + Rq[m][:, codes[m]]
+            A = _np_round4(A)
+            out = []
+            for qi, qid in enumerate(qids):
+                keep = (ids != qid) & np.isin(
+                    cell_of, np.array(sorted(probe_sets[qi]))
+                )
+                if not keep.any():
+                    continue
+                d, nid = A[qi][keep], ids[keep]
+                top = np.lexsort((nid, d))[:k]
+                out.append(
+                    pd.DataFrame({"qid": qid, "neighbor_id": nid[top], "pq_dist": d[top]})
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = base.mapInPandas(_score, "qid long, neighbor_id long, pq_dist double")
     w = Window.partitionBy("qid").orderBy(F.col("pq_dist").asc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
