@@ -113,6 +113,7 @@ HEADLINE = [
     "fd_profile",
     "inclusion_profile",
     "text_hash_features",
+    "user_feature_matrix",
 ]
 
 

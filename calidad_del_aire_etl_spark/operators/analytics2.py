@@ -1131,3 +1131,61 @@ def pareto_frontier_sql(
         AND (q.{min_col} < p.{min_col} OR q.{max_col} > p.{max_col})
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# #23r per-user ML feature matrix
+# ---------------------------------------------------------------------------
+
+
+def user_feature_matrix(events: DataFrame) -> DataFrame:
+    """Point-in-time ML feature matrix per user — the feature-store
+    materialization every churn/propensity model trains on: recency
+    ("days since last event"), frequency at two horizons (7 d / 30 d
+    event counts), monetary (30 d value sum), breadth (30 d distinct
+    event types), and lifetime volume, all relative to a deterministic
+    max-ts anchor (the scalar-broadcast pattern — no wall clock, so the
+    matrix is reproducible).
+
+    Plan: ONE map-side-combined groupBy over the fact with conditional
+    aggregates — horizons are CASE-gated sums, not separate scans or
+    self-joins; the count-distinct rides the same Expand pass. At
+    100 TB this is exactly one fact shuffle carrying |users| rows."""
+    anchor = events.agg(F.max("ts").alias("__anchor"))
+    age_days = F.expr("(unix_micros(__anchor) - unix_micros(ts)) / 86400.0e6")
+    in7, in30 = age_days <= 7.0, age_days <= 30.0
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(in7.cast("bigint")).cast("bigint").alias("n_7d"),
+            F.sum(in30.cast("bigint")).cast("bigint").alias("n_30d"),
+            r4(F.sum(F.when(in30, F.col("value")).otherwise(F.lit(0.0)))).alias(
+                "value_30d"
+            ),
+            F.count_distinct(F.when(in30, F.col("event_type")))
+            .cast("bigint")
+            .alias("types_30d"),
+            r4(F.min(age_days)).alias("days_since_last"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_feature_matrix_sql() -> str:
+    age = "(epoch_us((SELECT MAX(ts) FROM events)) - epoch_us(ts)) / 86400.0e6"
+    return f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN {age} <= 7.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+           CAST(SUM(CASE WHEN {age} <= 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+           ROUND(SUM(CASE WHEN {age} <= 30.0 THEN value ELSE 0.0 END) + 1e-9, 4)
+             AS value_30d,
+           CAST(COUNT(DISTINCT CASE WHEN {age} <= 30.0 THEN event_type END) AS BIGINT)
+             AS types_30d,
+           ROUND(MIN({age}) + 1e-9, 4) AS days_since_last
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """

@@ -3108,3 +3108,12 @@ def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; integer counts → exact parity."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return text.hash_features(docs, "doc_id", "text", k=16)
+
+
+@register("user_feature_matrix", analytics2.user_feature_matrix_sql())
+def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23r — point-in-time per-user ML feature matrix
+    (recency / frequency@7d,30d / monetary / breadth / lifetime) in ONE
+    conditional-aggregate fact pass against a deterministic max-ts
+    anchor."""
+    return analytics2.user_feature_matrix(load(spark, sf_dir, "events"))
