@@ -697,7 +697,12 @@ def streaming_anomaly(
 # ---------------------------------------------------------------------------
 
 
-def cdc_merge_sink(table_path: str, key_cols: list[str], order_col: str = "ts"):
+def cdc_merge_sink(
+    table_path: str,
+    key_cols: list[str],
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+):
     """foreachBatch sink that MERGEs each micro-batch into a versioned
     parquet table (Delta-style copy-on-write upsert, the streaming CDC
     apply pattern): the batch first compacts to its LATEST row per key
@@ -709,7 +714,12 @@ def cdc_merge_sink(table_path: str, key_cols: list[str], order_col: str = "ts"):
     commit snapshots, so each applied epoch drops a
     ``_commits/batch-<id>`` marker and a redelivered epoch is skipped
     — the transactional half of the idempotent-sink contract that the
-    partition-overwrite sink (#40e) gets for free."""
+    partition-overwrite sink (#40e) gets for free. A crash BETWEEN the
+    merge commit and the marker write re-merges the same compacted
+    batch on restart: content-idempotent (update-wins of identical
+    rows), at the cost of one redundant snapshot version — the
+    standard at-least-once residue a manifest-transaction would
+    close."""
     from ..sinks.writers import merge_versioned_parquet
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -724,7 +734,7 @@ def cdc_merge_sink(table_path: str, key_cols: list[str], order_col: str = "ts"):
         if fs.exists(marker):
             return  # epoch replay — already committed
         w = PSWindow.partitionBy(*key_cols).orderBy(
-            F.col(order_col).desc(), F.col("event_id").desc()
+            F.col(order_col).desc(), F.col(tiebreak_col).desc()
         )
         compacted = (
             batch_df.withColumn("__rn", F.row_number().over(w))
@@ -743,11 +753,12 @@ def run_cdc_merge(
     key_cols: list[str],
     checkpoint_dir: str,
     order_col: str = "ts",
+    tiebreak_col: str = "event_id",
 ):
     """Wire a change stream into the versioned-table MERGE sink."""
     return (
         stream_df.writeStream.outputMode("append")
-        .foreachBatch(cdc_merge_sink(table_path, key_cols, order_col))
+        .foreachBatch(cdc_merge_sink(table_path, key_cols, order_col, tiebreak_col))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
