@@ -1054,6 +1054,21 @@ def daily_percentile_bands_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+def skyline_prune_batch(pdf, min_col: str, max_col: str):
+    """Phase-1 conservative skyline prune over one pandas batch: drop a
+    row iff some other row in the SAME batch strictly dominates it
+    (sort by (min asc, max desc); a row whose strict running max of
+    ``max_col`` over preceding rows exceeds its own is dominated).
+    Sound by construction — property-tested against the quadratic
+    dominance definition in tests/test_properties.py."""
+    s = pdf.sort_values(
+        [min_col, max_col], ascending=[True, False], kind="mergesort"
+    )
+    mx = s[max_col].to_numpy()
+    prev = np.concatenate(([-np.inf], np.maximum.accumulate(mx)[:-1]))
+    return s[prev <= mx]
+
+
 def pareto_frontier(
     part: DataFrame,
     key_col: str = "p_partkey",
@@ -1090,12 +1105,7 @@ def pareto_frontier(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            s = pdf.sort_values(
-                [min_col, max_col], ascending=[True, False], kind="mergesort"
-            )
-            mx = s[max_col].to_numpy()
-            prev = np.concatenate(([-np.inf], np.maximum.accumulate(mx)[:-1]))
-            yield s[prev <= mx]
+            yield skyline_prune_batch(pdf, min_col, max_col)
 
     local = proj.mapInPandas(_prune, schema=proj.schema)
     w_le = (

@@ -580,3 +580,60 @@ def vacuum_versioned_parquet(spark, path: str, keep_last: int = 1) -> int:
             if not live:
                 fs.delete(commit.getPath(), True)
     return deleted
+
+
+def delete_versioned_parquet(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    broadcast_keys: bool = True,
+) -> int:
+    """Copy-on-write DELETE — the third DML verb next to append and
+    MERGE (TPC-H's RF2 shape: retire a batch of keys): rows matching
+    ``keys`` disappear from the new snapshot, rewriting ONLY the data
+    files that contain a matched key; untouched files carry over by
+    reference, and time travel still shows the pre-delete versions.
+    Same affected-file discovery as :func:`merge_versioned_parquet`
+    (semi-join on ``input_file_name``). Returns the new version."""
+    from pyspark.sql import functions as F
+
+    current = latest_version(spark, path)
+    if current is None:
+        raise ValueError(f"no snapshots at {path}")
+    files = [
+        r["file"]
+        for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+    ]
+    kd = keys.select(*key_cols).distinct()
+    if broadcast_keys:
+        kd = F.broadcast(kd)
+    tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+    affected = sorted(
+        r["__file"]
+        for r in tagged.join(kd, key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    untouched = [f for f in files if f not in set(affected)]
+    version = current + 1
+    new_files: list[str] = []
+    if affected:
+        import uuid as _uuid
+
+        survivors = spark.read.parquet(*affected).join(kd, key_cols, "left_anti")
+        commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
+        survivors.write.mode("error").parquet(commit_dir)
+        new_files = [
+            r["f"]
+            for r in spark.read.parquet(commit_dir)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+    manifest = spark.createDataFrame(
+        [(f,) for f in untouched + sorted(new_files)], "file string"
+    )
+    manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
+    return version

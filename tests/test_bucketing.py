@@ -423,3 +423,40 @@ def test_vacuum_versioned_drops_unreferenced_files(spark, tmp_path):
     assert writers.latest_version(spark, path) == 2
     # idempotent: second vacuum deletes nothing
     assert writers.vacuum_versioned_parquet(spark, path, keep_last=1) == 0
+
+
+def test_versioned_tpch_refresh_cycle(spark, tmp_path):
+    """The TPC-H refresh-stream shape on the versioned table: RF1
+    (insert a new order batch via MERGE), RF2 (retire old orders via
+    copy-on-write DELETE) — every verb leaves prior snapshots readable
+    and rewrites only touched files."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    path = str(tmp_path / "orders_v")
+    d = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 5).alias("o_status")
+    ).repartition(4)
+    writers.write_versioned_parquet(d(0, 300), path, mode="append")
+    # RF1: insert 50 new orders
+    v1 = writers.merge_versioned_parquet(spark, path, d(300, 350), ["o_orderkey"])
+    # RF2: retire the oldest 40
+    v2 = writers.delete_versioned_parquet(
+        spark, path, spark.range(0, 40).select(F.col("id").alias("o_orderkey")),
+        ["o_orderkey"],
+    )
+    assert (v1, v2) == (1, 2)
+    ids = lambda v=None: sorted(
+        r["o_orderkey"]
+        for r in writers.read_versioned_parquet(spark, path, v).collect()
+    )
+    assert ids(0) == list(range(0, 300))
+    assert ids(1) == list(range(0, 350))
+    assert ids(2) == list(range(40, 350))
+    # deleting keys that hit no file still commits a consistent snapshot
+    v3 = writers.delete_versioned_parquet(
+        spark, path, spark.range(900, 910).select(F.col("id").alias("o_orderkey")),
+        ["o_orderkey"],
+    )
+    assert ids(v3) == list(range(40, 350))

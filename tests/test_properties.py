@@ -220,3 +220,42 @@ def test_histogram_l1_never_exceeds_twice_edit_distance(texts, max_dist):
     for a, b in itertools.combinations(texts, 2):
         l1 = sum(abs(x - y) for x, y in zip(hist(a), hist(b)))
         assert l1 <= 2 * lev(a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_skyline_batch_prune_never_drops_a_skyline_point(points):
+    """Phase-1 soundness for ANY point multiset (small grid forces
+    heavy ties/duplicates): every point the quadratic dominance
+    definition keeps must survive the batch prune."""
+    import pandas as pd
+
+    from calidad_del_aire_etl_spark.operators.analytics2 import (
+        skyline_prune_batch,
+    )
+
+    pdf = pd.DataFrame(points, columns=["mn", "mx"])
+    pdf["k"] = range(len(pdf))
+    kept = set(skyline_prune_batch(pdf, "mn", "mx")["k"])
+
+    def dominated(i):
+        pi = points[i]
+        return any(
+            j != i
+            and points[j][0] <= pi[0]
+            and points[j][1] >= pi[1]
+            and (points[j][0] < pi[0] or points[j][1] > pi[1])
+            for j in range(len(points))
+        )
+
+    skyline = {i for i in range(len(points)) if not dominated(i)}
+    assert skyline <= kept  # prune is conservative: may keep more, never less
