@@ -646,6 +646,10 @@ def pq_topk(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     qrows = base.filter(query_ids_pred(F.col("id"))).orderBy("id").collect()
+    if not qrows:  # no queries → empty result, same schema
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, pq_dist double, rank int"
+        )
     qids = np.array([r["id"] for r in qrows])
     Q = np.array([[float(x) for x in r["v"]] for r in qrows], dtype=np.float64)
 
@@ -822,12 +826,18 @@ def ivfpq_topk(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     qrows = base.filter(query_ids_pred(F.col("id"))).orderBy("id").collect()
+    if not qrows:  # no queries → empty result, same schema
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, pq_dist double, rank int"
+        )
     qids = np.array([r["id"] for r in qrows])
     Q = np.array([[float(x) for x in r["v"]] for r in qrows], dtype=np.float64)
     ncq = _coarse(Q)
-    # per query: nprobe cells by (cosine desc, cell asc) == (nc asc, cell asc)
-    probe_sets = [
-        set(cells_arr[np.lexsort((cells_arr, ncq[qi]))[:nprobe]].tolist())
+    # per query: nprobe cells by (cosine desc, cell asc) == (nc asc, cell
+    # asc) — precomputed as sorted arrays ONCE so the per-batch loop
+    # only does np.isin probes
+    probe_arrs = [
+        np.sort(cells_arr[np.lexsort((cells_arr, ncq[qi]))[:nprobe]])
         for qi in range(len(qids))
     ]
     Rq = np.stack([_sub_d(Q, m) for m in range(m_subspaces)])
@@ -848,9 +858,7 @@ def ivfpq_topk(
             A = _np_round4(A)
             out = []
             for qi, qid in enumerate(qids):
-                keep = (ids != qid) & np.isin(
-                    cell_of, np.array(sorted(probe_sets[qi]))
-                )
+                keep = (ids != qid) & np.isin(cell_of, probe_arrs[qi])
                 if not keep.any():
                     continue
                 d, nid = A[qi][keep], ids[keep]
@@ -973,8 +981,9 @@ def semantic_dedup(
     partition is the banding, exactly as LSH bands bound MinHash);
     kmeans_fit's codebook discipline bounds driver traffic at k×dim.
     The within-cluster pairwise pass is ONE Arrow-batched
-    ``applyInPandas`` GEMM per cluster (normalize → V·Vᵀ → strict
-    upper-triangle threshold scan) — exactly the paper's per-cluster
+    ``applyInPandas`` pairwise pass per cluster (float32 products
+    accumulated per-dimension into float64 — bit-matching the SQL
+    fold — then a strict upper-triangle threshold scan) — exactly the paper's per-cluster
     matmul, and ~8× faster than the equivalent self-join whose
     higher-order-function cosine is interpreted per element (measured
     at sf0.1: 3.25 s → see bench). Memory per task is |cluster|² floats,
@@ -1039,15 +1048,22 @@ def semantic_dedup(
 
     def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("id", ignore_index=True)
-        V = np.array(pdf["v"].tolist(), dtype=np.float64)
-        norms = np.sqrt((V * V).sum(axis=1))
+        # The oracle's cosine runs on the RAW float column
+        # (semantic_dedup_sql: list_dot_product over FLOAT[]), and the
+        # SQL fold multiplies float32 pairs before widening into the
+        # float64 accumulator. Replicate exactly: per-dimension float32
+        # outer products, accumulated left-to-right (d ascending) into
+        # float64 — a plain float64 GEMM on pre-normalized vectors would
+        # drift the 4th decimal at rounding boundaries.
+        V32 = np.array(pdf["v"].tolist(), dtype=np.float32)
+        n = len(V32)
+        C = np.zeros((n, n), dtype=np.float64)
+        for d in range(V32.shape[1]):
+            C += np.outer(V32[:, d], V32[:, d]).astype(np.float64)
+        norms = np.sqrt(np.diag(C).copy())
         norms[norms == 0.0] = np.inf  # zero vector: cosine 0 → never a dup
-        U = V / norms[:, None]
-        C = U @ U.T
-        # HALF_UP 4-decimal round with the cross-engine 1e-9 nudge —
-        # the same decision r4(cos) >= tau makes JVM-side (np.round is
-        # HALF_EVEN, which would diverge at boundary values)
-        R = np.floor((C + 1e-9) * 1e4 + 0.5) / 1e4
+        C = C / np.outer(norms, norms)
+        R = _np_round4(C)  # HALF_UP-away-from-zero with the 1e-9 nudge
         dropped = np.triu(R >= tau, k=1).any(axis=0)
         return pd.DataFrame(
             {

@@ -75,6 +75,12 @@ def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
 
 MINHASH_P = 1_000_000_007
 
+# the scalar md5→bigint hash both dialects agree on, shared so a width
+# tweak can never drift one engine (hashed_shingles_* below and
+# text.hash_features build on the same snippet)
+MD5_BIGINT_SPARK = "cast(conv(substr(md5(cast({x} as binary)), 1, 15), 16, 10) as bigint)"
+MD5_BIGINT_DUCK = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
 
 def hashed_shingles_expr(text_col: str, n: int = 3) -> str:
     """Spark SQL: distinct word n-gram shingles as bigint hashes."""

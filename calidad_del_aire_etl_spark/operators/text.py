@@ -622,29 +622,37 @@ def hash_features(
     """Feature hashing (Weinberger et al. ICML'09): a fixed ``k``-dim
     hashed bag-of-words count vector per document — the classic
     vocabulary-free featurization for corpus-scale classifiers (quality
-    filters, domain routers). Buckets come from the repo's portable
-    md5→bigint hash so both engines agree bit-for-bit; counts stay
-    integers, so parity is exact with no float rounding.
+    filters, domain routers). Buckets come from the repo's shared
+    portable md5→bigint hash (dedup.MD5_BIGINT_*) so both engines agree
+    bit-for-bit; counts stay integers, so parity is exact with no float
+    rounding.
 
-    Plan: ONE narrow projection — tokenize, map tokens to buckets with
-    a single ``transform``, then ``k`` array-count expressions. Zero
-    shuffles, zero UDFs; at 100 TB this is a map-only pass whose output
-    is k ints per doc."""
+    Plan: ONE narrow projection, with the token array AND the hashed
+    bucket array each bound ONCE per row via the nested
+    transform-over-single-element-array idiom (Spark does not CSE
+    lambda-bearing higher-order functions — inlining the md5 transform
+    into each of the k count expressions would hash every token k
+    times); the k counts are then cheap integer scans of the bound
+    array. Zero shuffles, zero UDFs; at 100 TB this is a map-only pass
+    whose output is k ints per doc."""
+    from .dedup import MD5_BIGINT_SPARK
+
     toks = (
         f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
     )
-    barr = (
-        f"transform({toks}, t -> cast(conv(substr(md5(cast(t as binary)), 1, 15),"
-        f" 16, 10) as bigint) % {k})"
-    )
-    cols = [
-        F.expr(f"cast(size(filter({barr}, b -> b = {j})) as bigint)").alias(f"f{j}")
+    h = MD5_BIGINT_SPARK.format(x="t")
+    fields = ", ".join(
+        f"cast(size(filter(arr, b -> b = {j})) as bigint) as f{j}"
         for j in range(k)
-    ]
-    return df.select(
-        F.col(id_col),
-        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
-        *cols,
+    )
+    bound = (
+        f"get(transform(array({toks}), tk -> "
+        f"get(transform(array(transform(tk, t -> {h} % {k})), arr -> "
+        f"struct(cast(size(tk) as bigint) as n_tokens, {fields})), 0)"
+        f"), 0)"
+    )
+    return df.select(F.col(id_col), F.expr(bound).alias("__s")).select(
+        id_col, "__s.*"
     )
 
 

@@ -325,9 +325,10 @@ def inclusion_profile(
 
     Plan per candidate: the child reduces to its distinct key set FIRST
     (map-side-combined groupBy — the shuffle carries distinct keys, not
-    rows), then a LEFT ANTI join against the parent's distinct keys
-    counts orphans; dimension-sized parents broadcast under AQE. The
-    per-candidate results are 1-row aggregates unioned together."""
+    rows), then ONE LEFT OUTER join against the parent's marked
+    distinct keys feeds a single aggregate computing both the distinct
+    count and the orphan count — each table is scanned exactly once
+    per candidate; dimension-sized parents broadcast under AQE."""
     parts = []
     for child_name, child_df, ccol, parent_name, parent_df, pcol in candidates:
         ckeys = (
@@ -339,12 +340,17 @@ def inclusion_profile(
             parent_df.select(F.col(pcol).alias("__k"))
             .filter(F.col("__k").isNotNull())
             .distinct()
+            .withColumn("__m", F.lit(1))
         )
-        orphans = ckeys.join(pkeys, "__k", "left_anti")
         parts.append(
-            ckeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"))
-            .crossJoin(
-                orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            ckeys.join(pkeys, "__k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"),
+                F.coalesce(
+                    F.sum(F.col("__m").isNull().cast("bigint")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
             )
             .select(
                 F.lit(f"{child_name}.{ccol}").alias("child"),

@@ -500,7 +500,8 @@ def merge_versioned_parquet(
         .distinct()
         .collect()
     )
-    untouched = [f for f in files if f not in set(affected)]
+    aff = set(affected)
+    untouched = [f for f in files if f not in aff]
     if affected:
         survivors = spark.read.parquet(*affected).join(
             keys, key_cols, "left_anti"
@@ -553,8 +554,23 @@ def vacuum_versioned_parquet(spark, path: str, keep_last: int = 1) -> int:
             r["file"]
             for r in spark.read.parquet(f"{path}/_snapshots/v={v}").collect()
         }
-    # normalize manifest URIs (input_file_name emits file:/...) to FS paths
-    ref_names = {f.split("://", 1)[-1].replace("file:", "") for f in referenced}
+    # Normalize BOTH sides through Hadoop Path.toUri().getPath():
+    # manifest entries are input_file_name() URIs (file:/..., possibly
+    # percent-encoded); listing statuses are decoded FS paths. Running
+    # each through the same Path parser is the only comparison that
+    # survives authorities (hdfs://nn:8020/...) and encoded characters.
+    def _norm(uri: str) -> str:
+        try:  # java.net.URI percent-decodes properly-encoded URIs
+            g = jvm.java.net.URI(uri).getPath()
+            if g:
+                return g
+        except Exception:
+            pass  # unencoded paths with reserved chars: fall through
+        return jvm.org.apache.hadoop.fs.Path(uri).toUri().getPath()
+
+    ref_names = {_norm(f) for f in referenced}
+    if not ref_names:
+        return 0  # defensive: never sweep data on an empty reference set
 
     def _name(st) -> str:
         return st.getPath().toUri().getPath()
@@ -616,7 +632,8 @@ def delete_versioned_parquet(
         .distinct()
         .collect()
     )
-    untouched = [f for f in files if f not in set(affected)]
+    aff = set(affected)
+    untouched = [f for f in files if f not in aff]
     version = current + 1
     new_files: list[str] = []
     if affected:

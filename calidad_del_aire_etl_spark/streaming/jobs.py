@@ -633,7 +633,9 @@ def _make_anomaly_fn(z_thresh: float, min_n: int):
         """Streaming twin of ``etl_anomaly_flags``: per-user Welford
         state (n, mean, M2) — O(1) per key forever. Each micro-batch is
         scored against the stats of all PRIOR batches (a stable,
-        replay-deterministic baseline — scoring row-by-row against a
+        replay-deterministic baseline; z is reported with the repo's
+        r4 rounding, the flag compares unrounded |z| like the batch
+        twin — scoring row-by-row against a
         shifting intra-batch mean would make results depend on Arrow
         chunking), then merged into the state via Chan's parallel
         update. Until ``min_n`` observations exist the detector stays
@@ -648,7 +650,17 @@ def _make_anomaly_fn(z_thresh: float, min_n: int):
         if n >= min_n and m2 > 0:
             std = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
             z = (vals - mean) / std if std > 0 else vals * 0.0
-            zr = z.round(4)
+            # repo rounding convention (r4): HALF_UP away from zero with
+            # the 1e-9 nudge — pandas .round is HALF_EVEN and diverges
+            # from the batch twin at boundary values. The FLAG compares
+            # the unrounded z, exactly as etl_anomaly_flags does.
+            y = z + 1e-9
+            import numpy as _np
+
+            zr = pd.Series(
+                _np.sign(y) * _np.floor(_np.abs(y) * 1e4 + 0.5) / 1e4,
+                index=vals.index,
+            )
             flag = (z.abs() > z_thresh).astype(int)
         else:
             zr = pd.Series([None] * len(pdf), dtype="object")

@@ -490,10 +490,12 @@ def test_streaming_anomaly_welford_state(spark, input_dir):
         warmup = spark.sql("SELECT * FROM anom_out").collect()
         assert len(warmup) == 20
         assert all(r["z"] is None and r["is_anomaly"] == 0 for r in warmup)
+        # batch-1 values are distinct from every warmup value (10-14),
+        # so the value-keyed lookup below is unambiguous
         _write_batch(
             spark,
             input_dir,
-            [(100, _t(55), 7, "click", 100.0), (101, _t(56), 7, "click", 11.0)],
+            [(100, _t(55), 7, "click", 100.0), (101, _t(56), 7, "click", 11.5)],
             1,
         )
         q.processAllAvailable()
@@ -501,7 +503,7 @@ def test_streaming_anomaly_welford_state(spark, input_dir):
             r["event_id"]: r
             for r in spark.sql(
                 "SELECT e.event_id, a.z, a.is_anomaly FROM anom_out a "
-                "JOIN (VALUES (100, 100.0), (101, 11.0)) e(event_id, v) "
+                "JOIN (VALUES (100, 100.0), (101, 11.5)) e(event_id, v) "
                 "ON a.value = e.v"
             ).collect()
         }
