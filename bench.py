@@ -114,6 +114,9 @@ HEADLINE = [
     "inclusion_profile",
     "text_hash_features",
     "user_feature_matrix",
+    "session_stats",
+    "dedup_minhash_eval",
+    "scd2_apply_incremental",
 ]
 
 

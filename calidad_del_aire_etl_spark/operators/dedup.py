@@ -1109,3 +1109,77 @@ def containment_pairs_sql(
     JOIN cnt nb ON inter.id_b = nb.id
     WHERE {cont} >= {threshold}
     """
+
+
+# --- #27c MinHash quality evaluation --------------------------------------
+
+
+def minhash_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate-quality readout for the MinHash+LSH pipeline: the
+    LSH candidate pairs scored against exact-Jaccard ground truth
+    (pairs with true Jaccard ≥ threshold), reporting precision and
+    recall in ONE summary row — the dial-tuning evidence (num_hashes ×
+    bands vs the threshold) a dedup pipeline ships with, same
+    quality-gate family as `lang_id_eval`.
+
+    Scale shape: both relations are the proven banded/bounded pair
+    machinery (never all-pairs); the final FULL OUTER join runs on
+    pair keys — relations already reduced to near-dup candidates, tiny
+    relative to the corpus — and collapses to a 1-row aggregate."""
+    truth = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
+    )
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    ).select("id_a", "id_b", F.lit(1).alias("__c"))
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum("__t").cast("bigint").alias("n_truth"),
+        F.sum("__c").cast("bigint").alias("n_candidates"),
+        F.sum((F.col("__t") * F.col("__c"))).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        r4(F.col("n_hits") / F.col("n_candidates")).alias("precision"),
+        r4(F.col("n_hits") / F.col("n_truth")).alias("recall"),
+    )
+
+
+def minhash_eval_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    truth = jaccard_pairs_sql(table, id_col, text_col, n=n, threshold=threshold)
+    cand = minhash_lsh_pairs_sql(
+        table, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    return f"""
+    WITH truth AS ({truth}), cand AS ({cand}),
+    j AS (
+      SELECT COALESCE(t.id_a, c.id_a) AS id_a,
+             COALESCE(t.id_b, c.id_b) AS id_b,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 END AS t,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 END AS c
+      FROM truth t FULL OUTER JOIN cand c USING (id_a, id_b)
+    )
+    SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+           CAST(SUM(c) AS BIGINT) AS n_candidates,
+           CAST(SUM(t * c) AS BIGINT) AS n_hits,
+           ROUND(SUM(t * c) * 1.0 / SUM(c) + 1e-9, 4) AS precision,
+           ROUND(SUM(t * c) * 1.0 / SUM(t) + 1e-9, 4) AS recall
+    FROM j
+    """

@@ -836,3 +836,103 @@ def geo_close_pairs(
         )
         .filter(F.col("dist_km") <= max_km)
     )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session-level distribution profile — the product-analytics
+    readout layered on :func:`sessionize`: per user, session count,
+    mean/max events per session, mean session duration (seconds) and
+    single-event-session (bounce) rate. Adds one partial-agg groupBy
+    on user_id on top of sessionize's single fact shuffle; AQE
+    coalesces it onto the same partitioning, so the fact still
+    shuffles once."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            r4(F.avg("n_events")).alias("avg_events"),
+            F.max("n_events").cast("bigint").alias("max_events"),
+            r4(F.avg(F.col("duration_us") / 1_000_000.0)).alias("avg_duration_s"),
+            r4(
+                F.sum((F.col("n_events") == 1).cast("bigint"))
+                / F.count(F.lit(1))
+            ).alias("bounce_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_STATS_SQL = """
+WITH sess AS ({sessionize})
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events) + 1e-9, 4) AS avg_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_events,
+       ROUND(AVG(duration_us / 1000000.0) + 1e-9, 4) AS avg_duration_s,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 1e-9, 4)
+         AS bounce_rate
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def scd2_apply(existing: DataFrame, changes: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance — the daily-apply counterpart of
+    :func:`scd2_from_changelog`: merge a new batch of change events
+    into an already-built history WITHOUT reprocessing closed rows.
+    Only keys present in the batch are touched: their current row
+    closes at the batch's first change, batch changes append as new
+    versions continuing the key's version sequence; every other key's
+    rows pass through untouched. Contract: batch timestamps are later
+    than the key's current effective_from (late data needs a rebuild of
+    that key, as in any warehouse SCD2 apply).
+
+    Scale shape: the touched-key set broadcasts; untouched history
+    (the overwhelming mass of a 100 TB dimension) streams through an
+    anti-join with no window; windows run only over touched keys' rows.
+    Correctness gate: the registry query hash-matches
+    ``scd2_build(all events)`` — apply∘build ≡ rebuild, proven by the
+    oracle."""
+    touched = changes.select("user_id").distinct()
+    untouched = existing.join(F.broadcast(touched), "user_id", "left_anti")
+    ex_t = existing.join(F.broadcast(touched), "user_id", "left_semi")
+
+    first_new = changes.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("__first_us"),
+        F.count(F.lit(1)).cast("int").alias("__n_new"),
+    )
+    base_v = ex_t.groupBy("user_id").agg(F.max("version").alias("__maxv"))
+
+    closed_pass = ex_t.filter(~F.col("is_current"))
+    closing = (
+        ex_t.filter(F.col("is_current"))
+        .join(F.broadcast(first_new.select("user_id", "__first_us")), "user_id")
+        .select(
+            "user_id",
+            "attr_value",
+            "version",
+            "from_us",
+            F.col("__first_us").alias("to_us"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fresh = (
+        changes.select(
+            "user_id", F.col("event_type").alias("attr_value"), "ts", "event_id"
+        )
+        .join(F.broadcast(base_v), "user_id", "left")
+        .select(
+            "user_id",
+            "attr_value",
+            (F.coalesce(F.col("__maxv"), F.lit(0)) + F.row_number().over(w))
+            .cast("int")
+            .alias("version"),
+            F.unix_micros("ts").alias("from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("to_us"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+    )
+    return untouched.unionByName(closed_pass).unionByName(closing).unionByName(fresh)

@@ -3117,3 +3117,42 @@ def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-aggregate fact pass against a deterministic max-ts
     anchor."""
     return analytics2.user_feature_matrix(load(spark, sf_dir, "events"))
+
+
+@register(
+    "session_stats",
+    general.SESSION_STATS_SQL.format(
+        sessionize=general.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000)
+    ),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #23s — per-user session distribution profile (counts,
+    events/session, duration, bounce rate) layered on sessionize; AQE
+    keeps it at one fact shuffle."""
+    return general.session_stats(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "dedup_minhash_eval",
+    dedup.minhash_eval_sql("documents", "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5),
+)
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #27c — MinHash+LSH candidate quality vs exact-Jaccard
+    ground truth: precision/recall in one row (the num_hashes×bands
+    tuning evidence); both sides are the proven banded pair machinery."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dedup.minhash_eval(docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+@register("scd2_apply_incremental", general.SCD2_SQL)
+def q_scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #3e — incremental SCD2 apply: history built from
+    events before 2024-01-24, then the remaining days applied as a
+    change batch. The oracle is the FULL REBUILD over all events —
+    hash-parity proves apply∘build ≡ rebuild, closed rows never
+    reprocessed (untouched keys stream through an anti-join)."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    before = ev.filter(F.col("ts") < cutoff)
+    after = ev.filter(F.col("ts") >= cutoff)
+    return general.scd2_apply(general.scd2_from_changelog(before), after)
