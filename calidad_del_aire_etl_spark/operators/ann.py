@@ -994,6 +994,16 @@ def semantic_dedup(
     import pandas as pd
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    # Size the Lloyd-loop tasks by data, not by the scan's fan-out: the
+    # per-iteration partials job is a sync barrier, so its wall time is
+    # task-scheduling floor × #tasks once batches are small. Target
+    # ≥ 64k rows/task (coalesce is narrow — no shuffle), capped at the
+    # current partitioning so this is a no-op at real scale.
+    n_rows = base.count()  # also materializes the persist before the loop
+    # coalesce() never raises the partition count, so no explicit cap —
+    # and no .rdd.getNumPartitions() (instantiating the RDD conversion
+    # path just for metadata, the trap load()'s spread heuristic avoids)
+    loop_base = base.coalesce(max(1, -(-n_rows // 65536)))
     init = base.orderBy("id").limit(k).collect()
     cents = np.array([list(map(float, r["v"])) for r in init], dtype=np.float64)
 
@@ -1021,7 +1031,7 @@ def semantic_dedup(
         return gen
 
     for _ in range(iters):
-        parts = base.mapInPandas(
+        parts = loop_base.mapInPandas(
             _partials_fn(cents), "cluster int, n long, s array<double>"
         ).collect()
         sums = np.zeros_like(cents)
