@@ -364,9 +364,15 @@ def top_event_paths(events: DataFrame, path_len: int = 3, k: int = 20) -> DataFr
     cols = [F.col("event_type")] + [
         F.lead("event_type", i).over(w) for i in range(1, path_len)
     ]
+    # every component must be non-null: concat_ws silently SKIPS nulls
+    # (the SQL twin's || propagates them), so guarding only the last
+    # lead would count malformed short paths on null event types
+    full = cols[0].isNotNull()
+    for c in cols[1:]:
+        full = full & c.isNotNull()
     paths = events.select(
         F.concat_ws(" > ", *cols).alias("path"),
-        cols[-1].isNotNull().alias("__full"),
+        full.alias("__full"),
     ).filter(F.col("__full"))
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w2 = Window.orderBy(F.col("n").desc(), F.col("path").asc())
@@ -383,13 +389,15 @@ def top_event_paths_sql(path_len: int = 3, k: int = 20) -> str:
         for i in range(1, path_len)
     ]
     concat = " || ' > ' || ".join(leads)
-    last = leads[-1]
+    # all components non-null (mirrors the Spark side's guard — a null
+    # anywhere must drop the window, not produce a NULL/short path)
+    notnull = " AND ".join(f"({c}) IS NOT NULL" for c in leads)
     return f"""
     WITH paths AS (
-      SELECT {concat} AS path, {last} AS lastv FROM events
+      SELECT {concat} AS path, {notnull} AS is_full FROM events
     ), counts AS (
       SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths
-      WHERE lastv IS NOT NULL GROUP BY 1
+      WHERE is_full GROUP BY 1
     )
     SELECT path, n, rank FROM (
       SELECT path, n,

@@ -653,8 +653,13 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(F.expr(_TOKS.format(t=text_col))).alias("tok"),
-    )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # three consumers (freq aggregate, head hit, tail hit) — checkpoint
+    # so the corpus tokenize+explode runs once, not per consumer (the
+    # same multi-consumer discipline as guarded_shingles/sentence_dedup)
+    ).localCheckpoint(eager=False)
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)  # feeds head, tail_freq, and total
     total = freq.agg(F.sum("c").cast("double").alias("s"))
     head = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(head_size)
     hit_head = toks.join(F.broadcast(head), "tok")

@@ -616,10 +616,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """
     nibbles = (bits + 3) // 4
     terms = ", ".join(
-        f"shiftright(v, {4 * (nibbles - 1 - (j // 4)) + j % 4}) % 2" for j in range(bits)
+        # bigint hash value; each extracted bit casts back to int so the
+        # vote accumulator (array_repeat(0, bits): array<int>) typechecks
+        f"cast(shiftright(v, {4 * (nibbles - 1 - (j // 4)) + j % 4}) % 2 as int)"
+        for j in range(bits)
     )
     bit_vec = (
-        f"get(transform(array(cast(conv(substring(md5(cast(t as binary)), 1, {nibbles}), 16, 10) as int)), "
+        f"get(transform(array(cast(conv(substring(md5(cast(t as binary)), 1, {nibbles}), 16, 10) as bigint)), "
         f"v -> array({terms})), 0)"
     )
     votes = (

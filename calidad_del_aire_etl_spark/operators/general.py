@@ -821,20 +821,20 @@ def geo_close_pairs(
             )
         ).alias("cell"),
     ).select("id_a", "lat_a", "lon_a", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
-    dist = r4(
-        F.lit(111.32)
-        * F.sqrt(
-            (F.col("lat_a") - F.col("lat")) * (F.col("lat_a") - F.col("lat"))
-            + (F.col("lon_a") - F.col("lon")) * (F.col("lon_a") - F.col("lon"))
-        )
+    raw = F.lit(111.32) * F.sqrt(
+        (F.col("lat_a") - F.col("lat")) * (F.col("lat_a") - F.col("lat"))
+        + (F.col("lon_a") - F.col("lon")) * (F.col("lon_a") - F.col("lon"))
     )
+    # filter on the UNROUNDED distance: the 3x3 cell guarantee only
+    # covers true-distance <= max_km; a rounded-down boundary pair
+    # (true d = max_km + 4e-5) could pass a rounded filter while living
+    # two cells away, silently missing a row the definition admits
     return (
         probes.join(base, ["cx", "cy"])
         .filter(F.col("id_a") < F.col("id"))
-        .select(
-            "id_a", F.col("id").alias("id_b"), dist.alias("dist_km")
-        )
-        .filter(F.col("dist_km") <= max_km)
+        .withColumn("__raw", raw)
+        .filter(F.col("__raw") <= max_km)
+        .select("id_a", F.col("id").alias("id_b"), r4(F.col("__raw")).alias("dist_km"))
     )
 
 

@@ -202,7 +202,12 @@ def quantile_histogram_rollup(
         F.count(F.lit(1)).alias("cnt")
     )
     merged = daily.groupBy("month", "g", "lo", "w", "bin").agg(
-        F.sum("cnt").alias("cnt"), F.countDistinct("d").alias("days")
+        F.sum("cnt").alias("cnt")
+    )
+    # distinct days per (month, g) — NOT max of per-bin counts (a month
+    # whose days land in disjoint bins would under-report)
+    day_counts = daily.groupBy("month", "g").agg(
+        F.countDistinct("d").alias("days_total")
     )
     cum = merged.select(
         "*",
@@ -212,11 +217,6 @@ def quantile_histogram_rollup(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("n"),
-        F.max("days").over(
-            Window.partitionBy("month", "g").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("days_merged"),
     )
 
     def est(p: float):
@@ -229,16 +229,19 @@ def quantile_histogram_rollup(
         )
         return F.max(F.when(hit, F.round(val + F.lit(1e-9), 4)))
 
-    return (
-        cum.groupBy("month", F.col("g").alias(group_col))
-        .agg(
-            est(0.5).alias("p50_est"),
-            est(0.95).alias("p95_est"),
-            F.max("n").cast("bigint").alias("n_rows"),
-            F.max("days_merged").cast("bigint").alias("days_merged"),
-        )
-        .orderBy("month", group_col)
+    out = cum.groupBy("month", F.col("g").alias(group_col)).agg(
+        est(0.5).alias("p50_est"),
+        est(0.95).alias("p95_est"),
+        F.max("n").cast("bigint").alias("n_rows"),
     )
+    return out.join(
+        day_counts.select(
+            "month",
+            F.col("g").alias(group_col),
+            F.col("days_total").cast("bigint").alias("days_merged"),
+        ),
+        ["month", group_col],
+    ).orderBy("month", group_col)
 
 
 def quantile_histogram_rollup_sql(
@@ -267,19 +270,25 @@ def quantile_histogram_rollup_sql(
     ), daily AS (
       SELECT month, d, g, lo, w, bin, COUNT(*) AS cnt FROM binned GROUP BY 1,2,3,4,5,6
     ), merged AS (
-      SELECT month, g, lo, w, bin, SUM(cnt) AS cnt, COUNT(DISTINCT d) AS days
+      SELECT month, g, lo, w, bin, SUM(cnt) AS cnt
       FROM daily GROUP BY 1,2,3,4,5
+    ), day_counts AS (
+      -- distinct days per (month, g), NOT a max of per-bin day counts
+      SELECT month, g, COUNT(DISTINCT d) AS days_total FROM daily GROUP BY 1,2
     ), cum0 AS (
       SELECT *,
              SUM(cnt) OVER (PARTITION BY month, g ORDER BY bin) AS cum,
-             SUM(cnt) OVER (PARTITION BY month, g) AS n,
-             MAX(days) OVER (PARTITION BY month, g) AS days_merged
+             SUM(cnt) OVER (PARTITION BY month, g) AS n
       FROM merged
+    ), agg AS (
+      SELECT month, g,
+             {est(0.5)} AS p50_est,
+             {est(0.95)} AS p95_est,
+             CAST(MAX(n) AS BIGINT) AS n_rows
+      FROM cum0 GROUP BY 1, 2
     )
-    SELECT month, g AS {group_col},
-           {est(0.5)} AS p50_est,
-           {est(0.95)} AS p95_est,
-           CAST(MAX(n) AS BIGINT) AS n_rows,
-           CAST(MAX(days_merged) AS BIGINT) AS days_merged
-    FROM cum0 GROUP BY 1, 2 ORDER BY 1, 2
+    SELECT agg.month, agg.g AS {group_col}, p50_est, p95_est, n_rows,
+           CAST(days_total AS BIGINT) AS days_merged
+    FROM agg JOIN day_counts ON agg.month = day_counts.month AND agg.g = day_counts.g
+    ORDER BY 1, 2
     """

@@ -2897,8 +2897,8 @@ def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (a.ulon - b.ulon) * (a.ulon - b.ulon)) + 1e-9, 4) AS dist_km
     FROM ({_user_coords_sql()}) a JOIN ({_user_coords_sql()}) b
       ON a.user_id < b.user_id
-    WHERE ROUND(111.32 * sqrt((a.ulat - b.ulat) * (a.ulat - b.ulat)
-                + (a.ulon - b.ulon) * (a.ulon - b.ulon)) + 1e-9, 4) <= 10.0
+    WHERE 111.32 * sqrt((a.ulat - b.ulat) * (a.ulat - b.ulat)
+                + (a.ulon - b.ulon) * (a.ulon - b.ulon)) <= 10.0
     """,
 )
 def q_geo_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

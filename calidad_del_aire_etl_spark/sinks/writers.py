@@ -364,7 +364,15 @@ def manifest_pruned_files(
     m = spark.read.parquet(f"{path}/_manifest").select(
         "file", f"min_{col}", f"max_{col}"
     ).collect()
-    keep = [r["file"] for r in m if r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi]
+    # NULL stats (a file whose column is entirely NULL) mean "cannot
+    # prune" — keep the file; comparing None would raise instead
+    keep = [
+        r["file"]
+        for r in m
+        if r[f"max_{col}"] is None
+        or r[f"min_{col}"] is None
+        or (r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi)
+    ]
     return keep, len(m)
 
 
