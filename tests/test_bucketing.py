@@ -460,3 +460,26 @@ def test_versioned_tpch_refresh_cycle(spark, tmp_path):
         ["o_orderkey"],
     )
     assert ids(v3) == list(range(40, 350))
+
+
+def test_manifest_pruning_survives_all_null_stat_files(spark, tmp_path):
+    """A file whose stats column is entirely NULL gets NULL min/max in
+    the manifest; pruning must keep such files (can't prune) instead of
+    raising on a None comparison."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.sinks import writers
+
+    path = str(tmp_path / "mnull")
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 100, None).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    writers.write_parquet_manifest(df, path, ["k"], num_files=5)
+    files, total = writers.manifest_pruned_files(spark, path, "k", 500, 600)
+    assert total == 5 and files  # no TypeError, null-stat file retained
+    got = sorted(
+        r["k"]
+        for r in writers.read_parquet_manifest_pruned(spark, path, "k", 500, 600).collect()
+    )
+    assert got == list(range(500, 601))
