@@ -1,0 +1,54 @@
+"""Join a bench JSON (bench.py output) with a baseline JSON
+(tools/baseline.py output) and print the data-bound ratio table the
+per-round perf review reads — the same comparison VERDICT's
+"performance vs baseline" section makes, reproducible in one command.
+
+Usage: python tools/ratio_report.py <bench.json> <baseline.json> [--bound 0.5]
+
+- suite totals + comparable-subset ratio;
+- every data-bound query (twin >= bound seconds) with its ratio,
+  breaches of the 2x rule flagged;
+- the fixed-floor bucket (twin < bound) summarized, not listed —
+  those ratios are SF-invariant scheduling overhead, not plan quality.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    bench_path, base_path = sys.argv[1], sys.argv[2]
+    bound = float(sys.argv[sys.argv.index("--bound") + 1]) if "--bound" in sys.argv else 0.5
+    bench = json.load(open(bench_path))
+    if "parsed" in bench:  # driver-recorded BENCH_rN.json wraps the line
+        bench = bench["parsed"]
+    base = json.load(open(base_path))
+    bq, dq = bench["queries"], base["queries"]
+    comp = {k: v for k, v in bq.items() if k in dq}
+    ds, dd = sum(comp.values()), sum(dq[k] for k in comp)
+    print(f"suite total: spark {bench['value']:.1f}s over {len(bq)} queries")
+    print(
+        f"comparable {len(comp)}: spark {ds:.1f}s vs duckdb {dd:.1f}s"
+        f" -> {ds / dd:.2f}x single-node"
+    )
+    rows = sorted(
+        ((v / dq[k], v, dq[k], k) for k, v in comp.items() if dq[k] >= bound),
+        reverse=True,
+    )
+    print(f"\ndata-bound queries (twin >= {bound}s): {len(rows)}")
+    for r, s, t, k in rows:
+        flag = "  <-- OVER 2x" if r > 2 else ""
+        print(f"  {r:5.2f}x  spark {s:6.2f}  duck {t:6.2f}  {k}{flag}")
+    floor = [k for k in comp if dq[k] < bound]
+    fs = sum(comp[k] for k in floor)
+    print(
+        f"\nfixed-floor bucket (twin < {bound}s): {len(floor)} queries,"
+        f" spark {fs:.1f}s total — SF-invariant scheduling/plan floor,"
+        " amortizes at scale"
+    )
+
+
+if __name__ == "__main__":
+    main()
