@@ -117,6 +117,8 @@ HEADLINE = [
     "session_stats",
     "dedup_minhash_eval",
     "scd2_apply_incremental",
+    "ann_recall_eval",
+    "embed_cluster_purity",
 ]
 
 

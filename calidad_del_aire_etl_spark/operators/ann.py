@@ -1169,3 +1169,146 @@ def semantic_dedup_sql(
            CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
     FROM final f LEFT JOIN dropped d ON f.id = d.id
     """
+
+
+def recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_ids_pred,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN quality readout: recall@k of the IVF index against the exact
+    brute-force ranking, per query plus a summary row — the
+    index-tuning evidence (|cells| × nprobe vs recall) an ANN
+    deployment ships with; same evaluation-loop family as
+    `dedup_minhash_eval` / `lang_id_eval`.
+
+    Both relations are the proven operators; the join runs on
+    (query, neighbor) pairs — 2·|queries|·k rows, trivially small at
+    any corpus size."""
+    exact = bruteforce_topk(df, id_col, vec_col, query_ids_pred, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__e")
+    )
+    approx = ivf_topk(
+        df, id_col, vec_col, cell_col, query_ids_pred, k=k, nprobe=nprobe
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__a"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    per_q = j.groupBy("query_id").agg(
+        F.sum("__e").cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum(F.col("__e") * F.col("__a")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        r4(F.col("n_hits") / F.col("n_exact")).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+def recall_eval_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    bf_pred_sql: str,
+    ivf_pred_sql: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    # each component SQL scopes its predicate differently (bruteforce
+    # filters q.<id_col>, the IVF CTE aliases the id column to `id`),
+    # so the caller passes both spellings
+    exact = bruteforce_topk_sql(table, id_col, vec_col, bf_pred_sql, k=k)
+    approx = ivf_topk_sql(
+        table, id_col, vec_col, cell_col, ivf_pred_sql, k=k, nprobe=nprobe
+    )
+    return f"""
+    WITH exact AS ({exact}), approx AS ({approx}),
+    j AS (
+      SELECT COALESCE(e.query_id, a.query_id) AS query_id,
+             CASE WHEN e.query_id IS NOT NULL THEN 1 END AS e,
+             CASE WHEN a.query_id IS NOT NULL THEN 1 END AS a
+      FROM exact e FULL OUTER JOIN approx a
+        USING (query_id, neighbor_id)
+    )
+    SELECT query_id,
+           CAST(SUM(e) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(e * a), 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(SUM(e * a), 0) * 1.0 / SUM(e) + 1e-9, 4) AS recall_at_k
+    FROM j GROUP BY 1 ORDER BY 1
+    """
+
+
+def cluster_purity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Clustering quality readout: per-k-means-cluster size, majority
+    label, and purity (majority fraction) against the labeled column,
+    plus deterministic majority tie-break on the lowest label — the
+    does-the-embedding-space-separate-classes check run before trusting
+    k-means partitions for SemDeDup or IVF cells.
+
+    One pass over kmeans_fit's assignment: a (cluster, label) groupBy
+    (≤ k × |labels| rows), then an argmax window per cluster."""
+    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    lbl = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("lbl"))
+    cells = (
+        assigned.select("id", "cluster")
+        .join(lbl, "id")
+        .groupBy("cluster", "lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("lbl").asc())
+    return (
+        cells.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "n_cluster",
+            F.sum("n").over(
+                Window.partitionBy("cluster").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_cluster").cast("bigint").alias("n_points"),
+            F.col("lbl").cast("int").alias("majority_label"),
+            r4(F.col("n") / F.col("n_cluster")).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def cluster_purity_sql(
+    table: str, id_col: str, vec_col: str, label_col: str, k: int = 8, iters: int = 3
+) -> str:
+    return f"""
+    WITH {_kmeans_cte_sql(table, id_col, vec_col, k, iters)},
+    lbl AS (SELECT {id_col} AS id, {label_col} AS lbl FROM {table}),
+    cells AS (
+      SELECT f.cluster, lbl.lbl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM final f JOIN lbl ON f.id = lbl.id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT cluster, lbl, n,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, lbl ASC) AS rk,
+             SUM(n) OVER (PARTITION BY cluster) AS n_cluster
+      FROM cells
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(n_cluster AS BIGINT) AS n_points,
+           CAST(lbl AS INTEGER) AS majority_label,
+           ROUND(n * 1.0 / n_cluster + 1e-9, 4) AS purity
+    FROM ranked WHERE rk = 1 ORDER BY cluster
+    """

@@ -3156,3 +3156,33 @@ def q_scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = ev.filter(F.col("ts") < cutoff)
     after = ev.filter(F.col("ts") >= cutoff)
     return general.scd2_apply(general.scd2_from_changelog(before), after)
+
+
+@register(
+    "ann_recall_eval",
+    ann.recall_eval_sql(
+        "embeddings", "vec_id", "embedding", "label",
+        "q.vec_id < 10", "id < 10", k=5, nprobe=2,
+    ),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31h — recall@5 of the IVF index vs the exact
+    brute-force ranking, per query — the |cells|×nprobe tuning evidence;
+    joins two proven relations on (query, neighbor) pairs."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.recall_eval(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2
+    )
+
+
+@register(
+    "embed_cluster_purity",
+    ann.cluster_purity_sql("embeddings", "vec_id", "embedding", "label", k=8, iters=3),
+)
+def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31i — per-cluster majority-label purity of the k-means
+    partition against the labeled column: the
+    does-the-space-separate-classes check before trusting clusters for
+    SemDeDup/IVF; oracle = unrolled-k-means CTE + purity arithmetic."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.cluster_purity(em, "vec_id", "embedding", "label", k=8, iters=3)
