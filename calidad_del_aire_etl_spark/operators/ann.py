@@ -1181,7 +1181,7 @@ def recall_eval(
     nprobe: int = 2,
 ) -> DataFrame:
     """ANN quality readout: recall@k of the IVF index against the exact
-    brute-force ranking, per query plus a summary row — the
+    brute-force ranking, one row per query — the
     index-tuning evidence (|cells| × nprobe vs recall) an ANN
     deployment ships with; same evaluation-loop family as
     `dedup_minhash_eval` / `lang_id_eval`.

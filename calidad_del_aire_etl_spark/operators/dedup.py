@@ -1144,16 +1144,25 @@ def minhash_eval(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     ).select("id_a", "id_b", F.lit(1).alias("__c"))
     j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    zero = F.lit(0)
     return j.agg(
-        F.sum("__t").cast("bigint").alias("n_truth"),
-        F.sum("__c").cast("bigint").alias("n_candidates"),
-        F.sum((F.col("__t") * F.col("__c"))).cast("bigint").alias("n_hits"),
+        F.coalesce(F.sum("__t"), zero).cast("bigint").alias("n_truth"),
+        F.coalesce(F.sum("__c"), zero).cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), zero)
+        .cast("bigint")
+        .alias("n_hits"),
     ).select(
         "n_truth",
         "n_candidates",
         "n_hits",
-        r4(F.col("n_hits") / F.col("n_candidates")).alias("precision"),
-        r4(F.col("n_hits") / F.col("n_truth")).alias("recall"),
+        # empty denominators report NULL, not a divide error / NULL hits
+        F.when(
+            F.col("n_candidates") > 0,
+            r4(F.col("n_hits") / F.col("n_candidates")),
+        ).alias("precision"),
+        F.when(F.col("n_truth") > 0, r4(F.col("n_hits") / F.col("n_truth"))).alias(
+            "recall"
+        ),
     )
 
 
@@ -1179,10 +1188,14 @@ def minhash_eval_sql(
              CASE WHEN c.id_a IS NOT NULL THEN 1 END AS c
       FROM truth t FULL OUTER JOIN cand c USING (id_a, id_b)
     )
-    SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
-           CAST(SUM(c) AS BIGINT) AS n_candidates,
-           CAST(SUM(t * c) AS BIGINT) AS n_hits,
-           ROUND(SUM(t * c) * 1.0 / SUM(c) + 1e-9, 4) AS precision,
-           ROUND(SUM(t * c) * 1.0 / SUM(t) + 1e-9, 4) AS recall
+    SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(t * c), 0) AS BIGINT) AS n_hits,
+           CASE WHEN COALESCE(SUM(c), 0) > 0
+                THEN ROUND(COALESCE(SUM(t * c), 0) * 1.0 / SUM(c) + 1e-9, 4) END
+             AS precision,
+           CASE WHEN COALESCE(SUM(t), 0) > 0
+                THEN ROUND(COALESCE(SUM(t * c), 0) * 1.0 / SUM(t) + 1e-9, 4) END
+             AS recall
     FROM j
     """

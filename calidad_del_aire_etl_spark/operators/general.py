@@ -900,15 +900,14 @@ def scd2_apply(existing: DataFrame, changes: DataFrame) -> DataFrame:
     ex_t = existing.join(F.broadcast(touched), "user_id", "left_semi")
 
     first_new = changes.groupBy("user_id").agg(
-        F.min(F.unix_micros("ts")).alias("__first_us"),
-        F.count(F.lit(1)).cast("int").alias("__n_new"),
+        F.min(F.unix_micros("ts")).alias("__first_us")
     )
     base_v = ex_t.groupBy("user_id").agg(F.max("version").alias("__maxv"))
 
     closed_pass = ex_t.filter(~F.col("is_current"))
     closing = (
         ex_t.filter(F.col("is_current"))
-        .join(F.broadcast(first_new.select("user_id", "__first_us")), "user_id")
+        .join(F.broadcast(first_new), "user_id")
         .select(
             "user_id",
             "attr_value",

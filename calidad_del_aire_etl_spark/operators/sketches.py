@@ -200,7 +200,9 @@ def quantile_histogram_rollup(
     )
     daily = binned.groupBy("month", "d", "g", "lo", "w", "bin").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    # two consumers (bin merge, day count) — checkpoint so the fact
+    # scan + daily aggregation run once, not per consumer
+    ).localCheckpoint(eager=False)
     merged = daily.groupBy("month", "g", "lo", "w", "bin").agg(
         F.sum("cnt").alias("cnt")
     )
@@ -234,14 +236,22 @@ def quantile_histogram_rollup(
         est(0.95).alias("p95_est"),
         F.max("n").cast("bigint").alias("n_rows"),
     )
-    return out.join(
-        day_counts.select(
-            "month",
-            F.col("g").alias(group_col),
-            F.col("days_total").cast("bigint").alias("days_merged"),
-        ),
-        ["month", group_col],
-    ).orderBy("month", group_col)
+    dc = day_counts.select(
+        F.col("month").alias("__m"),
+        F.col("g").alias("__g"),
+        F.col("days_total").cast("bigint").alias("days_merged"),
+    )
+    # null-safe join keys: a NULL group (or NULL month from a NULL ts)
+    # must keep its percentile row, not vanish through an equi-join
+    return (
+        out.join(
+            dc,
+            out["month"].eqNullSafe(dc["__m"])
+            & out[group_col].eqNullSafe(dc["__g"]),
+        )
+        .drop("__m", "__g")
+        .orderBy("month", group_col)
+    )
 
 
 def quantile_histogram_rollup_sql(
@@ -289,6 +299,8 @@ def quantile_histogram_rollup_sql(
     )
     SELECT agg.month, agg.g AS {group_col}, p50_est, p95_est, n_rows,
            CAST(days_total AS BIGINT) AS days_merged
-    FROM agg JOIN day_counts ON agg.month = day_counts.month AND agg.g = day_counts.g
+    FROM agg JOIN day_counts
+      ON agg.month IS NOT DISTINCT FROM day_counts.month
+     AND agg.g IS NOT DISTINCT FROM day_counts.g
     ORDER BY 1, 2
     """

@@ -63,7 +63,14 @@ def apply_daily_increment(
         (F.col("is_dup_of_corpus") == 0)
         | (F.col("matched_corpus_id") == F.col("doc_id"))
     ).select("doc_id")
-    survivors = curated.join(keep, "doc_id", "left_semi")
+    # checkpoint: survivors' lineage carries the CORPUS-wide signing
+    # join; without this, count() + MERGE's affected-file probe + the
+    # final write would each re-sign the corpus — 3x the pass the
+    # module exists to avoid. The materialized relation is only the
+    # curated daily increment.
+    survivors = curated.join(keep, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     n_in, n_kept = curated.count(), survivors.count()
     version = merge_versioned_parquet(spark, table_path, survivors, ["doc_id"])
     vacuumed = vacuum_versioned_parquet(spark, table_path, keep_last=keep_snapshots)

@@ -45,13 +45,15 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Keep the Python worker pool alive for the whole session: a
-        # long JVM-only stretch otherwise lets idle-worker cleanup drain
-        # the pool, and the next Arrow stage pays ~0.3 s/task respawn
-        # (observed: a 0.8 s mapInPandas query spiking to 11 s in-suite)
+        # Pin the Python worker pool's retention semantics explicitly
+        # (these ARE the 4.x defaults — reuse on, no idle kill, no pool
+        # cap — pinned so a future default flip can't silently make a
+        # long JVM-only stretch drain the pool and charge the next
+        # Arrow stage ~0.3 s/task of respawn; a 0.8 s mapInPandas query
+        # was once observed at 11 s in-suite with exactly that
+        # per-task-spawn signature, cause unconfirmed)
         .config("spark.python.worker.reuse", "true")
-        .config("spark.python.worker.idleTimeoutSeconds", "0")
-        .config("spark.python.factory.idleWorkerMaxPoolSize", cpus)
+        .config("spark.python.worker.killOnIdleTimeout", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -471,11 +471,15 @@ def test_manifest_pruning_survives_all_null_stat_files(spark, tmp_path):
     from calidad_del_aire_etl_spark.sinks import writers
 
     path = str(tmp_path / "mnull")
+    # 300 NULLs > one range partition's ~200 rows, so at least one file
+    # is ALL-NULL in k and records NULL min/max in the manifest
     df = spark.range(1000).select(
-        F.when(F.col("id") < 100, None).otherwise(F.col("id")).alias("k"),
+        F.when(F.col("id") < 300, None).otherwise(F.col("id")).alias("k"),
         F.col("id").alias("payload"),
     )
     writers.write_parquet_manifest(df, path, ["k"], num_files=5)
+    stats = spark.read.parquet(f"{path}/_manifest").collect()
+    assert any(r["min_k"] is None for r in stats)  # the path is exercised
     files, total = writers.manifest_pruned_files(spark, path, "k", 500, 600)
     assert total == 5 and files  # no TypeError, null-stat file retained
     got = sorted(

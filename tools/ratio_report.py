@@ -19,6 +19,8 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: ratio_report.py <bench.json> <baseline.json> [--bound S]")
     bench_path, base_path = sys.argv[1], sys.argv[2]
     bound = float(sys.argv[sys.argv.index("--bound") + 1]) if "--bound" in sys.argv else 0.5
     bench = json.load(open(bench_path))
@@ -29,10 +31,13 @@ def main() -> None:
     comp = {k: v for k, v in bq.items() if k in dq}
     ds, dd = sum(comp.values()), sum(dq[k] for k in comp)
     print(f"suite total: spark {bench['value']:.1f}s over {len(bq)} queries")
-    print(
-        f"comparable {len(comp)}: spark {ds:.1f}s vs duckdb {dd:.1f}s"
-        f" -> {ds / dd:.2f}x single-node"
-    )
+    if dd > 0:
+        print(
+            f"comparable {len(comp)}: spark {ds:.1f}s vs duckdb {dd:.1f}s"
+            f" -> {ds / dd:.2f}x single-node"
+        )
+    else:
+        print("no comparable queries between the two files")
     rows = sorted(
         ((v / dq[k], v, dq[k], k) for k, v in comp.items() if dq[k] >= bound),
         reverse=True,
