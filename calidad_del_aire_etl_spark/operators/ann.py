@@ -963,32 +963,19 @@ def ivfpq_topk_sql(
 # --- semantic dedup (SemDeDup) ---------------------------------------------
 
 
-def semantic_dedup(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 8,
-    iters: int = 5,
-    tau: float = 0.7,
+def kmeans_fit_np(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means-partition the embedding
-    space, then drop any vector with a LOWER-id near-duplicate
-    (cosine ≥ τ) in its OWN cluster — semantic near-dups that share no
-    n-grams (paraphrases, translations-of-boilerplate) and therefore
-    slip past every lexical dedup family.
-
-    Scale shape: the quadratic term is per-cluster (the k-means
-    partition is the banding, exactly as LSH bands bound MinHash);
-    kmeans_fit's codebook discipline bounds driver traffic at k×dim.
-    The within-cluster pairwise pass is ONE Arrow-batched
-    ``applyInPandas`` pairwise pass per cluster (float32 products
-    accumulated per-dimension into float64 — bit-matching the SQL
-    fold — then a strict upper-triangle threshold scan) — exactly the paper's per-cluster
-    matmul, and ~8× faster than the equivalent self-join whose
-    higher-order-function cosine is interpreted per element (measured
-    at sf0.1: 3.25 s → see bench). Memory per task is |cluster|² floats,
-    which is the k-vs-cluster-size dial SemDeDup already requires.
-    Output: (id, cluster, is_kept) for every input row.
+    """Lloyd's k-means with numpy partials — the Arrow-batched twin of
+    :func:`kmeans_fit`, same assignment semantics (deterministic
+    lowest-id init; exact squared-L2 argmin → lowest index on ties,
+    matching the oracle CTE's ROW_NUMBER tie rule) but with BLAS doing
+    the distance math instead of a k×dim literal expression tree
+    (which costs ~0.5 s/iteration in plan compile alone at any SF).
+    Per iteration each Arrow batch emits (cluster, n, sumvec) partials
+    — ≤ #batches × k rows of driver traffic, the same codebook-only
+    discipline as kmeans_fit. Returns the assigned (id, v, cluster)
+    relation; callers consume it in ONE downstream pass.
     """
     import numpy as np
     import pandas as pd
@@ -997,23 +984,16 @@ def semantic_dedup(
     # Size the Lloyd-loop tasks by data, not by the scan's fan-out: the
     # per-iteration partials job is a sync barrier, so its wall time is
     # task-scheduling floor × #tasks once batches are small. Target
-    # ≥ 64k rows/task (coalesce is narrow — no shuffle), capped at the
-    # current partitioning so this is a no-op at real scale.
+    # ≥ 64k rows/task (coalesce is narrow — no shuffle); coalesce()
+    # never raises the partition count, so this is a no-op at real
+    # scale, and no .rdd.getNumPartitions() (instantiating the RDD
+    # conversion path just for metadata, the trap load()'s spread
+    # heuristic avoids).
     n_rows = base.count()  # also materializes the persist before the loop
-    # coalesce() never raises the partition count, so no explicit cap —
-    # and no .rdd.getNumPartitions() (instantiating the RDD conversion
-    # path just for metadata, the trap load()'s spread heuristic avoids)
     loop_base = base.coalesce(max(1, -(-n_rows // 65536)))
     init = base.orderBy("id").limit(k).collect()
     cents = np.array([list(map(float, r["v"])) for r in init], dtype=np.float64)
 
-    # Lloyd iterations with numpy partials: per Arrow batch, assign by
-    # exact squared L2 (argmin → lowest index on ties, matching the
-    # oracle CTE's ROW_NUMBER tie rule) and emit (cluster, n, sumvec)
-    # partials — ≤ #batches × k rows reach the driver per iteration,
-    # same codebook-only discipline as kmeans_fit but with BLAS doing
-    # the distance math instead of a k×dim literal expression tree
-    # (which costs ~0.5 s/iteration in plan compile alone at any SF).
     def _partials_fn(cts: np.ndarray):
         def gen(pdfs):
             for pdf in pdfs:
@@ -1055,6 +1035,40 @@ def semantic_dedup(
 
     assigned = base.mapInPandas(_assign, "id long, v array<float>, cluster int")
     base.unpersist()  # final pass is single-scan; don't leak cache
+    return assigned
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-partition the embedding
+    space, then drop any vector with a LOWER-id near-duplicate
+    (cosine ≥ τ) in its OWN cluster — semantic near-dups that share no
+    n-grams (paraphrases, translations-of-boilerplate) and therefore
+    slip past every lexical dedup family.
+
+    Scale shape: the quadratic term is per-cluster (the k-means
+    partition is the banding, exactly as LSH bands bound MinHash);
+    kmeans_fit's codebook discipline bounds driver traffic at k×dim.
+    The within-cluster pairwise pass is ONE Arrow-batched
+    ``applyInPandas`` pairwise pass per cluster (float32 products
+    accumulated per-dimension into float64 — bit-matching the SQL
+    fold — then a strict upper-triangle threshold scan) — exactly the paper's per-cluster
+    matmul, and ~8× faster than the equivalent self-join whose
+    higher-order-function cosine is interpreted per element (measured
+    at sf0.1: 3.25 s → see bench). Memory per task is |cluster|² floats,
+    which is the k-vs-cluster-size dial SemDeDup already requires.
+    Output: (id, cluster, is_kept) for every input row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_fit_np(df, id_col, vec_col, k=k, iters=iters)
 
     def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("id", ignore_index=True)
@@ -1258,9 +1272,10 @@ def cluster_purity(
     does-the-embedding-space-separate-classes check run before trusting
     k-means partitions for SemDeDup or IVF cells.
 
-    One pass over kmeans_fit's assignment: a (cluster, label) groupBy
-    (≤ k × |labels| rows), then an argmax window per cluster."""
-    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    One pass over the numpy-partials k-means assignment (kmeans_fit_np
+    — same oracle semantics, BLAS-speed loop): a (cluster, label)
+    groupBy (≤ k × |labels| rows), then an argmax window per cluster."""
+    assigned = kmeans_fit_np(df, id_col, vec_col, k=k, iters=iters)
     lbl = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("lbl"))
     cells = (
         assigned.select("id", "cluster")
