@@ -119,6 +119,7 @@ HEADLINE = [
     "scd2_apply_incremental",
     "ann_recall_eval",
     "embed_cluster_purity",
+    "etl_calendar_dim",
 ]
 
 

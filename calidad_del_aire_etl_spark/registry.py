@@ -3186,3 +3186,12 @@ def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup/IVF; oracle = unrolled-k-means CTE + purity arithmetic."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann.cluster_purity(em, "vec_id", "embedding", "label", k=8, iters=3)
+
+
+@register("etl_calendar_dim", features.CALENDAR_DIM_SQL)
+def q_etl_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #6c — calendar dimension spanning the fact's date
+    range (dag:220-226 materialized as a dimension): 1-row min/max
+    anchor + distributed sequence explode, no fact rescan; gap-free
+    even over event-less dates."""
+    return features.calendar_dim(load(spark, sf_dir, "events"))
