@@ -80,3 +80,21 @@ def test_load_normalizes_ntz_and_nanos_timestamps(spark, tmp_path):
             r[0] for r in df.selectExpr("unix_micros(ts)").collect()
         )
         assert got == micros
+
+
+def test_cli_front_door(spark, tmp_path):
+    """The `python -m calidad_del_aire_etl_spark` surface: list knows
+    every registered query, oracle prints twin SQL, run writes real
+    output to a target path."""
+    from calidad_del_aire_etl_spark.__main__ import main
+
+    assert main(["list", "tpch"]) == 0
+    assert main(["oracle", "etl_daily_summary"]) == 0
+    assert main(["oracle", "nonexistent_query"]) == 1
+    assert main(["run", "nonexistent_query"]) == 1
+    out = str(tmp_path / "cli_out")
+    assert (
+        main(["run", "etl_daily_summary", "--sf-dir", "/root/testdata/sf0.001",
+              "--out", out]) == 0
+    )
+    assert spark.read.parquet(out).count() > 0
