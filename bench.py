@@ -1,6 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (round-5 VERDICT #1 fix — the round-4 single giant line
+outgrew the driver's bounded stdout tail and BENCH_r04 failed to parse):
+  * Spark console progress bars are suppressed (they competed for the tail).
+  * Full per-query detail goes to BENCH_DETAIL.json next to this file AND
+    is printed first (for humans / logs).
+  * The LAST stdout line is a compact summary JSON, a few hundred bytes,
+    guaranteed inside any reasonable tail window:
+      {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+       "n_queries": N, "detail": "BENCH_DETAIL.json"}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). First a tiny warm-up absorbs JVM/codegen startup.
@@ -183,17 +192,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # Detail first (humans/logs), compact summary LAST — the driver keeps a
+    # bounded stdout tail and parses the final JSON line; round 4's single
+    # ~3 KB line outgrew that window and the official bench record was lost.
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -86,12 +86,54 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Driver-coverage rotation (round-5 VERDICT item #1). The external
+# correctness gate hash-checks only the FIRST 50 keys of queries(); rounds
+# 1-4 sampled the identical leading window, so the union of driver-verified
+# keys stalled at these 53 while ~110 registered queries only ever saw the
+# in-repo oracle sweep. Ordering queries() as (never-sampled oracle-backed →
+# never-sampled rows-only → previously-sampled) rotates the external gate
+# onto fresh keys each round without touching registration order anywhere
+# else (all other consumers access by name). Extend this set with each
+# round's CORRECTNESS_r{N}.json keys so the window keeps advancing.
+_DRIVER_SAMPLED = frozenset({
+    # rounds 1-4 union (53 keys, from CORRECTNESS_r01..r04.json)
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_sq_topk",
+    "asof_join_purchases", "dash_corr_matrix", "dash_dow_distribution",
+    "dash_hourly_pattern", "dash_kpis", "dash_rolling_mean",
+    "dash_station_compare", "dash_trend_slope", "dedup_cluster_resolve",
+    "dedup_cluster_star", "dedup_embedding_cosine", "dedup_exact_docs",
+    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "docs_full_pipeline", "etl_anomaly_flags", "etl_aqi",
+    "etl_category", "etl_daily_summary", "etl_dedup_exact",
+    "etl_full_pipeline", "etl_interpolate", "etl_monthly_summary",
+    "etl_outlier_iqr", "etl_pollution_index", "etl_rollup_multigrain",
+    "etl_temporal_features", "etl_upsert_merge", "etl_validation_report",
+    "etl_weekly_summary", "mm_binary_meta", "mm_feature_extract",
+    "pivot_event_types", "sessionize", "skew_salted_join",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_token_count", "topk_per_group", "tpch_q10_returned",
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q4_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
+})
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    # Newest-first within the fresh block: the round-3/4 additions
+    # (PQ/IVF+PQ, SemDeDup, skyline, containment, keep-best, SCD2-apply,
+    # BM25, triangles, ...) are the ones the judge flagged as never
+    # driver-verified, so they take the first sample window.
+    fresh_oracle = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is not None]
+    fresh_rows_only = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is None]
+    seen = [s for s in _SPECS if s.name in _DRIVER_SAMPLED]
+    return fresh_oracle + fresh_rows_only + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {s.name: s.spark_fn for s in _SPECS}
+    return {s.name: s.spark_fn for s in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}
+    return {s.name: s.oracle for s in _ordered_specs() if s.oracle is not None}
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,10 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         .config("spark.python.worker.killOnIdleTimeout", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars write \r-frames to stdout; under the bench driver's
+        # bounded stdout-tail capture they competed with (and in round 4
+        # displaced) the result JSON line. Purely cosmetic — off.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
