@@ -493,6 +493,14 @@ def merge_versioned_parquet(
     current = latest_version(spark, path)
     if current is None:
         return write_versioned_parquet(updates, path, mode="overwrite")
+    if updates.isEmpty():
+        # An all-duplicate daily increment or an empty CDC micro-batch
+        # used to commit a new snapshot referencing one empty parquet
+        # file — pointless version churn plus empty-file accumulation
+        # until vacuum. The limit-1 probe costs one cheap job (the
+        # batch is re-evaluated by the write below when non-empty,
+        # which is the existing contract for a passed-in DataFrame).
+        return current
     files = [
         r["file"]
         for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()

@@ -395,6 +395,13 @@ def test_merge_versioned_copy_on_write(spark, tmp_path):
     assert writers.merge_versioned_parquet(spark, p2, ups, ["id"]) == 0
     assert writers.read_versioned_parquet(spark, p2).count() == 8
 
+    # an empty update batch (all-dup daily increment / empty CDC
+    # micro-batch) is a no-op: no new snapshot, no empty commit files
+    empty = ups.filter(F.col("id") < 0)
+    assert writers.merge_versioned_parquet(spark, path, empty, ["id"]) == v
+    assert writers.latest_version(spark, path) == v
+    assert writers.read_versioned_parquet(spark, path).count() == 203
+
 
 def test_vacuum_versioned_drops_unreferenced_files(spark, tmp_path):
     from pyspark.sql import functions as F
