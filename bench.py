@@ -180,8 +180,12 @@ def main() -> None:
     # The min of two back-to-back runs is the steady-state number the
     # plan actually costs; suite wall time roughly doubles, which the
     # driver's budget absorbs.
+    # SPARK_GRAFT_QUERIES="a,b,c" restricts the run to a subset (the
+    # sf1 scale sweep uses this; default is the full headline list)
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = [n for n in only.split(",") if n] if only else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

@@ -50,20 +50,19 @@ def export_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]
 
 
 def render_png(spark: SparkSession, sf_dir: str, out_path: str) -> str:
-    """Multi-panel PNG like the reference's create_dashboard_plots.
-    Raises RuntimeError with a clear message when matplotlib is absent
-    (this container ships without it); the relations themselves come
-    from :func:`chart_relations` either way."""
+    """Multi-panel PNG like the reference's create_dashboard_plots
+    (dashboard_calidad_aire.py:246-254). With matplotlib present it
+    draws the reference's layout; without it (this container) the
+    stdlib-only rasterizer in :mod:`rasterize` draws the same six
+    panels — plainer, but real PNG bytes either way, and the relations
+    come from :func:`chart_relations` in both paths."""
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-    except ImportError as e:  # pragma: no cover - no matplotlib in test image
-        raise RuntimeError(
-            "matplotlib not installed; use export_csv() and render with "
-            "an external tool, or install matplotlib for PNG output"
-        ) from e
+    except ImportError:
+        return _render_png_builtin(spark, sf_dir, out_path)
 
     rels = {k: v.toPandas() for k, v in chart_relations(spark, sf_dir).items()}
 
@@ -91,4 +90,51 @@ def render_png(spark: SparkSession, sf_dir: str, out_path: str) -> str:
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
+    return out_path
+
+
+def _render_png_builtin(spark: SparkSession, sf_dir: str, out_path: str) -> str:
+    """The six-panel layout on the stdlib rasterizer: KPI text panel,
+    rolling-mean line, day-of-week bars, station bars, hourly line,
+    correlation text grid — same panel order as the matplotlib path."""
+    from . import rasterize as rz
+
+    rels = {k: v.toPandas() for k, v in chart_relations(spark, sf_dir).items()}
+    W, H, cols, rows, pad = 900, 700, 2, 3, 10
+    pw, ph = (W - pad * (cols + 1)) // cols, (H - pad * (rows + 1)) // rows
+    c = rz.Canvas(W, H)
+
+    def cell(r, col):
+        x0 = pad + col * (pw + pad)
+        y0 = pad + r * (ph + pad)
+        return x0, y0, x0 + pw, y0 + ph
+
+    kpi = rels["dash_kpis"].iloc[0]
+    rz.draw_text_panel(
+        c, *cell(0, 0), "KPIS", [f"{k} {v}" for k, v in kpi.items()]
+    )
+    roll = rels["dash_rolling_mean"]
+    rz.draw_line_panel(
+        c, *cell(0, 1), "ROLLING MEAN",
+        [float(v) for v in roll.iloc[:, -1].dropna().tolist()],
+    )
+    dow = rels["dash_dow_distribution"]
+    rz.draw_bar_panel(
+        c, *cell(1, 0), "DAY OF WEEK", [float(v) for v in dow.iloc[:, 1].tolist()]
+    )
+    st = rels["dash_station_compare"].head(20)
+    rz.draw_bar_panel(
+        c, *cell(1, 1), "STATIONS", [float(v) for v in st.iloc[:, 1].tolist()]
+    )
+    hr = rels["dash_hourly_pattern"].sort_values("hour")
+    rz.draw_line_panel(
+        c, *cell(2, 0), "HOURLY PATTERN", [float(v) for v in hr.iloc[:, 1].tolist()]
+    )
+    corr = rels["dash_corr_matrix"]
+    rz.draw_text_panel(
+        c, *cell(2, 1), "CORRELATIONS",
+        [" ".join(str(x) for x in row) for row in corr.round(3).values.tolist()],
+    )
+    with open(out_path, "wb") as fh:
+        fh.write(c.to_png())
     return out_path

@@ -595,15 +595,19 @@ def streaming_quantile_bands(
             target = int(np.ceil(p * n))
             b = int(np.searchsorted(cum, target))
             cum_before = int(cum[b] - counts[b])
-            return float(
-                lo + width * (b + (target - cum_before) / float(counts[b]))
-            )
+            v = lo + width * (b + (target - cum_before) / float(counts[b]))
+            # repo r4 convention: HALF_UP away from zero with the 1e-9
+            # nudge — Python round() is HALF_EVEN and diverges from the
+            # batch twin (quantile_histogram_rollup's F.round) at
+            # boundary values
+            y = v + 1e-9
+            return float(math.copysign(math.floor(abs(y) * 1e4 + 0.5) / 1e4, y))
 
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
-                "p50_est": [round(est(0.5) + 1e-9, 4) if n else None],
-                "p95_est": [round(est(0.95) + 1e-9, 4) if n else None],
+                "p50_est": [est(0.5) if n else None],
+                "p95_est": [est(0.95) if n else None],
                 "n_rows": [n],
             }
         )

@@ -5,8 +5,6 @@ from __future__ import annotations
 import csv
 import glob
 
-import pytest
-
 from calidad_del_aire_etl_spark.plans import dashboard
 
 SF = "/root/testdata/sf0.001"
@@ -37,21 +35,58 @@ def test_export_csv_writes_all_panels(spark, tmp_path):
             assert len(list(csv.reader(f))) >= 2  # header + data
 
 
-def test_render_png_gates_cleanly_without_matplotlib(spark, tmp_path):
+def test_render_png_produces_real_png_without_matplotlib(spark, tmp_path):
+    """Without matplotlib the stdlib rasterizer takes over: the output
+    must be a decodable PNG of the declared size with actual chart ink
+    (non-background pixels), proving the six panels drew from real
+    relations end-to-end."""
+    from calidad_del_aire_etl_spark.plans import rasterize as rz
+
+    out = dashboard.render_png(spark, SF, str(tmp_path / "dash.png"))
+    data = open(out, "rb").read()
     try:
         import matplotlib  # noqa: F401
 
-        has_mpl = True
+        assert len(data) > 0  # matplotlib path: presence is enough
+        return
     except ImportError:
-        has_mpl = False
-    if has_mpl:
-        out = dashboard.render_png(spark, SF, str(tmp_path / "dash.png"))
-        import os
+        pass
+    w, h = rz.parse_png_header(data)
+    assert (w, h) == (900, 700)
+    pixels = rz.decode_png_pixels(data)
+    assert len(pixels) == w * h * 3
+    non_white = sum(
+        1 for i in range(0, len(pixels), 3) if pixels[i : i + 3] != b"\xff\xff\xff"
+    )
+    assert non_white > 2000  # borders + titles + series actually drew
 
-        assert os.path.getsize(out) > 0
-    else:
-        with pytest.raises(RuntimeError, match="matplotlib not installed"):
-            dashboard.render_png(spark, SF, str(tmp_path / "dash.png"))
+
+def test_rasterizer_round_trip_and_primitives(tmp_path):
+    """Pure-python PNG encoder sanity, no Spark: what we draw is what an
+    independent decode reads back."""
+    from calidad_del_aire_etl_spark.plans import rasterize as rz
+
+    c = rz.Canvas(40, 30, bg=(255, 255, 255))
+    c.fill_rect(2, 2, 10, 8, (255, 0, 0))
+    c.line(0, 0, 39, 29, (0, 0, 255))
+    c.text(12, 12, "A1", (0, 128, 0))
+    data = c.to_png()
+    assert rz.parse_png_header(data) == (40, 30)
+    px = rz.decode_png_pixels(data)
+
+    def at(x, y):
+        i = (y * 40 + x) * 3
+        return tuple(px[i : i + 3])
+
+    assert at(5, 5) == (255, 0, 0)      # inside the filled rect
+    assert at(0, 0) == (0, 0, 255)      # line start
+    assert at(39, 29) == (0, 0, 255)    # line end
+    assert at(39, 0) == (255, 255, 255)  # untouched background
+    # the glyph painted something green in its cell
+    greens = sum(
+        1 for x in range(12, 24) for y in range(12, 19) if at(x, y) == (0, 128, 0)
+    )
+    assert greens > 5
 
 
 def test_render_png_panel_layout_with_stub_backend(spark, tmp_path, monkeypatch):

@@ -552,3 +552,112 @@ def test_streaming_cdc_merge_versioned(spark, input_dir, tmp_path):
     got = {r["user_id"]: r["value"]
            for r in writers.read_versioned_parquet(spark, table).collect()}
     assert got[1] == 12.0
+
+
+# ---------------------------------------------------------------------------
+# batch ↔ streaming twin parity (round-5 verdict #6): identical data fed
+# through both forms must agree — exactly for the histogram family
+# (counts add, so the merged stream state IS the batch histogram), and
+# modulo the documented prior-batch baseline for the anomaly detector.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_quantile_bands_matches_batch_rollup(spark, input_dir):
+    """The same 200 rows through (a) streaming histogram state split
+    across three micro-batches and (b) the batch
+    quantile_histogram_rollup must yield identical p50/p95/n per group:
+    binning, ceil-target interpolation, and r4 rounding are the same
+    text on both paths. The stream's declared [lo, hi] matches the
+    batch operator's data-derived range because the min/max values are
+    planted in the data."""
+    import random
+
+    from calidad_del_aire_etl_spark.operators import sketches
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for et in ("click", "view"):
+        vals = [0.0, 100.0] + [round(rng.uniform(1, 99), 2) for _ in range(98)]
+        for v in vals:
+            rows.append((eid, _t(eid % 60), eid % 5, et, v))
+            eid += 1
+    bins = 64
+
+    _write_batch(spark, input_dir, rows[0::3], 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    qb = jobs.streaming_quantile_bands(stream, "value", lo=0.0, hi=100.0, bins=bins)
+    q = jobs.run_to_memory(qb, "qb_parity", output_mode="update")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, input_dir, rows[1::3], 1)
+        q.processAllAvailable()
+        _write_batch(spark, input_dir, rows[2::3], 2)
+        q.processAllAvailable()
+        final = {
+            r["event_type"]: (r["p50_est"], r["p95_est"], r["n_rows"])
+            for r in spark.sql(
+                "SELECT * FROM qb_parity WHERE n_rows = 100"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    bdf = spark.createDataFrame(rows, jobs.EVENTS_SCHEMA)
+    batch = {
+        r["event_type"]: (r["p50_est"], r["p95_est"], r["n_rows"])
+        for r in sketches.quantile_histogram_rollup(
+            bdf, "ts", "event_type", "value", bins=bins
+        ).collect()
+    }
+    assert set(final) == {"click", "view"} == set(batch)
+    assert final == batch
+
+
+def test_streaming_anomaly_matches_batch_formula_on_prior_stats(spark, input_dir):
+    """Prior-batch semantics made explicit: micro-batch 2's rows are
+    scored against batch-1 state, so the batch z formula (same r4
+    rounding, same unrounded |z| flag compare as etl_anomaly_flags)
+    evaluated with per-user aggregates over batch 1 must reproduce the
+    streaming output row for row."""
+    from calidad_del_aire_etl_spark.functions import r4
+
+    hist_vals = [10.0, 12.0, 11.0, 9.0, 10.0, 11.0, 10.0, 12.0, 9.0, 11.0, 10.0, 10.0]
+    hist = [(i, _t(i), 7, "click", v) for i, v in enumerate(hist_vals)]
+    score = [
+        (100, _t(40), 7, "click", 10.5),
+        (101, _t(41), 7, "click", 25.0),   # far outlier → flagged
+        (102, _t(42), 7, "click", 9.0),
+    ]
+
+    _write_batch(spark, input_dir, hist, 0)
+    stream = jobs.read_events_stream(spark, input_dir)
+    out = jobs.streaming_anomaly(stream, z_thresh=3.0, min_n=10)
+    q = jobs.run_to_memory(out, "anom_parity", output_mode="append")
+    try:
+        q.processAllAvailable()          # batch 1: builds state, z NULL
+        _write_batch(spark, input_dir, score, 1)
+        q.processAllAvailable()
+        got = {
+            r["ts"]: (r["z"], r["is_anomaly"])
+            for r in spark.sql(
+                "SELECT * FROM anom_parity WHERE z IS NOT NULL"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    h = spark.createDataFrame(hist, jobs.EVENTS_SCHEMA)
+    s = spark.createDataFrame(score, jobs.EVENTS_SCHEMA)
+    stats = h.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    expected = {
+        r["ts"]: (r["z"], r["flag"])
+        for r in s.join(stats, "user_id")
+        .select("ts", r4(z).alias("z"), (F.abs(z) > 3).cast("int").alias("flag"))
+        .collect()
+    }
+    assert len(got) == 3
+    assert got == expected

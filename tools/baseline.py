@@ -73,15 +73,35 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # SPARK_GRAFT_QUERIES="a,b,c" restricts to a subset (sf1 scale sweep)
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = [n for n in only.split(",") if n] if only else HEADLINE
+    # SPARK_GRAFT_TWIN_TIMEOUT=secs interrupts a twin that runs away at
+    # big SFs (the quadratic dedup oracles); it lands in timed_out, not
+    # in the total — a DNF is information, not a denominator.
+    timeout_s = float(os.environ.get("SPARK_GRAFT_TWIN_TIMEOUT", "0") or 0)
     timings: dict[str, float] = {}
     skipped: list[str] = []
-    for name in HEADLINE:
+    timed_out: list[str] = []
+    for name in names:
         if name not in oracles:
             skipped.append(name)
             continue
+        timer = None
+        if timeout_s > 0:
+            import threading
+
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         t0 = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            con.execute(oracles[name]).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except duckdb.InterruptException:
+            timed_out.append(name)
+        finally:
+            if timer is not None:
+                timer.cancel()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -92,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skipped_no_oracle": skipped,
+                "timed_out": timed_out,
                 "pandas_reference_pipeline_sec": pandas_reference_pipeline(sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "threads": os.cpu_count(),
