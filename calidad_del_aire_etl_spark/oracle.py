@@ -53,8 +53,12 @@ def duck_connection(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        # driver testdata is one file per table; Spark-generated
+        # scale-up dirs (tools/gen_sf1.py) hold part files — glob those
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 

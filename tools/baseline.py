@@ -70,8 +70,12 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        # driver testdata is one file per table; Spark-generated scale-up
+        # dirs (tools/gen_sf1.py) hold part files — glob those
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     # SPARK_GRAFT_QUERIES="a,b,c" restricts to a subset (sf1 scale sweep)
     only = os.environ.get("SPARK_GRAFT_QUERIES")

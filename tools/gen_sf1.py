@@ -55,7 +55,13 @@ def main() -> None:
     def src(name):
         return spark.read.parquet(f"{src_dir}/{name}.parquet")
 
-    def write(df, name):
+    def write(df, name, nfiles: int = 1):
+        # fact tables land as many files, like any real table at scale —
+        # a 1-file 44 MB lineitem caps the scan at one task and turns
+        # every downstream ratio into a parallelism artifact, not a
+        # plan-quality measurement
+        if nfiles > 1:
+            df = df.repartition(nfiles)
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
         print(f"{name}: {spark.read.parquet(f'{out_dir}/{name}.parquet').count()} rows")
 
@@ -70,7 +76,7 @@ def main() -> None:
             "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
             "o_orderpriority",
         ),
-        "orders",
+        "orders", nfiles=16,
     )
 
     li = src("lineitem")
@@ -81,7 +87,7 @@ def main() -> None:
             "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
             "l_linestatus", "l_shipdate",
         ),
-        "lineitem",
+        "lineitem", nfiles=32,
     )
 
     ev = src("events")
@@ -94,7 +100,7 @@ def main() -> None:
             (F.col("user_id") + F.col("r") * uid_span).alias("user_id"),
             "event_type", "value", "props",
         ),
-        "events",
+        "events", nfiles=16,
     )
 
     docs = src("documents")
@@ -108,7 +114,7 @@ def main() -> None:
             new_text.alias("text"),
             "lang", "source",
         ).withColumn("n_chars", F.length("text").cast("long")),
-        "documents",
+        "documents", nfiles=8,
     )
 
     emb = src("embeddings")
@@ -125,7 +131,7 @@ def main() -> None:
             perturbed.alias("embedding"),
             "label",
         ),
-        "embeddings",
+        "embeddings", nfiles=8,
     )
     spark.stop()
 

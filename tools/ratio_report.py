@@ -26,6 +26,19 @@ def main() -> None:
     bench = json.load(open(bench_path))
     if "parsed" in bench:  # driver-recorded BENCH_rN.json wraps the line
         bench = bench["parsed"]
+    if "queries" not in bench and bench.get("detail"):
+        # round-5 bench protocol: the final stdout line is a compact
+        # summary pointing at the per-query detail file committed next
+        # to bench.py
+        import os
+
+        here = os.path.dirname(os.path.abspath(bench_path))
+        for cand in (os.path.join(here, bench["detail"]), bench["detail"]):
+            if os.path.exists(cand):
+                bench = json.load(open(cand))
+                break
+        else:
+            sys.exit(f"per-query detail file {bench['detail']!r} not found")
     base = json.load(open(base_path))
     bq, dq = bench["queries"], base["queries"]
     comp = {k: v for k, v in bq.items() if k in dq}
