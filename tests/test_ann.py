@@ -254,3 +254,21 @@ def test_ivfpq_subset_of_ivf_candidates_and_dense_ranks(spark, sf_dir):
     recall = len(truth & approx) / len(truth)
     chance = 5.0 / (n - 1)
     assert recall >= 2 * chance, f"IVFPQ recall not above chance: {recall} vs {chance}"
+
+
+def test_sq_dists_expansion_matches_broadcast_fold():
+    """The GEMM expansion and the elementwise broadcast fold must agree
+    exactly AFTER r4 rounding (the only form any consumer sees), and
+    identical vectors must come out exactly zero, never negative."""
+    import numpy as np
+
+    from calidad_del_aire_etl_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(0, 10, (500, 64))
+    C = rng.normal(0, 10, (8, 64))
+    expansion = ann._sq_dists(V, C)
+    fold = ann._np_round4(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    assert np.array_equal(expansion, fold)
+    same = ann._sq_dists(C, C)
+    assert (np.diag(same) == 0.0).all() and (same >= 0).all()
