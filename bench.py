@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_recall_eval",
     "embed_cluster_purity",
     "etl_calendar_dim",
+    # round-5 additions
+    "holt_trend_forecast",
 ]
 
 

@@ -364,6 +364,105 @@ ORDER BY user_id
 """
 
 
+def holt_per_group(
+    events: DataFrame, alpha: float = 0.5, beta: float = 0.3, horizon: int = 3
+) -> DataFrame:
+    """Per-user Holt double exponential smoothing (level + linear
+    trend), the next step up from :func:`ema_per_group`'s flat EMA:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t − l_{t-1}) + (1-β)·b_{t-1}
+
+    seeded with l=x₁, b=x₁−x₀ (single-reading series degrade to l=x₀,
+    b=0). Reports the final level/trend and the ``horizon``-step-ahead
+    forecast l + h·b — the classic short-horizon sensor forecast the
+    reference's daily projections imply.
+
+    Same scale shape as the EMA: the recurrence is sequential but a
+    FOLD, so each user collapses to one sorted array (one groupBy
+    shuffle, map-side combined) and the two-state fold runs JVM-side in
+    a higher-order ``aggregate`` — no Python, no per-step shuffle.
+    State per group is O(series length); unbounded series belong to the
+    streaming stateful path. The new level is referenced by both state
+    fields, so the step recomputes it in each — bit-identical arithmetic
+    on both engines, which is what the oracle hash-matches."""
+    nl = f"{alpha} * x + {1 - alpha} * (acc.l + acc.b)"
+    fold = (
+        "aggregate("
+        "  slice(__vals, 3, greatest(size(__vals) - 2, 0)),"
+        "  named_struct('l', cast(__vals[1] as double),"
+        "               'b', cast(__vals[1] as double) - cast(__vals[0] as double)),"
+        f" (acc, x) -> named_struct("
+        f"    'l', {nl},"
+        f"    'b', {beta} * (({nl}) - acc.l) + {1 - beta} * acc.b),"
+        "  acc -> acc)"
+    )
+    seq = events.groupBy(F.col("user_id").cast("int").alias("user_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__seq")
+    )
+    folded = seq.select(
+        "user_id",
+        F.size("__seq").cast("bigint").alias("n_points"),
+        F.expr(
+            "transform(array(transform(__seq, s -> s.value)), __vals -> "
+            "case when size(__vals) < 2 "
+            "then named_struct('l', cast(__vals[0] as double), 'b', cast(0.0 as double)) "
+            "else " + fold + " end)"
+        )[0].alias("__st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_points",
+        r4(F.col("__st.l")).alias("level"),
+        r4(F.col("__st.b")).alias("trend"),
+        r4(F.col("__st.l") + F.lit(float(horizon)) * F.col("__st.b")).alias(
+            f"forecast_{horizon}"
+        ),
+    ).orderBy("user_id")
+
+
+def holt_sql(alpha: float = 0.5, beta: float = 0.3, horizon: int = 3) -> str:
+    # DuckDB twin: list(value ORDER BY ts, event_id) then the same
+    # two-state fold via list_reduce (seed prepended — DuckDB's reduce
+    # takes its initial accumulator from the first element, so every
+    # element shares the {'l','b'} shape and carries x in the l field).
+    # The new level is bound ONCE through a 1-element list_transform
+    # (`nl ->`): textually repeating the level expression inside the
+    # struct makes DuckDB 1.0's list_reduce give a wrong second-
+    # iteration result (single applications are fine — the repeated
+    # subexpression is mis-shared across iterations; the EMA oracle
+    # uses the same binding for the same reason, and a pytest pins the
+    # fold against a plain-python reference).
+    return f"""
+SELECT user_id, n_points,
+       ROUND(st.l + 1e-9, 4) AS level,
+       ROUND(st.b + 1e-9, 4) AS trend,
+       ROUND(st.l + {float(horizon)} * st.b + 1e-9, 4) AS forecast_{horizon}
+FROM (
+  SELECT CAST(user_id AS INTEGER) AS user_id,
+         CAST(len(vals) AS BIGINT) AS n_points,
+         CASE WHEN len(vals) < 2
+         THEN {{'l': CAST(vals[1] AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)}}
+         ELSE list_reduce(
+           list_prepend({{'l': CAST(vals[2] AS DOUBLE),
+                          'b': CAST(vals[2] AS DOUBLE) - CAST(vals[1] AS DOUBLE)}},
+                        list_transform(vals[3:], x -> {{'l': CAST(x AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)}})),
+           (acc, e) -> list_transform(
+               [{alpha} * e.l + {1 - alpha} * (acc.l + acc.b)],
+               nl -> {{'l': nl,
+                       'b': {beta} * (nl - acc.l) + {1 - beta} * acc.b}})[1]
+         ) END AS st
+  FROM (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+  )
+)
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mode (most frequent value) per group, deterministic tie-break
 # ---------------------------------------------------------------------------

@@ -3237,3 +3237,15 @@ def q_etl_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor + distributed sequence explode, no fact rescan; gap-free
     even over event-less dates."""
     return features.calendar_dim(load(spark, sf_dir, "events"))
+
+
+@register("holt_trend_forecast", analytics2.holt_sql(alpha=0.5, beta=0.3, horizon=3))
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #22f — per-user Holt double exponential smoothing
+    (level + linear trend) with a 3-step-ahead forecast: the short-
+    horizon sensor projection one notch past ema_per_user's flat EMA.
+    Same fold discipline: one groupBy shuffle into a sorted array, the
+    two-state recurrence as a JVM-side higher-order aggregate."""
+    return analytics2.holt_per_group(
+        load(spark, sf_dir, "events"), alpha=0.5, beta=0.3, horizon=3
+    )

@@ -306,3 +306,37 @@ def test_item_cf_cosine_hand_computed(spark):
     assert out[("A", "B")] == (2, round(3 / (math.sqrt(5) * math.sqrt(3)) + 1e-9, 4))
     assert out[("B", "C")] == (1, round(3 / (math.sqrt(3) * 3) + 1e-9, 4))
     assert ("A", "C") not in out  # no co-user
+
+
+def test_holt_per_group_matches_python_reference(spark):
+    """The two-state Holt fold against a plain-python recurrence —
+    guards both the Spark aggregate expression and (via the oracle
+    sweep) the DuckDB list_reduce binding workaround, whose unbound
+    form returns a WRONG second iteration on DuckDB 1.0."""
+    import datetime as dt
+
+    from calidad_del_aire_etl_spark.operators import analytics2
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 13.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, i), 7, "click", v, None)
+        for i, v in enumerate(vals)
+    ] + [(99, dt.datetime(2024, 1, 1), 8, "view", 42.0, None)]  # 1-point series
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in analytics2.holt_per_group(ev).collect()}
+
+    a, b_ = 0.5, 0.3
+    l, b = vals[1], vals[1] - vals[0]
+    for x in vals[2:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = b_ * (nl - l) + (1 - b_) * b
+        l = nl
+    r7 = got[7]
+    assert r7["n_points"] == len(vals)
+    assert r7["level"] == round(l + 1e-9, 4)
+    assert r7["trend"] == round(b + 1e-9, 4)
+    assert r7["forecast_3"] == round(l + 3 * b + 1e-9, 4)
+    # degenerate single-reading series: level = the reading, flat trend
+    assert (got[8]["level"], got[8]["trend"], got[8]["forecast_3"]) == (42.0, 0.0, 42.0)
