@@ -131,6 +131,7 @@ HEADLINE = [
     "etl_calendar_dim",
     # round-5 additions
     "holt_trend_forecast",
+    "quality_auc_eval",
 ]
 
 

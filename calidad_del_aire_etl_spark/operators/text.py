@@ -673,3 +673,73 @@ def hash_features_sql(table: str, id_col: str, text_col: str, k: int = 16) -> st
     SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens, {cols}
     FROM {table}
     """
+
+
+def score_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """ROC-AUC of a continuous score against a binary label via the
+    Mann-Whitney U statistic with average ranks for ties — the
+    classifier-quality readout the eval family (lang_id_eval,
+    dedup_minhash_eval, ann_recall_eval) lacked for the quality scorer.
+
+    Scale shape: NO global per-row window. Rows collapse to one row per
+    DISTINCT score first (a partial-agg groupBy; 4-decimal scores bound
+    the cardinality at ~10^4 regardless of corpus size), the cumulative
+    rank arithmetic runs as a window over that tiny relation, and the
+    final fold is a scalar aggregate. avg_rank(score) =
+    cum_count_below + (ties + 1) / 2; U = Σ_pos avg_rank − n⁺(n⁺+1)/2;
+    AUC = U / (n⁺ · n⁻). Empty classes yield NULL AUC (undefined), not
+    a division error."""
+    lab = label_col if isinstance(label_col, Column) else F.col(label_col)
+    per_score = (
+        df.select(F.col(score_col).alias("s"), lab.cast("int").alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.sum("y").cast("double").alias("pos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "s", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0.0)).alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos") * (F.col("below") + (F.col("cnt") + 1.0) / 2.0)).alias("__r"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = (F.col("__r") - np_ * (np_ + 1.0) / 2.0) / (np_ * nn)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), r4(auc)).alias("auc"),
+    )
+
+
+def score_auc_sql(scored: str, score_expr: str, label_expr: str) -> str:
+    """DuckDB twin of :func:`score_auc` over a CTE/table ``scored``:
+    same distinct-score collapse, same cumulative-rank arithmetic."""
+    return f"""
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND((r - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) + 1e-9, 4)
+           END AS auc
+    FROM (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+             SUM(pos * (below + (cnt + 1.0) / 2.0)) AS r
+      FROM (
+        SELECT s, cnt, pos,
+               COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
+        FROM (
+          SELECT {score_expr} AS s,
+                 CAST(COUNT(*) AS DOUBLE) AS cnt,
+                 CAST(SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS DOUBLE) AS pos
+          FROM {scored}
+          GROUP BY 1
+        )
+      )
+    )
+    """

@@ -3249,3 +3249,26 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics2.holt_per_group(
         load(spark, sf_dir, "events"), alpha=0.5, beta=0.3, horizon=3
     )
+
+
+@register(
+    "quality_auc_eval",
+    f"""
+    WITH scored AS ({text.quality_score_sql("documents", "doc_id", "text")}),
+    j AS (
+      SELECT s.quality_score, d.lang
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    {text.score_auc_sql("j", "quality_score", "lang = 'en'")}
+    """,
+)
+def q_quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #33g — ROC-AUC of the heuristic quality score against
+    the English weak label (Mann-Whitney with tie-averaged ranks): the
+    calibration readout for the corpus quality filter, in the same
+    eval family as lang_id_eval / ann_recall_eval. Scale-safe: ranks
+    come from a distinct-score cumulative window (4-decimal scores cap
+    that relation at ~10^4 rows at any corpus size)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    scored = text.quality_score(docs, "text")
+    return text.score_auc(scored, "quality_score", F.col("lang") == "en")

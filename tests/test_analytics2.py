@@ -340,3 +340,23 @@ def test_holt_per_group_matches_python_reference(spark):
     assert r7["forecast_3"] == round(l + 3 * b + 1e-9, 4)
     # degenerate single-reading series: level = the reading, flat trend
     assert (got[8]["level"], got[8]["trend"], got[8]["forecast_3"]) == (42.0, 0.0, 42.0)
+
+
+def test_score_auc_hand_computed_with_ties(spark):
+    """AUC against a hand-counted Mann-Whitney U, including a
+    positive-negative tie (counts half) and the degenerate one-class
+    input (NULL, not a division error)."""
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.operators import text as t
+
+    rows = [(0.9, 1), (0.8, 1), (0.5, 1), (0.5, 0), (0.3, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = t.score_auc(df, "s", F.col("y") == 1).collect()[0]
+    # pairs: 3 pos x 2 neg = 6; wins 5, tie 0.5 -> AUC = 5.5/6
+    assert (got["n_pos"], got["n_neg"]) == (3, 2)
+    assert got["auc"] == round(5.5 / 6 + 1e-9, 4)
+
+    one_class = spark.createDataFrame([(0.9, 1), (0.1, 1)], "s double, y int")
+    got1 = t.score_auc(one_class, "s", F.col("y") == 1).collect()[0]
+    assert got1["auc"] is None and got1["n_neg"] == 0
