@@ -862,6 +862,31 @@ def incremental_minhash_dedup(
     best estimated Jaccard.
     """
     cb = minhash_bands(corpus, id_col, text_col, n, num_hashes, bands)
+    return incremental_minhash_probe(
+        cb, new_batch, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, broadcast_new=broadcast_new,
+    )
+
+
+def incremental_minhash_probe(
+    band_store: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """The probe half of :func:`incremental_minhash_dedup`, against an
+    ALREADY-SIGNED band relation (``minhash_bands`` layout:
+    (id, sig, b, bkey)). This is the true never-re-sign path: a caller
+    that persists the band store (the streaming minhash sink, a daily
+    pipeline writing bands bucketed by bkey) pays signature cost only
+    for the increment, and the store streams through the probe join
+    map-side. Same output contract as incremental_minhash_dedup."""
     nb = minhash_bands(new_batch, id_col, text_col, n, num_hashes, bands)
     est = (
         F.expr(
@@ -876,7 +901,7 @@ def incremental_minhash_dedup(
     if broadcast_new:
         new_bands = F.broadcast(new_bands)
     cand = (
-        cb.select(
+        band_store.select(
             F.col("id").alias("corpus_id"), F.col("sig").alias("csig"), "b", "bkey"
         )
         .join(new_bands, ["b", "bkey"])

@@ -778,3 +778,128 @@ def run_cdc_merge(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# #40q streaming MinHash near-dup filter with a persistent band store
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def read_docs_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source document stream (one parquet file per micro-batch,
+    same trigger discipline as read_events_stream)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def minhash_dedup_sink(
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """foreachBatch near-dup filter: the streaming twin of the
+    incremental MinHash probe, with the band store actually PERSISTED —
+    each epoch signs only its own micro-batch; the accumulated corpus
+    is never re-signed (`dedup.incremental_minhash_probe`).
+
+    Per epoch:
+      1. intra-batch LSH pass — a doc that near-dups a LOWER-id doc in
+         the same batch drops first (the same survivor rule as the
+         batch cluster family);
+      2. intra-survivors probe the persisted band store (broadcast the
+         tiny batch side, stream the store map-side);
+      3. decisions land under ``decisions/epoch=N`` (one row per input
+         doc: kept / intra-dup / corpus-dup + matched id + estimated
+         Jaccard), survivors' bands append under ``bands/epoch=N``.
+
+    Replay safety: an ``_epochs/batch-N`` marker makes redelivered
+    epochs no-ops (same contract as the CDC merge sink). At 100 TB the
+    band store is the only growing state, it is append-only parquet
+    keyed by (b, bkey), and a compaction/bucketing pass over it is
+    ordinary table maintenance — no driver state anywhere."""
+    from ..operators import dedup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        marker = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/_epochs/batch-{batch_id}")
+        if fs.exists(marker):
+            return  # epoch replay — already applied
+        batch = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).localCheckpoint(eager=True)
+
+        pairs = dedup.minhash_lsh_pairs(
+            batch, "doc_id", "text", n=n, num_hashes=num_hashes, bands=bands
+        ).filter(F.col("est_jaccard") >= threshold)
+        intra = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.min("id_a").alias("intra_matched_id"),
+            F.max("est_jaccard").alias("intra_est"),
+        )
+        survivors = batch.join(intra, "doc_id", "left_anti")
+
+        bands_path = f"{store_dir}/bands"
+        have_store = fs.exists(jvm.org.apache.hadoop.fs.Path(bands_path))
+        if have_store:
+            store = spark.read.parquet(bands_path)
+            flags = dedup.incremental_minhash_probe(
+                store, survivors, "doc_id", "text",
+                n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+            )
+        else:
+            flags = survivors.select(
+                "doc_id",
+                F.lit(0).alias("is_dup_of_corpus"),
+                F.lit(None).cast("bigint").alias("matched_corpus_id"),
+                F.lit(None).cast("double").alias("best_est_jaccard"),
+            )
+        flags = flags.localCheckpoint(eager=True)
+
+        decisions = (
+            batch.select("doc_id")
+            .join(intra, "doc_id", "left")
+            .join(flags, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("intra_matched_id").isNotNull(), "intra")
+                .when(F.col("is_dup_of_corpus") == 1, "corpus")
+                .otherwise("kept")
+                .alias("decision"),
+                F.coalesce("intra_matched_id", "matched_corpus_id").alias("matched_id"),
+                F.coalesce("intra_est", "best_est_jaccard").alias("est_jaccard"),
+            )
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{store_dir}/decisions/epoch={batch_id}"
+        )
+        kept = flags.filter(F.col("is_dup_of_corpus") == 0).select("doc_id")
+        new_bands = dedup.minhash_bands(
+            survivors.join(kept, "doc_id", "left_semi"), "doc_id", "text",
+            n=n, num_hashes=num_hashes, bands=bands,
+        ).select(F.col("id").alias("id"), "sig", "b", "bkey")
+        new_bands.write.mode("overwrite").parquet(f"{bands_path}/epoch={batch_id}")
+        fs.mkdirs(marker)
+
+    return write_batch
+
+
+def run_minhash_dedup(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Wire a document stream into the near-dup filter sink."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(minhash_dedup_sink(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -661,3 +661,60 @@ def test_streaming_anomaly_matches_batch_formula_on_prior_stats(spark, input_dir
     }
     assert len(got) == 3
     assert got == expected
+
+
+def test_streaming_minhash_dedup_band_store(spark, input_dir, tmp_path):
+    """#40q: intra-batch near-dups drop first, later epochs' dups are
+    caught against the PERSISTED band store (the corpus is never
+    re-signed), and a replayed epoch is a no-op."""
+    import glob
+    import os
+
+    store = str(tmp_path / "mh_store")
+    ckpt = str(tmp_path / "mh_ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    novel1 = "completely different text about spark physical planning details"
+    novel2 = "yet another unrelated document on parquet row group statistics"
+
+    def _write_docs(rows, idx):
+        tmp = f"{input_dir}/.dstage{idx}"
+        df = spark.createDataFrame(rows, jobs.DOCS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.replace(part, f"{input_dir}/docs{idx}.parquet")
+
+    _write_docs([(1, base), (2, base + " tail"), (3, novel1)], 0)
+    stream = jobs.read_docs_stream(spark, input_dir)
+    q = jobs.run_minhash_dedup(stream, store, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_docs([(4, base + " coda"), (5, novel2)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = {
+        r["doc_id"]: (r["decision"], r["matched_id"])
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert dec[1] == ("kept", None)
+    assert dec[2][0] == "intra" and dec[2][1] == 1
+    assert dec[3] == ("kept", None)
+    assert dec[4][0] == "corpus" and dec[4][1] == 1
+    assert dec[5] == ("kept", None)
+
+    # band store holds exactly the kept docs (each doc appears in
+    # `bands` rows — one per band)
+    stored_ids = {
+        r["id"] for r in spark.read.parquet(f"{store}/bands").select("id").collect()
+    }
+    assert stored_ids == {1, 3, 5}
+
+    # replaying epoch 0 by hand must not change the store or decisions
+    n_band_rows = spark.read.parquet(f"{store}/bands").count()
+    sink = jobs.minhash_dedup_sink(store)
+    sink(spark.createDataFrame([(9, "replayed junk")], jobs.DOCS_SCHEMA), 0)
+    assert spark.read.parquet(f"{store}/bands").count() == n_band_rows
+    assert 9 not in {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
