@@ -800,6 +800,44 @@ def fuzzy_pairs_sql(
 # --- incremental MinHash dedup (new batch vs stored corpus) ---------------
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig) — the K-minhash signature per document, one narrow
+    projection (the shingle-hash fold documented in minhash_lsh_pairs).
+    This is the persistable unit of a signature STORE: K×8 bytes per
+    doc, one row per doc (so a versioned-table MERGE can replace a
+    revised document's signature), with the band relation derivable by
+    pure array slicing via :func:`bands_from_signatures` — signing is
+    the expensive part, band derivation is free."""
+    sig_expr = (
+        f"aggregate({hashed_shingles_expr(text_col, n)}, "
+        f"transform(sequence(0, {num_hashes - 1}), k -> cast({MINHASH_P} as bigint)), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(m, k) -> least(m, {_minhash_lambda(num_hashes)})))"
+    )
+    return df.select(F.col(id_col).alias("id"), F.expr(sig_expr).alias("sig"))
+
+
+def bands_from_signatures(
+    sig_df: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, sig) → (id, sig, b, bkey): band keys from stored signatures
+    — array slicing only, no text access, no shingle hashing."""
+    rows = num_hashes // bands
+    return sig_df.select(
+        "id",
+        "sig",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("b"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+            "x -> cast(x as string)), ',')"
+        ),
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -813,24 +851,10 @@ def minhash_bands(
     corpus (bucketed by ``bkey`` so daily probes join shuffle-free) and
     only APPENDED to; re-signing 100 TB per increment is the thing this
     exists to avoid."""
-    rows = num_hashes // bands
-    sig_expr = (
-        f"aggregate({hashed_shingles_expr(text_col, n)}, "
-        f"transform(sequence(0, {num_hashes - 1}), k -> cast({MINHASH_P} as bigint)), "
-        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
-        f"(m, k) -> least(m, {_minhash_lambda(num_hashes)})))"
-    )
-    sig = df.select(F.col(id_col).alias("id"), F.expr(sig_expr).alias("sig"))
-    return sig.select(
-        "id",
-        "sig",
-        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("b"),
-    ).withColumn(
-        "bkey",
-        F.expr(
-            f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-            "x -> cast(x as string)), ',')"
-        ),
+    return bands_from_signatures(
+        minhash_signatures(df, id_col, text_col, n, num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
     )
 
 

@@ -4,13 +4,17 @@ incremental dedup machinery.
 
 plans/corpus_curation.py is the batch (day-0) story: curate everything,
 chunk, pack. This module is what runs every day after: a small new
-batch arrives, is curated, deduped against the EXISTING corpus without
-re-signing it (`dedup.incremental_minhash_dedup` — the corpus streams
-map-side, the increment broadcasts), and the survivors commit as a new
-snapshot of the versioned corpus table (copy-on-write MERGE: only
-key-matched files rewrite), with VACUUM bounding storage to the
-retention window. Every state transition is a snapshot: yesterday's
-corpus stays time-travel-readable while today's commit lands.
+batch arrives, is curated, and is deduped against the EXISTING corpus
+by probing a PERSISTED versioned signature store — day 0 signs the
+corpus once; day N signs only the increment, derives the store's band
+keys by array slicing (`dedup.bands_from_signatures` +
+`incremental_minhash_probe`; the store streams map-side, the increment
+broadcasts), and never touches corpus text again. Survivors commit as
+a new snapshot of the versioned corpus table AND merge their
+signatures into the store (a revised doc's row replaces its stale
+signature), with VACUUM bounding both tables to the retention window.
+Every state transition is a snapshot: yesterday's corpus stays
+time-travel-readable while today's commit lands.
 """
 
 from __future__ import annotations
@@ -28,13 +32,24 @@ from ..sinks.writers import (
 from .corpus_curation import curate
 
 
+def _sig_store_path(table_path: str) -> str:
+    return f"{table_path}_sigs"
+
+
 def bootstrap_corpus(
     spark: SparkSession, docs: DataFrame, table_path: str, min_quality: float = 0.35
 ) -> int:
-    """Day 0: curate the seed corpus and commit it as snapshot v0."""
-    return write_versioned_parquet(
-        curate(docs, min_quality), table_path, mode="overwrite"
+    """Day 0: curate the seed corpus, commit it as snapshot v0, and
+    commit the matching SIGNATURE store (one (doc_id, sig) row per doc,
+    its own versioned table) — the one-time signing that lets every
+    later increment probe without touching corpus text again."""
+    curated = curate(docs, min_quality).localCheckpoint(eager=True)
+    version = write_versioned_parquet(curated, table_path, mode="overwrite")
+    sigs = dedup.minhash_signatures(curated, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "sig"
     )
+    write_versioned_parquet(sigs, _sig_store_path(table_path), mode="overwrite")
+    return version
 
 
 def apply_daily_increment(
@@ -46,13 +61,34 @@ def apply_daily_increment(
     broadcast_new: bool = True,
 ) -> dict:
     """Day N: curate the increment, drop near-dups of the existing
-    corpus (LSH probe, corpus never re-signed), MERGE survivors as a
-    new snapshot, VACUUM past the retention window. Returns the run
-    report a scheduler would log."""
-    corpus = read_versioned_parquet(spark, table_path)
+    corpus by probing the PERSISTED signature store (the corpus text is
+    never re-read, never re-signed — band keys derive from stored
+    signatures by array slicing), MERGE survivors as a new corpus
+    snapshot, MERGE their signatures into the store (a revision's row
+    replaces its stale signature — an append-only band log would keep
+    matching the old text), VACUUM past the retention window. Returns
+    the run report a scheduler would log."""
+    from ..sinks.writers import latest_version
+
     curated = curate(new_docs, min_quality).localCheckpoint(eager=True)
-    flags = dedup.incremental_minhash_dedup(
-        corpus, curated, "doc_id", "text", broadcast_new=broadcast_new
+    sig_path = _sig_store_path(table_path)
+    if latest_version(spark, sig_path) is None:
+        # pre-store table (bootstrapped before the signature store
+        # existed): sign the corpus once now and commit the store
+        corpus = read_versioned_parquet(spark, table_path)
+        seed = dedup.minhash_signatures(corpus, "doc_id", "text").select(
+            F.col("id").alias("doc_id"), "sig"
+        )
+        write_versioned_parquet(seed, sig_path, mode="overwrite")
+    store = read_versioned_parquet(spark, sig_path).select(
+        F.col("doc_id").alias("id"), "sig"
+    )
+    flags = dedup.incremental_minhash_probe(
+        dedup.bands_from_signatures(store),
+        curated,
+        "doc_id",
+        "text",
+        broadcast_new=broadcast_new,
     )
     # A re-sent doc_id whose content still matches ITSELF is a
     # revision, not a duplicate — it must flow through so the MERGE
@@ -73,9 +109,15 @@ def apply_daily_increment(
     )
     n_in, n_kept = curated.count(), survivors.count()
     version = merge_versioned_parquet(spark, table_path, survivors, ["doc_id"])
+    new_sigs = dedup.minhash_signatures(survivors, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "sig"
+    )
+    sig_version = merge_versioned_parquet(spark, sig_path, new_sigs, ["doc_id"])
+    vacuum_versioned_parquet(spark, sig_path, keep_last=keep_snapshots)
     vacuumed = vacuum_versioned_parquet(spark, table_path, keep_last=keep_snapshots)
     return {
         "version": version,
+        "sig_store_version": sig_version,
         "n_curated_in": n_in,
         "n_corpus_dups_dropped": n_in - n_kept,
         "n_merged": n_kept,

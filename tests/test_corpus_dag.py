@@ -85,3 +85,19 @@ def test_incremental_corpus_daily_cycle(spark, tmp_path):
         writers.read_versioned_parquet(spark, path, 0).collect()
     with _pytest.raises(Exception):
         writers.read_versioned_parquet(spark, path, 1).collect()
+
+    # the signature store tracks the corpus doc-for-doc: one row per
+    # current doc_id (a revision REPLACED doc 5's stale signature —
+    # probing with the old one would keep matching the old text)
+    sigs = writers.read_versioned_parquet(spark, path + "_sigs")
+    sig_ids = {r["doc_id"] for r in sigs.select("doc_id").collect()}
+    assert sig_ids == set(cur2)
+    assert sigs.count() == len(sig_ids)  # doc-unique
+    from calidad_del_aire_etl_spark.operators import dedup as _dedup
+
+    fresh5 = _dedup.minhash_signatures(
+        writers.read_versioned_parquet(spark, path).filter(F.col("doc_id") == 5),
+        "doc_id", "text",
+    ).first()["sig"]
+    stored5 = sigs.filter(F.col("doc_id") == 5).first()["sig"]
+    assert list(stored5) == list(fresh5)
