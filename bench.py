@@ -206,7 +206,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # subset runs (SPARK_GRAFT_QUERIES) get their own detail file — they
+    # must not overwrite the full-suite record a prior summary line's
+    # `detail` pointer still references
+    detail_name = "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -220,7 +224,7 @@ def main() -> None:
         "unit": "sec",
         "sf": detail["sf"],
         "n_queries": len(timings),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     sys.stdout.flush()
     print(json.dumps(summary))

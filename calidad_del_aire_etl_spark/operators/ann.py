@@ -1089,29 +1089,26 @@ def semantic_dedup(
         pdf = pdf.sort_values("id", ignore_index=True)
         V32 = np.array(pdf["v"].tolist(), dtype=np.float32)
         n = len(V32)
-        if n <= 1024:
-            # The oracle's cosine runs on the RAW float column
-            # (semantic_dedup_sql: list_dot_product over FLOAT[]), and
-            # the SQL fold multiplies float32 pairs before widening into
-            # the float64 accumulator. Replicate exactly: per-dimension
-            # float32 outer products, accumulated left-to-right (d
-            # ascending) into float64 — bit-matching DuckDB in the
-            # parity regime (every oracle-compared SF has clusters well
-            # under this gate).
-            C = np.zeros((n, n), dtype=np.float64)
-            for d in range(V32.shape[1]):
-                C += np.outer(V32[:, d], V32[:, d]).astype(np.float64)
-        else:
-            # Large clusters (no oracle runs at this size): the per-dim
-            # fold writes dim × n² floats of memory traffic — ~25 GB at
-            # n=2500 — so switch to one float64 GEMM. Products are exact
-            # (float64 holds any float32×float32 product); only the
-            # summation order differs from the fold by an ulp, which the
-            # r4 rounding before the τ compare absorbs except exactly at
-            # a rounding boundary. Measured: 13.6 s → ~3 s at the sf1
-            # sweep's 2 500-row clusters.
-            V64 = V32.astype(np.float64)
-            C = V64 @ V64.T
+        # The oracle's cosine runs on the RAW float column
+        # (semantic_dedup_sql: list_dot_product over FLOAT[]), and the
+        # SQL fold multiplies float32 pairs — each product ROUNDS to
+        # float32 — before widening into the float64 accumulator.
+        # Keep the float32 product rounding at every cluster size: a
+        # float64 GEMM shortcut tried here computed EXACT products
+        # instead and measurably flipped ~3e-5 of r4-rounded cosines at
+        # 4th-decimal boundaries (products differ by ~1e-6, far above
+        # the 1e-9 nudge). Products are accumulated into float64 by
+        # numpy's pairwise sum — vs the oracle's sequential fold that is
+        # an ulp-scale (~1e-12) difference, inside the nudge. Blocking
+        # keeps the (blk, n, dim) float32 product buffer ~64 MB instead
+        # of the per-dimension outer-product loop's dim x n^2 float64
+        # traffic (~25 GB at n=2500).
+        C = np.empty((n, n), dtype=np.float64)
+        blk = max(1, (64 << 20) // max(1, n * V32.shape[1] * 4))
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            P = V32[lo:hi, None, :] * V32[None, :, :]  # float32 products
+            C[lo:hi] = P.sum(axis=2, dtype=np.float64)
         norms = np.sqrt(np.diag(C).copy())
         norms[norms == 0.0] = np.inf  # zero vector: cosine 0 → never a dup
         C = C / np.outer(norms, norms)

@@ -262,25 +262,15 @@ def minhash_lsh_pairs(
     K times per row (~11× slower, measured). The fold evaluates the
     shingle array exactly once and updates all K mins per shingle.
     """
-    rows = num_hashes // bands
-    sig_expr = (
-        f"aggregate({hashed_shingles_expr(text_col, n)}, "
-        f"transform(sequence(0, {num_hashes - 1}), k -> cast({MINHASH_P} as bigint)), "
-        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
-        f"(m, k) -> least(m, {_minhash_lambda(num_hashes)})))"
-    )
-    sig = df.select(F.col(id_col).alias("id"), F.expr(sig_expr).alias("sig"))
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("b"),
-    ).withColumn(
-        "bkey",
-        F.expr(
-            f"array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-            "x -> cast(x as string)), ',')"
-        ),
-    )
+    banded = minhash_bands(df, id_col, text_col, n, num_hashes, bands)
+    return pairs_from_bands(banded, num_hashes=num_hashes)
+
+
+def pairs_from_bands(banded: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Candidate pairs from an (id, sig, b, bkey) band relation — the
+    join/estimate half of :func:`minhash_lsh_pairs`, split out so a
+    caller that already holds the band relation (the streaming sink
+    signs each micro-batch exactly once) doesn't re-sign the text."""
     la, lb = banded.alias("la"), banded.alias("lb")
     cand = (
         la.join(
@@ -903,6 +893,7 @@ def incremental_minhash_probe(
     bands: int = 4,
     threshold: float = 0.5,
     broadcast_new: bool = True,
+    new_bands_rel: DataFrame | None = None,
 ) -> DataFrame:
     """The probe half of :func:`incremental_minhash_dedup`, against an
     ALREADY-SIGNED band relation (``minhash_bands`` layout:
@@ -910,8 +901,14 @@ def incremental_minhash_probe(
     that persists the band store (the streaming minhash sink, a daily
     pipeline writing bands bucketed by bkey) pays signature cost only
     for the increment, and the store streams through the probe join
-    map-side. Same output contract as incremental_minhash_dedup."""
-    nb = minhash_bands(new_batch, id_col, text_col, n, num_hashes, bands)
+    map-side. A caller that has ALREADY signed the increment passes its
+    band relation via ``new_bands_rel`` so the text is hashed exactly
+    once per batch. Same output contract as incremental_minhash_dedup."""
+    nb = (
+        new_bands_rel
+        if new_bands_rel is not None
+        else minhash_bands(new_batch, id_col, text_col, n, num_hashes, bands)
+    )
     est = (
         F.expr(
             f"size(filter(sequence(1, {num_hashes}), "

@@ -83,12 +83,18 @@ def apply_daily_increment(
     store = read_versioned_parquet(spark, sig_path).select(
         F.col("doc_id").alias("id"), "sig"
     )
+    # sign the increment EXACTLY ONCE: the probe and the store merge
+    # both reuse this checkpointed (id, sig) relation
+    inc_sigs = dedup.minhash_signatures(curated, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     flags = dedup.incremental_minhash_probe(
         dedup.bands_from_signatures(store),
         curated,
         "doc_id",
         "text",
         broadcast_new=broadcast_new,
+        new_bands_rel=dedup.bands_from_signatures(inc_sigs),
     )
     # A re-sent doc_id whose content still matches ITSELF is a
     # revision, not a duplicate — it must flow through so the MERGE
@@ -109,9 +115,9 @@ def apply_daily_increment(
     )
     n_in, n_kept = curated.count(), survivors.count()
     version = merge_versioned_parquet(spark, table_path, survivors, ["doc_id"])
-    new_sigs = dedup.minhash_signatures(survivors, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), "sig"
-    )
+    new_sigs = inc_sigs.join(
+        survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    ).select(F.col("id").alias("doc_id"), "sig")
     sig_version = merge_versioned_parquet(spark, sig_path, new_sigs, ["doc_id"])
     vacuum_versioned_parquet(spark, sig_path, keep_last=keep_snapshots)
     vacuumed = vacuum_versioned_parquet(spark, table_path, keep_last=keep_snapshots)

@@ -170,9 +170,11 @@ def draw_bar_panel(c: Canvas, x0, y0, x1, y1, title: str, ys: list[float]) -> No
     if not ys:
         return
     px0, px1, py0, py1 = x0 + 4, x1 - 4, y0 + 14, y1 - 4
-    base = min(0.0, min(ys))
-    tops = _scale_to([base] + ys, py1, py0)[1:]
-    zero = _scale_to([base] + ys, py1, py0)[0] if base < 0 else py1
+    # include 0 in the scale domain so bars draw FROM the zero line in
+    # either direction (negative bars hang below it); an all-positive
+    # series keeps the panel bottom as its baseline
+    pts = _scale_to(ys + [0.0], py1, py0)
+    tops, zero = pts[:-1], pts[-1]
     slot = max(1, (px1 - px0) // max(1, len(ys)))
     for i, t in enumerate(tops):
         bx0 = px0 + i * slot

@@ -822,10 +822,16 @@ def minhash_dedup_sink(
          Jaccard), survivors' bands append under ``bands/epoch=N``.
 
     Replay safety: an ``_epochs/batch-N`` marker makes redelivered
-    epochs no-ops (same contract as the CDC merge sink). At 100 TB the
-    band store is the only growing state, it is append-only parquet
-    keyed by (b, bkey), and a compaction/bucketing pass over it is
-    ordinary table maintenance — no driver state anywhere."""
+    epochs no-ops (same contract as the CDC merge sink), and a crash
+    BETWEEN the band write and the marker is also safe: the probe
+    filters the store's ``epoch`` partition column to epochs below the
+    current one, so a re-run never sees its own partially-committed
+    bands (it would otherwise self-match every survivor as a corpus dup
+    of itself and overwrite its band partition with an empty relation).
+    At 100 TB the band store is the only growing state, it is
+    append-only parquet keyed by (b, bkey), and a compaction/bucketing
+    pass over it is ordinary table maintenance — no driver state
+    anywhere."""
     from ..operators import dedup
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -841,22 +847,36 @@ def minhash_dedup_sink(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).localCheckpoint(eager=True)
 
-        pairs = dedup.minhash_lsh_pairs(
+        # sign the micro-batch text EXACTLY ONCE; intra pairs, the
+        # corpus probe, and the store append all reuse this relation
+        batch_bands = dedup.minhash_bands(
             batch, "doc_id", "text", n=n, num_hashes=num_hashes, bands=bands
-        ).filter(F.col("est_jaccard") >= threshold)
+        ).localCheckpoint(eager=True)
+
+        pairs = dedup.pairs_from_bands(batch_bands, num_hashes=num_hashes).filter(
+            F.col("est_jaccard") >= threshold
+        )
         intra = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
             F.min("id_a").alias("intra_matched_id"),
             F.max("est_jaccard").alias("intra_est"),
         )
         survivors = batch.join(intra, "doc_id", "left_anti")
+        survivor_bands = batch_bands.join(
+            intra.select(F.col("doc_id").alias("id")), "id", "left_anti"
+        )
 
         bands_path = f"{store_dir}/bands"
         have_store = fs.exists(jvm.org.apache.hadoop.fs.Path(bands_path))
         if have_store:
-            store = spark.read.parquet(bands_path)
+            # epoch < current: a partially-committed own epoch (crash
+            # before the marker landed) must not probe against itself
+            store = spark.read.parquet(bands_path).filter(
+                F.col("epoch") < batch_id
+            )
             flags = dedup.incremental_minhash_probe(
                 store, survivors, "doc_id", "text",
                 n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+                new_bands_rel=survivor_bands,
             )
         else:
             flags = survivors.select(
@@ -884,11 +904,12 @@ def minhash_dedup_sink(
         decisions.write.mode("overwrite").parquet(
             f"{store_dir}/decisions/epoch={batch_id}"
         )
-        kept = flags.filter(F.col("is_dup_of_corpus") == 0).select("doc_id")
-        new_bands = dedup.minhash_bands(
-            survivors.join(kept, "doc_id", "left_semi"), "doc_id", "text",
-            n=n, num_hashes=num_hashes, bands=bands,
-        ).select(F.col("id").alias("id"), "sig", "b", "bkey")
+        kept = flags.filter(F.col("is_dup_of_corpus") == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        new_bands = survivor_bands.join(kept, "id", "left_semi").select(
+            "id", "sig", "b", "bkey"
+        )
         new_bands.write.mode("overwrite").parquet(f"{bands_path}/epoch={batch_id}")
         fs.mkdirs(marker)
 

@@ -142,3 +142,29 @@ def test_render_png_panel_layout_with_stub_backend(spark, tmp_path, monkeypatch)
     assert calls.count("bar") == 2
     assert calls.count("table") == 1
     assert calls.count("text") == 1
+
+
+def test_bar_panel_draws_negative_bars_from_zero_line():
+    """Bars must extend from the zero line, not the panel bottom: a
+    negative value hangs below zero, a positive one rises above it."""
+    from calidad_del_aire_etl_spark.plans import rasterize as rz
+
+    c = rz.Canvas(120, 80)
+    rz.draw_bar_panel(c, 0, 0, 119, 79, "T", [-5.0, 10.0])
+    px = rz.decode_png_pixels(c.to_png())
+
+    def at(x, y):
+        i = (y * 120 + x) * 3
+        return tuple(px[i : i + 3])
+
+    py0, py1 = 14, 75  # same plot region the panel computes
+    pts = rz._scale_to([-5.0, 10.0, 0.0], py1, py0)
+    neg_top, pos_top, zero = pts
+    bar = (255, 127, 14)
+    # negative bar (first slot) paints strictly below the zero line...
+    assert any(at(6, y) == bar for y in range(zero, neg_top + 1))
+    # ...and nothing above it; positive bar (second slot) the reverse
+    assert not any(at(6, y) == bar for y in range(py0, zero))
+    xpos = 4 + (119 - 4 - 4) // 2 + 2
+    assert any(at(xpos, y) == bar for y in range(pos_top, zero + 1))
+    assert not any(at(xpos, y) == bar for y in range(zero + 1, py1 + 1))

@@ -718,3 +718,29 @@ def test_streaming_minhash_dedup_band_store(spark, input_dir, tmp_path):
     assert 9 not in {
         r["doc_id"] for r in spark.read.parquet(f"{store}/decisions").collect()
     }
+
+    # crash-between-band-write-and-marker: epoch 1's bands are on disk
+    # but its marker is not; the re-run must NOT self-match the batch
+    # against its own partial bands (which would flag every survivor a
+    # corpus-dup of itself and empty its band partition)
+    import shutil as _sh
+
+    _sh.rmtree(f"{store}/_epochs", ignore_errors=False)
+    os.makedirs(f"{store}/_epochs")  # keep dir, drop all markers
+    sink(
+        spark.createDataFrame(
+            [(4, base + " coda"), (5, novel2)], jobs.DOCS_SCHEMA
+        ),
+        1,
+    )
+    dec_replay = {
+        r["doc_id"]: (r["decision"], r["matched_id"])
+        for r in spark.read.parquet(f"{store}/decisions/epoch=1").collect()
+    }
+    assert dec_replay[4][0] == "corpus" and dec_replay[4][1] == 1
+    assert dec_replay[5] == ("kept", None)
+    assert spark.read.parquet(f"{store}/bands").count() == n_band_rows
+    stored_after = {
+        r["id"] for r in spark.read.parquet(f"{store}/bands").select("id").collect()
+    }
+    assert stored_after == {1, 3, 5}

@@ -27,7 +27,8 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+# table discovery lives in calidad_del_aire_etl_spark.oracle.duck_connection
+# (shared with the parity gate — one source of truth)
 
 
 def pandas_reference_pipeline(sf_dir: str) -> float:
@@ -66,16 +67,12 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from bench import HEADLINE
 
+    from calidad_del_aire_etl_spark.oracle import duck_connection
+
     oracles = entry_mod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if not os.path.exists(p):
-            continue
-        # driver testdata is one file per table; Spark-generated scale-up
-        # dirs (tools/gen_sf1.py) hold part files — glob those
-        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    # view setup is shared with the oracle-parity gate (one source of
+    # truth for table discovery — single files AND Spark part-file dirs)
+    con = duck_connection(sf_dir)
 
     # SPARK_GRAFT_QUERIES="a,b,c" restricts to a subset (sf1 scale sweep)
     only = os.environ.get("SPARK_GRAFT_QUERIES")
@@ -91,21 +88,29 @@ def main() -> None:
         if name not in oracles:
             skipped.append(name)
             continue
-        timer = None
         if timeout_s > 0:
+            # fresh connection per timed query: a Timer that fires in the
+            # window between fetchall returning and cancel() would leave a
+            # pending interrupt that aborts the NEXT query on a shared
+            # connection, mis-recording a fast twin as the DNF
             import threading
 
-            timer = threading.Timer(timeout_s, con.interrupt)
+            qcon = duck_connection(sf_dir)
+            timer = threading.Timer(timeout_s, qcon.interrupt)
             timer.start()
-        t0 = time.perf_counter()
-        try:
+            t0 = time.perf_counter()
+            try:
+                qcon.execute(oracles[name]).fetchall()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except duckdb.InterruptException:
+                timed_out.append(name)
+            finally:
+                timer.cancel()
+                qcon.close()
+        else:
+            t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             timings[name] = round(time.perf_counter() - t0, 3)
-        except duckdb.InterruptException:
-            timed_out.append(name)
-        finally:
-            if timer is not None:
-                timer.cancel()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -33,12 +33,30 @@ def main() -> None:
         import os
 
         here = os.path.dirname(os.path.abspath(bench_path))
+        summary = bench
         for cand in (os.path.join(here, bench["detail"]), bench["detail"]):
             if os.path.exists(cand):
                 bench = json.load(open(cand))
                 break
         else:
-            sys.exit(f"per-query detail file {bench['detail']!r} not found")
+            sys.exit(f"per-query detail file {summary['detail']!r} not found")
+        # the detail file is mutable state a later run can overwrite —
+        # refuse to join a summary against a detail from a different run
+        mismatches = [
+            f"{k}: summary={summary[k]!r} detail={bench.get(k)!r}"
+            for k in ("value", "sf")
+            if summary.get(k) != bench.get(k)
+        ]
+        if summary.get("n_queries") not in (None, len(bench.get("queries", {}))):
+            mismatches.append(
+                f"n_queries: summary={summary['n_queries']} "
+                f"detail={len(bench.get('queries', {}))}"
+            )
+        if mismatches:
+            sys.exit(
+                "detail file does not match the summary (stale or "
+                "overwritten by a later run): " + "; ".join(mismatches)
+            )
     base = json.load(open(base_path))
     bq, dq = bench["queries"], base["queries"]
     comp = {k: v for k, v in bq.items() if k in dq}
