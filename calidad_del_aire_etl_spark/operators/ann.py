@@ -1029,6 +1029,20 @@ def kmeans_fit_np(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # TakeOrderedAndProject: per-partition top-cap, no full sort/shuffle
     sample = base.orderBy("id").limit(fit_sample_rows).collect()
+    if len(sample) == fit_sample_rows:
+        # The oracle CTE trains on the FULL table; past the cap the two
+        # codebooks diverge and hash-parity is expected to fail. Warn
+        # loudly so a future sweep failure at a larger SF is diagnosable
+        # instead of silent (round-5 advice item).
+        import warnings
+
+        warnings.warn(
+            f"kmeans_fit_np: fit sample hit the {fit_sample_rows}-row cap; "
+            "codebook now trains on a sample while the DuckDB oracle CTE "
+            "trains on the full table — expect oracle hash-parity to "
+            "diverge for SemDeDup/purity at this SF.",
+            stacklevel=2,
+        )
     # np.array over the row lists directly — a per-element float() loop
     # costs ~0.8 s at 20k×64 on the driver
     S = np.array([r["v"] for r in sample], dtype=np.float64)

@@ -688,10 +688,18 @@ def score_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
     final fold is a scalar aggregate. avg_rank(score) =
     cum_count_below + (ties + 1) / 2; U = Σ_pos avg_rank − n⁺(n⁺+1)/2;
     AUC = U / (n⁺ · n⁻). Empty classes yield NULL AUC (undefined), not
-    a division error."""
+    a division error.
+
+    NULL scores are dropped on BOTH engines before ranking: Spark's
+    ``Window.orderBy`` sorts NULLs first while DuckDB's ``ORDER BY``
+    sorts them last, so a NULL-score group would feed a different
+    cumulative ``below`` into every real score per engine. AUC over a
+    NULL score is undefined anyway — exclusion is the statistically
+    honest choice, not just the parity-safe one."""
     lab = label_col if isinstance(label_col, Column) else F.col(label_col)
     per_score = (
         df.select(F.col(score_col).alias("s"), lab.cast("int").alias("y"))
+        .where(F.col("s").isNotNull())
         .groupBy("s")
         .agg(
             F.count(F.lit(1)).cast("double").alias("cnt"),
@@ -738,6 +746,7 @@ def score_auc_sql(scored: str, score_expr: str, label_expr: str) -> str:
                  CAST(COUNT(*) AS DOUBLE) AS cnt,
                  CAST(SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS DOUBLE) AS pos
           FROM {scored}
+          WHERE {score_expr} IS NOT NULL
           GROUP BY 1
         )
       )

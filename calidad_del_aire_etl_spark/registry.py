@@ -93,38 +93,67 @@ def register(name: str, oracle: str | None):
 # in-repo oracle sweep. Ordering queries() as (never-sampled oracle-backed →
 # never-sampled rows-only → previously-sampled) rotates the external gate
 # onto fresh keys each round without touching registration order anywhere
-# else (all other consumers access by name). Extend this set with each
-# round's CORRECTNESS_r{N}.json keys so the window keeps advancing.
-_DRIVER_SAMPLED = frozenset({
+# else (all other consumers access by name). Extend this list with each
+# round's CORRECTNESS_r{N}.json keys so the window keeps advancing; the
+# per-round grouping lets the seen-block order oldest-sampled-first, so
+# once the fresh pool shrinks below the 50-key window (round 7+) the
+# stalest external evidence is the first to refresh.
+_DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
     # rounds 1-4 union (53 keys, from CORRECTNESS_r01..r04.json)
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_sq_topk",
-    "asof_join_purchases", "dash_corr_matrix", "dash_dow_distribution",
-    "dash_hourly_pattern", "dash_kpis", "dash_rolling_mean",
-    "dash_station_compare", "dash_trend_slope", "dedup_cluster_resolve",
-    "dedup_cluster_star", "dedup_embedding_cosine", "dedup_exact_docs",
-    "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "docs_full_pipeline", "etl_anomaly_flags", "etl_aqi",
-    "etl_category", "etl_daily_summary", "etl_dedup_exact",
-    "etl_full_pipeline", "etl_interpolate", "etl_monthly_summary",
-    "etl_outlier_iqr", "etl_pollution_index", "etl_rollup_multigrain",
-    "etl_temporal_features", "etl_upsert_merge", "etl_validation_report",
-    "etl_weekly_summary", "mm_binary_meta", "mm_feature_extract",
-    "pivot_event_types", "sessionize", "skew_salted_join",
-    "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_token_count", "topk_per_group", "tpch_q10_returned",
-    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q4_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
-})
+    frozenset({
+        "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_sq_topk",
+        "asof_join_purchases", "dash_corr_matrix", "dash_dow_distribution",
+        "dash_hourly_pattern", "dash_kpis", "dash_rolling_mean",
+        "dash_station_compare", "dash_trend_slope", "dedup_cluster_resolve",
+        "dedup_cluster_star", "dedup_embedding_cosine", "dedup_exact_docs",
+        "dedup_incremental_minhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "docs_full_pipeline", "etl_anomaly_flags", "etl_aqi",
+        "etl_category", "etl_daily_summary", "etl_dedup_exact",
+        "etl_full_pipeline", "etl_interpolate", "etl_monthly_summary",
+        "etl_outlier_iqr", "etl_pollution_index", "etl_rollup_multigrain",
+        "etl_temporal_features", "etl_upsert_merge", "etl_validation_report",
+        "etl_weekly_summary", "mm_binary_meta", "mm_feature_extract",
+        "pivot_event_types", "sessionize", "skew_salted_join",
+        "text_fingerprint", "text_lang_id", "text_quality_score",
+        "text_token_count", "topk_per_group", "tpch_q10_returned",
+        "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q4_priority",
+        "tpch_q5_local_supplier", "tpch_q6_forecast", "tpch_q7_volume",
+    }),
+    # round 5 (50 keys, from CORRECTNESS_r05.json)
+    frozenset({
+        "ab_welch_t", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall_eval",
+        "basket_affinity", "conversion_attribution", "corpus_domain_quota",
+        "corpus_sentence_dedup", "corpus_split_decontaminated",
+        "corpus_unigram_logprob", "corpus_weighted_sample",
+        "daily_percentile_bands", "dash_spearman_matrix", "decayed_counts",
+        "dedup_containment", "dedup_fuzzy_pairs", "dedup_keep_best",
+        "dedup_minhash_eval", "dedup_semantic", "embed_cluster_purity",
+        "etl_calendar_dim", "etl_outlier_mad", "events_cusum_alarms",
+        "fd_profile", "geo_close_pairs", "graph_triangles",
+        "heavy_hitters_topk", "holt_trend_forecast", "inclusion_profile",
+        "item_cf_cosine", "lang_id_eval", "pareto_frontier",
+        "quality_auc_eval", "quantile_rollup_merge", "scd2_apply_incremental",
+        "seasonal_anomaly", "session_stats", "share_of_total",
+        "text_bm25_topk", "text_hash_features", "text_normalize",
+        "text_readability", "top_event_paths", "tpch_q11_important",
+        "tpch_q13_custdist", "tpch_q20_excess", "tpch_q21_waiting",
+        "tpch_q2_min_cost", "tpch_q9_profit", "user_feature_matrix",
+    }),
+]
+
+_DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    # Newest-first within the fresh block: the round-3/4 additions
-    # (PQ/IVF+PQ, SemDeDup, skyline, containment, keep-best, SCD2-apply,
-    # BM25, triangles, ...) are the ones the judge flagged as never
-    # driver-verified, so they take the first sample window.
+    # Never-driver-sampled queries first (oracle-backed before rows-only)
+    # so the external 50-key window lands on fresh keys; the seen block is
+    # ordered oldest-round-first so external evidence refreshes from the
+    # stalest end once fresh keys run out.
     fresh_oracle = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is not None]
     fresh_rows_only = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is None]
-    seen = [s for s in _SPECS if s.name in _DRIVER_SAMPLED]
+    seen: list[QuerySpec] = []
+    for sampled in _DRIVER_SAMPLED_BY_ROUND:
+        seen.extend(s for s in _SPECS if s.name in sampled)
     return fresh_oracle + fresh_rows_only + seen
 
 
