@@ -388,10 +388,99 @@ def read_parquet_manifest_pruned(spark, path: str, col: str, lo, hi) -> DataFram
     return out if files else out.limit(0)
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the snapshot version this writer
+    was about to publish; raised only after ``max_retries`` rebases."""
+
+
+# Test-only injection point: invoked once immediately before the atomic
+# publish rename, letting a pytest deterministically interleave a
+# competing writer into the read→compute→commit window.
+_test_pre_publish_hook = None
+
+
+def _strip_file_scheme(p: str) -> str | None:
+    """Local-filesystem path for ``p``, or None if it's a remote URI."""
+    if "://" in p:
+        return None  # hdfs://, s3a://, ... — not a local path
+    if p.startswith("file:"):
+        return p[len("file:"):] or "/"
+    return p
+
+
+def _atomic_publish(spark, staged_dir: str, final_dir: str) -> bool:
+    """Atomically rename the staged manifest directory to its versioned
+    name — the commit point of the optimistic-concurrency protocol
+    (Delta's rename-as-commit, Iceberg's atomic metadata swap). Returns
+    False iff the destination already exists, i.e. a concurrent writer
+    won this version.
+
+    Local FS: ``os.rename`` — POSIX rename(2) of a directory onto an
+    existing non-empty directory fails with ENOTEMPTY, which is exactly
+    the atomic test-and-set needed (manifest dirs are never empty).
+    Remote FS: Hadoop ``FileSystem.rename``, whose contract returns
+    False when the destination exists (atomic on HDFS; object stores
+    without atomic rename need a LogStore-style service — documented
+    limitation, same as open-source Delta's)."""
+    import errno
+    import os
+
+    src_local, dst_local = _strip_file_scheme(staged_dir), _strip_file_scheme(final_dir)
+    if src_local is not None and dst_local is not None:
+        try:
+            os.rename(src_local, dst_local)
+            return True
+        except OSError as e:
+            if e.errno in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
+                return False
+            raise
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(final_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    return bool(
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staged_dir),
+            jvm.org.apache.hadoop.fs.Path(final_dir),
+        )
+    )
+
+
+def _delete_dir(spark, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _commit_snapshot(spark, path: str, version: int, files: list[str]) -> bool:
+    """Stage the manifest for ``version`` then atomically publish it.
+    Returns False on commit conflict (another writer owns ``version``);
+    the staged manifest is cleaned up before returning so a losing
+    writer leaves no trace. A writer that crashes mid-commit leaves only
+    a ``.tmp-*`` staging dir — never a claimed version, so there are no
+    permanently-burned version numbers to skip over."""
+    import uuid as _uuid
+
+    staged = f"{path}/_snapshots/.tmp-{_uuid.uuid4().hex[:12]}"
+    manifest = spark.createDataFrame([(f,) for f in files], "file string")
+    manifest.coalesce(1).write.mode("error").parquet(staged)
+    global _test_pre_publish_hook
+    if _test_pre_publish_hook is not None:
+        hook, _test_pre_publish_hook = _test_pre_publish_hook, None
+        hook()
+    if _atomic_publish(spark, staged, f"{path}/_snapshots/v={version}"):
+        return True
+    _delete_dir(spark, staged)
+    return False
+
+
 def write_versioned_parquet(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    max_retries: int = 3,
 ) -> int:
     """Iceberg-shaped snapshot versioning over plain parquet: each
     commit writes its data files under ``<path>/data/`` and a snapshot
@@ -403,6 +492,13 @@ def write_versioned_parquet(
     for older snapshots, which is what makes time travel work).
     Readers never list the data dir; they read one tiny manifest.
     Returns the new version number.
+
+    Concurrency: commits are optimistic (Delta-style). The data files
+    are written once; the manifest publish is an atomic rename that
+    fails if another writer claimed the version first, in which case
+    the manifest is rebuilt against the NEW latest snapshot and
+    republished — append/append races are always mergeable, so the
+    data files never need rewriting, only the file list.
     """
     import uuid as _uuid
 
@@ -411,26 +507,28 @@ def write_versioned_parquet(
     spark = df.sparkSession
     commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(commit_dir)
-    new_files = [
+    new_files = sorted(
         r["f"]
         for r in spark.read.parquet(commit_dir)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
-    ]
-    current = latest_version(spark, path)
-    base: list[str] = []
-    if mode == "append" and current is not None:
-        base = [
-            r["file"]
-            for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
-        ]
-    version = 0 if current is None else current + 1
-    manifest = spark.createDataFrame(
-        [(f,) for f in base + sorted(new_files)], "file string"
     )
-    manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
-    return version
+    for _ in range(max_retries + 1):
+        current = latest_version(spark, path)
+        base: list[str] = []
+        if mode == "append" and current is not None:
+            base = [
+                r["file"]
+                for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+            ]
+        version = 0 if current is None else current + 1
+        if _commit_snapshot(spark, path, version, base + new_files):
+            return version
+    _delete_dir(spark, commit_dir)
+    raise CommitConflictError(
+        f"write_versioned_parquet: lost {max_retries + 1} commit races at {path}"
+    )
 
 
 def latest_version(spark, path: str) -> int | None:
@@ -467,6 +565,7 @@ def merge_versioned_parquet(
     updates: DataFrame,
     key_cols: list[str],
     broadcast_keys: bool = True,
+    max_retries: int = 3,
 ) -> int:
     """Delta-style copy-on-write MERGE into a versioned parquet table:
     update-wins upsert (``etl_upsert_merge`` semantics) committed as a
@@ -485,14 +584,21 @@ def merge_versioned_parquet(
 
     Contract: ``updates`` is key-unique (one row per key, as a CDC
     compaction emits). Returns the new version number.
+
+    Concurrency: optimistic copy-on-write. The whole
+    read-compute-rewrite runs against a snapshot; the commit is an
+    atomic publish of version N+1 that fails if a concurrent writer got
+    there first. A losing MERGE deletes its now-stale rewrite files
+    (its survivors were computed against a superseded snapshot — they
+    CANNOT be salvaged, unlike an append's) and re-runs the merge
+    against the new latest snapshot, exactly Delta's conflict-retry
+    semantics. After ``max_retries`` lost races it raises
+    :class:`CommitConflictError` with no trace left behind.
     """
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
-    current = latest_version(spark, path)
-    if current is None:
-        return write_versioned_parquet(updates, path, mode="overwrite")
     if updates.isEmpty():
         # An all-duplicate daily increment or an empty CDC micro-batch
         # used to commit a new snapshot referencing one empty parquet
@@ -500,49 +606,73 @@ def merge_versioned_parquet(
         # until vacuum. The limit-1 probe costs one cheap job (the
         # batch is re-evaluated by the write below when non-empty,
         # which is the existing contract for a passed-in DataFrame).
-        return current
-    files = [
-        r["file"]
-        for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
-    ]
-    keys = updates.select(*key_cols).distinct()
-    if broadcast_keys:
-        keys = F.broadcast(keys)
-    tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-    affected = sorted(
-        r["__file"]
-        for r in tagged.join(keys, key_cols, "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    )
-    aff = set(affected)
-    untouched = [f for f in files if f not in aff]
-    if affected:
-        survivors = spark.read.parquet(*affected).join(
-            keys, key_cols, "left_anti"
+        current = latest_version(spark, path)
+        if current is not None:
+            return current
+    for _ in range(max_retries + 1):
+        current = latest_version(spark, path)
+        commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
+        if current is None:
+            # First commit on an empty table. NOT delegated to
+            # write_versioned_parquet(mode='overwrite'): its conflict
+            # rebase would republish updates-only as v1, silently
+            # dropping a racing writer's v0 — a merge must instead
+            # re-enter this loop and merge against the new snapshot.
+            updates.write.mode("error").parquet(commit_dir)
+            new_files = sorted(
+                r["f"]
+                for r in spark.read.parquet(commit_dir)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            if _commit_snapshot(spark, path, 0, new_files):
+                return 0
+            _delete_dir(spark, commit_dir)
+            continue
+        files = [
+            r["file"]
+            for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+        ]
+        keys = updates.select(*key_cols).distinct()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
+        tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+        affected = sorted(
+            r["__file"]
+            for r in tagged.join(keys, key_cols, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
         )
-        merged = survivors.unionByName(updates)
-    else:
-        merged = updates
-    commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
-    merged.write.mode("error").parquet(commit_dir)
-    new_files = [
-        r["f"]
-        for r in spark.read.parquet(commit_dir)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    ]
-    version = current + 1
-    manifest = spark.createDataFrame(
-        [(f,) for f in untouched + sorted(new_files)], "file string"
+        aff = set(affected)
+        untouched = [f for f in files if f not in aff]
+        if affected:
+            survivors = spark.read.parquet(*affected).join(
+                keys, key_cols, "left_anti"
+            )
+            merged = survivors.unionByName(updates)
+        else:
+            merged = updates
+        merged.write.mode("error").parquet(commit_dir)
+        new_files = sorted(
+            r["f"]
+            for r in spark.read.parquet(commit_dir)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        if _commit_snapshot(spark, path, current + 1, untouched + new_files):
+            return current + 1
+        _delete_dir(spark, commit_dir)
+    raise CommitConflictError(
+        f"merge_versioned_parquet: lost {max_retries + 1} commit races at {path}"
     )
-    manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
-    return version
 
 
-def vacuum_versioned_parquet(spark, path: str, keep_last: int = 1) -> int:
+def vacuum_versioned_parquet(
+    spark, path: str, keep_last: int = 1, stale_tmp_seconds: int = 3600
+) -> int:
     """VACUUM for the versioned table: drop snapshot manifests older
     than the last ``keep_last`` versions, then physically delete every
     data file no retained snapshot references (and any commit directory
@@ -552,7 +682,17 @@ def vacuum_versioned_parquet(spark, path: str, keep_last: int = 1) -> int:
     Metadata-only planning: reads only the tiny retained manifests plus
     one recursive listing of ``data/`` — never the data itself. Time
     travel to vacuumed versions correctly fails afterwards (their
-    manifests are gone, not dangling)."""
+    manifests are gone, not dangling).
+
+    Concurrency: safe against concurrent WRITERS with ``keep_last >= 1``
+    — a writer only ever reads the latest snapshot, which vacuum always
+    retains, and a lost-race writer cleans its own staging. Staging dirs
+    (``_snapshots/.tmp-*``) from CRASHED writers are swept only after
+    ``stale_tmp_seconds`` so an in-flight commit's staging is never
+    yanked mid-publish. Time-travel READERS of versions older than
+    ``keep_last`` race vacuum by definition (same as Delta/Iceberg
+    retention): pin ``keep_last`` above the oldest version any reader
+    still holds."""
     current = latest_version(spark, path)
     if current is None:
         return 0
@@ -593,23 +733,49 @@ def vacuum_versioned_parquet(spark, path: str, keep_last: int = 1) -> int:
 
     deleted = 0
     snap_root = jvm.org.apache.hadoop.fs.Path(f"{path}/_snapshots")
+    now_ms = jvm.java.lang.System.currentTimeMillis()
+    expired_refs: set[str] = set()
     for st in fs.listStatus(snap_root):
         name = st.getPath().getName()
         if name.startswith("v=") and int(name.split("=", 1)[1]) not in keep:
+            # Record the expired manifest's file list BEFORE deleting it:
+            # a file referenced only by expired versions is known-committed
+            # garbage, deletable regardless of age.
+            expired_refs |= {
+                r["file"]
+                for r in spark.read.parquet(f"{path}/_snapshots/{name}").collect()
+            }
             fs.delete(st.getPath(), True)
+        elif name.startswith(".tmp-") and (
+            now_ms - st.getModificationTime() > stale_tmp_seconds * 1000
+        ):
+            # abandoned staging from a writer that crashed mid-commit
+            fs.delete(st.getPath(), True)
+    expired_names = {_norm(f) for f in expired_refs}
     data_root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     if fs.exists(data_root):
         for commit in fs.listStatus(data_root):
+            # A file referenced by NO manifest at all and younger than
+            # stale_tmp_seconds may belong to an in-flight writer whose
+            # publish hasn't landed yet — skip it this pass (Delta's
+            # retention-window rule for uncommitted files).
+            fresh = (
+                now_ms - commit.getModificationTime() <= stale_tmp_seconds * 1000
+            )
             live = False
+            swept_all = True
             for st in fs.listStatus(commit.getPath()):
                 if not st.getPath().getName().endswith(".parquet"):
                     continue
-                if _name(st) in ref_names:
+                n = _name(st)
+                if n in ref_names:
                     live = True
+                elif fresh and n not in expired_names:
+                    swept_all = False
                 else:
                     fs.delete(st.getPath(), False)
                     deleted += 1
-            if not live:
+            if not live and swept_all:
                 fs.delete(commit.getPath(), True)
     return deleted
 
@@ -620,6 +786,7 @@ def delete_versioned_parquet(
     keys: DataFrame,
     key_cols: list[str],
     broadcast_keys: bool = True,
+    max_retries: int = 3,
 ) -> int:
     """Copy-on-write DELETE — the third DML verb next to append and
     MERGE (TPC-H's RF2 shape: retire a batch of keys): rows matching
@@ -627,46 +794,52 @@ def delete_versioned_parquet(
     files that contain a matched key; untouched files carry over by
     reference, and time travel still shows the pre-delete versions.
     Same affected-file discovery as :func:`merge_versioned_parquet`
-    (semi-join on ``input_file_name``). Returns the new version."""
+    (semi-join on ``input_file_name``), same optimistic-concurrency
+    commit: a lost race deletes the stale survivor rewrite and re-runs
+    the delete against the new latest snapshot. Returns the new
+    version."""
+    import uuid as _uuid
+
     from pyspark.sql import functions as F
 
-    current = latest_version(spark, path)
-    if current is None:
-        raise ValueError(f"no snapshots at {path}")
-    files = [
-        r["file"]
-        for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
-    ]
-    kd = keys.select(*key_cols).distinct()
-    if broadcast_keys:
-        kd = F.broadcast(kd)
-    tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-    affected = sorted(
-        r["__file"]
-        for r in tagged.join(kd, key_cols, "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    )
-    aff = set(affected)
-    untouched = [f for f in files if f not in aff]
-    version = current + 1
-    new_files: list[str] = []
-    if affected:
-        import uuid as _uuid
-
-        survivors = spark.read.parquet(*affected).join(kd, key_cols, "left_anti")
-        commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
-        survivors.write.mode("error").parquet(commit_dir)
-        new_files = [
-            r["f"]
-            for r in spark.read.parquet(commit_dir)
-            .select(F.input_file_name().alias("f"))
+    for _ in range(max_retries + 1):
+        current = latest_version(spark, path)
+        if current is None:
+            raise ValueError(f"no snapshots at {path}")
+        files = [
+            r["file"]
+            for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+        ]
+        kd = keys.select(*key_cols).distinct()
+        if broadcast_keys:
+            kd = F.broadcast(kd)
+        tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+        affected = sorted(
+            r["__file"]
+            for r in tagged.join(kd, key_cols, "left_semi")
+            .select("__file")
             .distinct()
             .collect()
-        ]
-    manifest = spark.createDataFrame(
-        [(f,) for f in untouched + sorted(new_files)], "file string"
+        )
+        aff = set(affected)
+        untouched = [f for f in files if f not in aff]
+        new_files: list[str] = []
+        commit_dir = None
+        if affected:
+            survivors = spark.read.parquet(*affected).join(kd, key_cols, "left_anti")
+            commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
+            survivors.write.mode("error").parquet(commit_dir)
+            new_files = sorted(
+                r["f"]
+                for r in spark.read.parquet(commit_dir)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+        if _commit_snapshot(spark, path, current + 1, untouched + new_files):
+            return current + 1
+        if commit_dir is not None:
+            _delete_dir(spark, commit_dir)
+    raise CommitConflictError(
+        f"delete_versioned_parquet: lost {max_retries + 1} commit races at {path}"
     )
-    manifest.coalesce(1).write.mode("error").parquet(f"{path}/_snapshots/v={version}")
-    return version
