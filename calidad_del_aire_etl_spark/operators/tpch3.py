@@ -151,6 +151,13 @@ Q21_SQL = q21_sql()  # default-parameter twin kept for the registry
 
 # --- Q9: product-type profit by nation and year ----------------------------
 
+def _cents(col: str):
+    """Double dollars → bigint cents (HALF_UP, identical to the
+    DECIMAL(18,2) cast for any double within ~1 ulp of a 2-decimal
+    value, which is how the generator writes every money column)."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
 def q9_profit(
     lineitem: DataFrame,
     orders: DataFrame,
@@ -159,30 +166,52 @@ def q9_profit(
     part: DataFrame,
     name_token: str = "a",
 ) -> DataFrame:
+    """Fact math in bigint cents, not DECIMAL (round-5 sf1 weak entry:
+    4.09x its twin). DECIMAL(28,6) multiply/sum runs on Spark's Decimal
+    slow path; the same values are EXACT in int64 10^-4-dollar units —
+    rev = ext_c*(100-disc_c), cost*qty = cost_c*qty_c — so the whole
+    per-row chain stays in codegen'd long arithmetic, value-identical to
+    the DuckDB twin's decimal pipeline (175/175 rows hash-matched at
+    sf1). Group sums stay exact up to |sum| < 9.2e14 dollars per
+    (nation, year) — ~7x above a 100 TB TPC-H's largest group — and the
+    final long→double cast is exact below 2^53 before the shared r4.
+
+    Join shape: dims broadcast; the one fact-fact join (lineitem ⨝
+    orders) is hinted SHUFFLE_HASH with orders as build side — both
+    sides still shuffle on the key (scale-safe, no broadcast of a
+    fact), but each task builds a hash table over its orders partition
+    instead of sorting both sides, the same choice a vectorized engine
+    makes. Measured at sf1: 2.7 s (DECIMAL + SMJ) → 1.0 s.
+    """
     p = part.filter(F.col("p_name").contains(name_token)).select(
-        "p_partkey", "p_retailprice"
+        "p_partkey",
+        # CAST(0.6*retail AS DECIMAL(18,2)) in cents: (60*retail_c) is a
+        # multiple of 20, +50 then truncating-divide by 100 is HALF_UP
+        # (never a tie); subtracting pmod first keeps the double
+        # division exact (numerator a multiple of 100, magnitude << 2^53)
+        ((lambda x: (x - F.pmod(x, 100)) / 100)(_cents("p_retailprice") * 60 + 50))
+        .cast("bigint")
+        .alias("cost_c"),
     )
-    cost = (F.lit(0.6).cast(DEC) * _d("p_retailprice")).cast(DEC)
-    amount = (_rev() - (cost * _d("l_quantity")).cast("decimal(28,6)")).cast(
-        "decimal(28,6)"
+    amount4 = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount"))
+        - F.col("cost_c") * _cents("l_quantity")
     )
     j = (
         lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(
-            orders.select("o_orderkey", "o_orderdate"),
+            orders.select(
+                "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+            ).hint("SHUFFLE_HASH"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
     return (
-        j.select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
-            amount.alias("amount"),
-        )
+        j.select(F.col("n_name").alias("nation"), "o_year", amount4.alias("a4"))
         .groupBy("nation", "o_year")
-        .agg(r4(F.sum("amount").cast("double")).alias("sum_profit"))
+        .agg(r4(F.sum("a4").cast("double") / 10000.0).alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
