@@ -150,35 +150,127 @@ def pack_sql(
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+IBAN_RE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+# 13-19 digits with optional single space/dash separators; candidates
+# are then Luhn-validated — only valid card numbers are redacted
+CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+# Pass order is load-bearing: email first (a numeric local-part must be
+# consumed before digit passes), IP before SSN/phone (dotted quads are
+# not phone-charset but leave nothing to chance), IBAN before card (an
+# IBAN's 20-digit tail must not feed card candidates), SSN before phone
+# (123-45-6789 IS phone-shaped), Luhn-valid cards before phone (an
+# INVALID card number deliberately falls through to the phone pass as a
+# generic digit run), phone last as the catch-all.
+
+
+def _luhn_sql(m: str, dialect: str) -> str:
+    """Luhn checksum validity of candidate ``m`` (separators stripped),
+    as a boolean expression in either engine's SQL — double every
+    second digit from the right, subtract 9 when > 9, total % 10 == 0."""
+    if dialect == "spark":
+        d = f"regexp_replace({m}, '[^0-9]', '')"
+        dig = f"CAST(substring({d}, i, 1) AS INT)"
+        seq, ln = f"sequence(1, length({d}))", f"length({d})"
+        return (
+            f"pmod(aggregate(transform({seq}, i -> "
+            f"CASE WHEN pmod({ln} - i, 2) = 1 THEN "
+            f"CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 ELSE 2 * {dig} END "
+            f"ELSE {dig} END), 0, (a, x) -> a + x), 10) = 0"
+        )
+    d = f"regexp_replace({m}, '[^0-9]', '', 'g')"
+    dig = f"CAST(substr({d}, i, 1) AS INT)"
+    seq, ln = f"generate_series(1, len({d}))", f"len({d})"
+    return (
+        f"(list_sum(list_transform({seq}, i -> "
+        f"CASE WHEN ({ln} - i) % 2 = 1 THEN "
+        f"CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 ELSE 2 * {dig} END "
+        f"ELSE {dig} END)) % 10 = 0)"
+    )
 
 
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Redact emails then phone-like digit runs (order matters: a long
-    numeric email local-part must be consumed by the email pass first).
-    Both patterns stay in the common Java-regex ∩ RE2 dialect so the
-    DuckDB twin matches byte-for-byte. Pure narrow projection."""
-    t = F.col(text_col)
-    n_emails = F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint")
-    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    n_phones = F.regexp_count(no_email, F.lit(PHONE_RE)).cast("bigint")
-    scrubbed = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
-    return df.select(
+    """Redact emails, IPv4 addresses, IBANs, SSN-shaped national ids,
+    Luhn-VALID card numbers, then phone-like digit runs, with per-kind
+    match counts. Every pattern stays in the common Java-regex ∩ RE2
+    dialect so the DuckDB twin matches byte-for-byte; the Luhn filter is
+    a higher-order-function fold (filter/transform/aggregate), JVM-side,
+    over the handful of card candidates per document — no UDF. Pure
+    narrow projection, no shuffle."""
+    card_re = CARD_RE.replace("\\", "\\\\")
+    s = df.select(F.col(id_col), F.col(text_col).alias("__t0"))
+    for i, (re_, tag, cnt) in enumerate(
+        [
+            (EMAIL_RE, "<EMAIL>", "n_emails"),
+            (IP_RE, "<IP>", "n_ips"),
+            (IBAN_RE, "<IBAN>", "n_ibans"),
+            (SSN_RE, "<SSN>", "n_ssns"),
+        ]
+    ):
+        s = s.withColumn(cnt, F.regexp_count(F.col(f"__t{i}"), F.lit(re_)).cast("bigint"))
+        s = s.withColumn(f"__t{i + 1}", F.regexp_replace(f"__t{i}", re_, tag))
+    s = s.withColumn(
+        "__cards",
+        F.expr(
+            f"filter(regexp_extract_all(__t4, '{card_re}', 0), "
+            f"m -> {_luhn_sql('m', 'spark')})"
+        ),
+    )
+    s = s.withColumn("n_cards", F.size("__cards").cast("bigint"))
+    s = s.withColumn(
+        "__t5", F.expr("aggregate(__cards, __t4, (acc, m) -> replace(acc, m, '<CARD>'))")
+    )
+    s = s.withColumn("n_phones", F.regexp_count(F.col("__t5"), F.lit(PHONE_RE)).cast("bigint"))
+    return s.select(
         id_col,
-        scrubbed.alias("scrubbed_text"),
-        n_emails.alias("n_emails"),
-        n_phones.alias("n_phones"),
+        F.regexp_replace("__t5", PHONE_RE, "<PHONE>").alias("scrubbed_text"),
+        "n_emails",
+        "n_ips",
+        "n_ibans",
+        "n_ssns",
+        "n_cards",
+        "n_phones",
     )
 
 
 def pii_scrub_sql(table: str, id_col: str, text_col: str) -> str:
-    t = text_col
-    no_email = f"regexp_replace({t}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    luhn = _luhn_sql("m", "duck")
     return f"""
     SELECT {id_col},
-           regexp_replace({no_email}, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
-           CAST(len(regexp_extract_all({t}, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all({no_email}, '{PHONE_RE}')) AS BIGINT) AS n_phones
-    FROM {table}
+           regexp_replace(t5, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
+           n_emails, n_ips, n_ibans, n_ssns, n_cards,
+           CAST(len(regexp_extract_all(t5, '{PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM (
+      SELECT {id_col}, n_emails, n_ips, n_ibans, n_ssns,
+             CAST(len(cards) AS BIGINT) AS n_cards,
+             list_reduce(list_prepend(t4, cards),
+                         (acc, m) -> replace(acc, m, '<CARD>')) AS t5
+      FROM (
+        SELECT *, list_filter(regexp_extract_all(t4, '{CARD_RE}'),
+                              m -> {luhn}) AS cards
+        FROM (
+          SELECT {id_col},
+                 CAST(len(regexp_extract_all(t0, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(t1, '{IP_RE}')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(t2, '{IBAN_RE}')) AS BIGINT) AS n_ibans,
+                 CAST(len(regexp_extract_all(t3, '{SSN_RE}')) AS BIGINT) AS n_ssns,
+                 t4
+          FROM (
+            SELECT *, regexp_replace(t3, '{SSN_RE}', '<SSN>', 'g') AS t4 FROM (
+              SELECT *, regexp_replace(t2, '{IBAN_RE}', '<IBAN>', 'g') AS t3 FROM (
+                SELECT *, regexp_replace(t1, '{IP_RE}', '<IP>', 'g') AS t2 FROM (
+                  SELECT *, regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM (
+                    SELECT {id_col}, {text_col} AS t0 FROM {table}
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+    )
     """
 
 

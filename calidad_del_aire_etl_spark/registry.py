@@ -1565,29 +1565,46 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the raw corpus contains no PII, so both engines inject the same
-# deterministic synthetic contacts on doc_id % 10 == 0 before scrubbing
+# deterministic synthetic PII before scrubbing, one kind family per
+# modulus (doc_id 0 gets all of them): email+phone, a Luhn-VALID card
+# next to a Luhn-INVALID digit run (which must fall through to the
+# phone catch-all, not <CARD>), IP + SSN, and a compact IBAN
 _PII_DOCS_SQL = (
-    "(SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' contact user"
-    "' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567' "
-    "ELSE text END AS text FROM documents)"
+    "(SELECT doc_id, text"
+    " || CASE WHEN doc_id % 10 = 0 THEN ' contact user'"
+    "         || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567'"
+    "         ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    "         ' card 4111 1111 1111 1111 bad 4111111111111112' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN"
+    "         ' ip 10.0.42.7 ssn 123-45-6789' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN"
+    "         ' iban DE89370400440532013000' ELSE '' END"
+    " AS text FROM documents)"
 )
 
 
 def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
+    part = lambda mod, s: F.when(F.col("doc_id") % mod == 0, F.lit(s)).otherwise(
+        F.lit("")
+    )
     return docs.select(
         "doc_id",
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or +1 555-123-4567"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            part(7, " card 4111 1111 1111 1111 bad 4111111111111112"),
+            part(13, " ip 10.0.42.7 ssn 123-45-6789"),
+            part(11, " iban DE89370400440532013000"),
+        ).alias("text"),
     )
 
 
@@ -1605,8 +1622,10 @@ def q_corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("corpus_pii_scrub", corpus.pii_scrub_sql(_PII_DOCS_SQL, "doc_id", "text"))
 def q_corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #46 — email+phone redaction with per-doc match counts
-    (common Java-regex ∩ RE2 dialect, byte-identical on both engines)."""
+    """SURVEY §2 #46 — PII redaction with per-kind match counts: emails,
+    IPv4, IBAN, SSN-shaped ids, Luhn-VALIDATED card numbers (HOF fold,
+    no UDF), and phone-like digit runs as the catch-all (common
+    Java-regex ∩ RE2 dialect, byte-identical on both engines)."""
     return corpus.pii_scrub(_pii_docs(spark, sf_dir), "doc_id", "text")
 
 

@@ -53,6 +53,41 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "@" not in s and "555" not in s
 
 
+def test_pii_scrub_planted_kinds(spark):
+    """One doc per planted PII kind plus a Luhn tripwire: the VALID card
+    number becomes <CARD>; the INVALID digit run must NOT — it falls
+    through to the phone catch-all."""
+    rows = [
+        (1, "server at 192.168.1.100 and 10.0.42.7 up"),
+        (2, "pay to DE89370400440532013000 today"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "card 4111 1111 1111 1111 ok bad 4111111111111112 no"),
+        (5, "no pii here at all"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in corpus.pii_scrub(_docs(spark, rows), "doc_id", "text").collect()
+    }
+    assert got[1]["n_ips"] == 2 and got[1]["scrubbed_text"].count("<IP>") == 2
+    assert got[2]["n_ibans"] == 1 and "<IBAN>" in got[2]["scrubbed_text"]
+    assert "DE89" not in got[2]["scrubbed_text"]
+    # SSN is phone-shaped: the SSN pass must win (runs first)
+    assert got[3]["n_ssns"] == 1 and got[3]["n_phones"] == 0
+    assert "<SSN>" in got[3]["scrubbed_text"]
+    # Luhn: exactly one of the two 16-digit runs validates
+    assert got[4]["n_cards"] == 1
+    s4 = got[4]["scrubbed_text"]
+    assert s4.count("<CARD>") == 1
+    assert "4111 1111 1111 1111" not in s4
+    # the invalid run is still redacted — but by the phone catch-all
+    assert "4111111111111112" not in s4 and "<PHONE>" in s4
+    assert got[5]["scrubbed_text"] == "no pii here at all"
+    assert all(
+        got[5][c] == 0
+        for c in ("n_emails", "n_ips", "n_ibans", "n_ssns", "n_cards", "n_phones")
+    )
+
+
 def test_ngram_topk_counts(spark):
     rows = [(1, "a b a b a"), (2, "a b a")]
     # doc1 trigrams: "a b a","b a b","a b a"; doc2: "a b a"
