@@ -132,6 +132,9 @@ HEADLINE = [
     # round-5 additions
     "holt_trend_forecast",
     "quality_auc_eval",
+    # round-6 additions
+    "er_blocked_match",
+    "corpus_dsir_weights",
 ]
 
 

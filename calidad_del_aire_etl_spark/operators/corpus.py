@@ -994,3 +994,116 @@ def sentence_dedup_sql(table: str, id_col: str, text_col: str, max_df: int = 3) 
     LEFT JOIN totals t ON d.{id_col} = t.id
     LEFT JOIN rebuilt r ON d.{id_col} = r.id
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    head_size: int = 1024,
+) -> DataFrame:
+    """Per-document importance weight for target-domain selection —
+    the DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", public paper): score every raw
+    document by ``log p_target(doc) - log p_background(doc)`` under two
+    cheap bag-of-words LMs, then sample the raw corpus proportionally to
+    the exponentiated weight. Documents that look like the target domain
+    (here: ``target_pred`` rows, e.g. a trusted source set) get high
+    weights; resampling by them shifts the corpus mixture toward the
+    target without training a classifier.
+
+    Both LMs are restricted to the corpus's ``head_size`` most frequent
+    tokens (ties broken lexicographically) with Laplace +1 smoothing
+    over that shared vocabulary; out-of-head tokens contribute nothing
+    (their smoothed target/background ratio is ~1 by construction at
+    the tail, and skipping them keeps the join map-side). The paper
+    hashes n-grams into a fixed-width table for the same reason — a
+    bounded vocabulary makes the LM a broadcastable constant.
+
+    Scale shape: one tokenize+explode pass over the corpus (narrow),
+    one global head aggregate (the only wide op, combiner-friendly),
+    then the per-token log-ratios BROADCAST — the Zipf-head discipline
+    of :func:`unigram_logprob` — and the per-doc weight is a map-side
+    broadcast join + one groupBy(id). Docs with zero head tokens drop
+    out (no evidence either way), documented and mirrored in the twin.
+
+    Returns ``(id_col, n_head_tokens, dsir_logweight)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.cast("int").alias("is_t"),
+        F.explode_outer(F.expr(_TOKS.format(t=text_col))).alias("tok"),
+    ).localCheckpoint(eager=False)  # feeds the head agg AND the scoring join
+    per_tok = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("is_t").cast("bigint").alias("c_t"),
+    )
+    head = per_tok.orderBy(F.col("c_all").desc(), F.col("tok").asc()).limit(
+        head_size
+    )
+    # totals over the HEAD vocabulary only — both LMs live on the same
+    # bounded support, so the +V smoothing denominator is shared
+    totals = head.agg(
+        F.sum("c_all").cast("double").alias("n_all"),
+        F.sum("c_t").cast("double").alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ratios = head.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v")))
+            - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_head_tokens"),
+            r4(F.sum("lr")).alias("dsir_logweight"),
+        )
+        .select(F.col("id").alias(id_col), "n_head_tokens", "dsir_logweight")
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_pred_sql: str,
+    head_size: int = 1024,
+) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS is_t,
+             unnest({toks}) AS tok
+      FROM {table}
+    ), head AS (
+      SELECT tok, COUNT(*) AS c_all, CAST(SUM(is_t) AS BIGINT) AS c_t
+      FROM toks GROUP BY 1
+      ORDER BY c_all DESC, tok ASC LIMIT {head_size}
+    ), tot AS (
+      SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+             CAST(SUM(c_t) AS DOUBLE) AS n_t,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM head
+    ), ratios AS (
+      SELECT tok,
+             ln((c_t + 1.0) / (tot.n_t + tot.v))
+               - ln((c_all + 1.0) / (tot.n_all + tot.v)) AS lr
+      FROM head CROSS JOIN tot
+    )
+    SELECT t.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_head_tokens,
+           ROUND(SUM(r.lr) + 1e-9, 4) AS dsir_logweight
+    FROM toks t JOIN ratios r USING (tok)
+    GROUP BY t.id
+    """

@@ -935,3 +935,92 @@ def scd2_apply(existing: DataFrame, changes: DataFrame) -> DataFrame:
         )
     )
     return untouched.unionByName(closed_pass).unionByName(closing).unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity matching (record linkage)
+# ---------------------------------------------------------------------------
+
+
+def blocked_fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 12,
+) -> DataFrame:
+    """Record linkage with blocking: candidate pairs are generated ONLY
+    inside equal blocking-key groups (an equi-join, never a cross join),
+    scored by Levenshtein edit distance JVM-side, and resolved to the
+    best match per left entity (lowest distance, ties to lowest right
+    id).
+
+    The blocking key is the scalability contract — linkage is inherently
+    all-pairs WITHIN a block (|L_b|x|R_b| candidates), so production keys
+    must bound block cardinality (multi-pass over several cheap keys is
+    the standard recall fix, cf. the Fellegi-Sunter / Dedupe literature).
+    The operator itself is a plain shuffle equi-join on the key, so a
+    well-chosen key scales to any corpus; a degenerate key (one giant
+    block) degrades to the quadratic the caller asked for.
+
+    Returns ``(left_id, right_id, dist)`` for the best match per left
+    row with distance <= max_dist.
+    """
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_text).alias("__ltxt"),
+        *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(block_cols)],
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_text).alias("__rtxt"),
+        *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(block_cols)],
+    )
+    keys = [f"__bk{i}" for i in range(len(block_cols))]
+    pairs = (
+        l.join(r, on=keys)
+        .withColumn("dist", F.levenshtein(F.col("__ltxt"), F.col("__rtxt")))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col("dist").asc(), F.col("__rid").asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+def blocked_fuzzy_match_sql(
+    left_table: str,
+    right_table: str,
+    block_cols_l: list[str],
+    block_cols_r: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 12,
+) -> str:
+    on = " AND ".join(
+        f"l.{a} = r.{b}" for a, b in zip(block_cols_l, block_cols_r)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT l.{left_id} AS lid, r.{right_id} AS rid,
+             levenshtein(l.{left_text}, r.{right_text}) AS dist
+      FROM {left_table} l JOIN {right_table} r ON {on}
+    ), ranked AS (
+      SELECT lid, rid, dist,
+             ROW_NUMBER() OVER (PARTITION BY lid ORDER BY dist ASC, rid ASC) AS rn
+      FROM pairs WHERE dist <= {max_dist}
+    )
+    SELECT lid AS {left_id}, rid AS {right_id}, CAST(dist AS INTEGER) AS dist
+    FROM ranked WHERE rn = 1
+    """

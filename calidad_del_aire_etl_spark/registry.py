@@ -3320,3 +3320,51 @@ def q_quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     scored = text.quality_score(docs, "text")
     return text.score_auc(scored, "quality_score", F.col("lang") == "en")
+
+
+@register(
+    "er_blocked_match",
+    general.blocked_fuzzy_match_sql(
+        "customer", "supplier",
+        ["c_nationkey"], ["s_nationkey"],
+        "c_custkey", "s_suppkey", "c_name", "s_name",
+        max_dist=12,
+    ),
+)
+def q_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #24b — blocked fuzzy entity matching (record linkage):
+    customers linked to same-nation suppliers by Levenshtein distance,
+    best match per customer. Candidate pairs exist only inside the
+    blocking-key equi-join — the operator never cross-joins, and the
+    block key is the caller's cardinality contract (see
+    operators/general.py:blocked_fuzzy_match)."""
+    cust = load(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "__nk")
+    supp = load(spark, sf_dir, "supplier").withColumnRenamed("s_nationkey", "__nk")
+    return general.blocked_fuzzy_match(
+        cust, supp, ["__nk"],
+        "c_custkey", "s_suppkey", "c_name", "s_name", max_dist=12,
+    )
+
+
+@register(
+    "corpus_dsir_weights",
+    corpus.dsir_weights_sql(
+        "documents", "doc_id", "text",
+        "source IN ('src0','src1','src2','src3')",
+        head_size=1024,
+    ),
+)
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49c — DSIR importance weights (Xie et al. 2023): score
+    every document by log p_target / p_background under two Zipf-head
+    bag-of-words LMs, target = the trusted source set; resampling by
+    exp(weight) shifts the corpus mixture toward the target domain
+    without training a classifier. One explode pass + one head
+    aggregate; the LM ratio table broadcasts (operators/corpus.py:
+    dsir_weights)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.dsir_weights(
+        docs, "doc_id", "text",
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        head_size=1024,
+    )
