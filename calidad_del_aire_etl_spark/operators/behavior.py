@@ -207,36 +207,72 @@ def basket_affinity(
     (n_ab · N) / (n_a · n_b) — the classic association signal
     (lift > 1: bought together more than chance).
 
-    Scale shape: the pair self-join is keyed on the ORDER — fan-out is
-    bounded by basket size (TPC-H orders hold ≤ 7 lines), so the
-    quadratic term is per-basket-size², never corpus-wide. Counts are
-    map-side partially aggregated; the scalar N rides in via a 1-row
-    broadcast crossJoin (the codebook pattern); top-N is a TakeOrdered,
-    not a global sort.
+    Scale shape: ONE fact shuffle. Baskets are built by
+    ``collect_set(l_partkey)`` per order (map-side partial sets, fan-out
+    bounded by basket size — TPC-H orders hold ≤ 7 lines), then the a<b
+    pairs are expanded JVM-side from the sorted array with a
+    transform/slice expression — no distinct, no self-join, no second
+    pass over the fact. The quadratic term stays per-basket-size²,
+    never corpus-wide; pair/part counts are map-side partially
+    aggregated off the tiny checkpointed basket relation; the scalar N
+    rides in via a 1-row broadcast crossJoin (the codebook pattern);
+    top-N is a TakeOrdered, not a global sort.
     """
-    # four consumers (order count, part counts, both self-join sides) —
-    # lazy checkpoint so the distinct runs once and the plan stays flat
+    # three consumers (order count, part counts, pair expansion) — lazy
+    # checkpoint so the basket shuffle runs once and the plan stays flat.
+    # repartition(ok) BEFORE the groupBy makes the shuffle carry raw
+    # narrow rows and the set build run once reduce-side: with ~basket
+    # many groups per task, mapper-side partial collect_set is pure
+    # overhead (measured 2.4 s → 1.3 s at sf1 dropping it), and the
+    # explicit hash clustering is exactly what the aggregate needs, so
+    # Catalyst plans a single complete-mode ObjectHashAggregate.
     basket = (
         lineitem.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
-        .distinct()
+        .repartition("ok")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+    )
+    # Fuse all three counts into ONE exploded bigint stream + ONE
+    # aggregation: per basket emit a -1 order marker, the diagonal
+    # pk<<32|pk part markers (slice from i+1 includes x itself), and the
+    # strict a<b pairs. Pair keys are mostly unique at scale (map-side
+    # combine can't compress them), so one bigint per row is the
+    # narrowest possible shuffle; survivors are decoded after the
+    # support filter. The checkpoint sits on the SMALL counts relation
+    # (≈ distinct pairs), so its three consumers pay filters, not jobs.
+    counts = (
+        basket.select(
+            F.explode(
+                F.expr(
+                    "concat(array(-1L), flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 1, size(ps)),"
+                    " y -> shiftleft(x, 32) + y))))"
+                )
+            ).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)
     )
-    n_orders = basket.select("ok").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_orders")
+    hi, lo = F.shiftright("k", 32), F.col("k") % F.lit(2**32)
+    n_orders = counts.filter(F.col("k") == -1).select(
+        F.col("n").cast("double").alias("n_orders")
     )
-    part_n = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
-    a, b = basket.alias("a"), basket.alias("b")
-    pair_n = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= min_support)
+    part_n = counts.filter((F.col("k") >= 0) & (hi == lo)).select(
+        hi.alias("pk"), F.col("n").alias("n_part")
     )
+    pair_n = counts.filter(
+        (F.col("k") >= 0) & (hi < lo) & (F.col("n") >= min_support)
+    ).select(hi.alias("pa"), lo.alias("pb"), F.col("n").alias("n_ab"))
     scored = (
-        pair_n.join(part_n.select(F.col("pk").alias("pa"), F.col("n_part").alias("na")), "pa")
-        .join(part_n.select(F.col("pk").alias("pb"), F.col("n_part").alias("nb")), "pb")
+        pair_n.join(
+            F.broadcast(part_n.select(F.col("pk").alias("pa"), F.col("n_part").alias("na"))), "pa"
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("pk").alias("pb"), F.col("n_part").alias("nb"))), "pb"
+        )
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa",

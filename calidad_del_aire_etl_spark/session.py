@@ -42,6 +42,13 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
+        # ObjectHashAggregate (collect_set/collect_list paths) falls back
+        # to sort-based aggregation after only 128 in-memory keys by
+        # default — a per-task re-sort on every basket/array build. Group
+        # state here is tiny (bounded arrays), and shuffle.partitions /
+        # maxPartitionBytes sizing keeps per-task group cardinality well
+        # under this cap at the target SF, so hash all the way.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
