@@ -143,6 +143,10 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)
 
+# keys of the external 50-key window set aside for re-checking the
+# stalest previously-sampled queries (see _ordered_specs)
+_REFRESH_SLICE = 5
+
 
 def _ordered_specs() -> list[QuerySpec]:
     # Never-driver-sampled queries first (oracle-backed before rows-only)
@@ -151,10 +155,27 @@ def _ordered_specs() -> list[QuerySpec]:
     # stalest end once fresh keys run out.
     fresh_oracle = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is not None]
     fresh_rows_only = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is None]
-    seen: list[QuerySpec] = []
-    for sampled in _DRIVER_SAMPLED_BY_ROUND:
-        seen.extend(s for s in _SPECS if s.name in sampled)
-    return fresh_oracle + fresh_rows_only + seen
+    # stalest-first: a key re-sampled in a later round is attributed to
+    # that round, so the refresh slice below rotates instead of pinning
+    # the same few keys forever
+    last_round: dict[str, int] = {}
+    for rnd, sampled in enumerate(_DRIVER_SAMPLED_BY_ROUND):
+        for name in sampled:
+            last_round[name] = rnd
+    seen = sorted(
+        (s for s in _SPECS if s.name in last_round),
+        key=lambda s: last_round[s.name],
+    )
+    # Reserve a slice of the 50-key external window for the STALEST
+    # already-sampled keys, so external evidence on old queries keeps
+    # refreshing every round instead of only after the fresh pool runs
+    # dry — a regression in a round-1 query would otherwise be visible
+    # only to the in-repo oracle sweep until round 7+ (ADVICE r5).
+    refresh = seen[:_REFRESH_SLICE]
+    rest = seen[_REFRESH_SLICE:]
+    fresh = fresh_oracle + fresh_rows_only
+    window_fresh = fresh[: max(0, 50 - len(refresh))]
+    return window_fresh + refresh + fresh[max(0, 50 - len(refresh)):] + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
