@@ -745,10 +745,15 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(F.expr(_TOKS.format(t=text_col))).alias("tok"),
+    # NULL text explodes to a NULL-token row (DuckDB's unnest emits
+    # nothing) — drop it ABOVE the generate so the token stream matches
+    # the twin without InferFiltersFromGenerate re-evaluating the split
+    # expression below the scan (the dedup.py:138 pushdown trap)
+    ).where(F.col("tok").isNotNull())
     # three consumers (freq aggregate, head hit, tail hit) — checkpoint
     # so the corpus tokenize+explode runs once, not per consumer (the
     # same multi-consumer discipline as guarded_shingles/sentence_dedup)
-    ).localCheckpoint(eager=False)
+    toks = toks.localCheckpoint(eager=False)
     freq = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c")
     ).localCheckpoint(eager=False)  # feeds head, tail_freq, and total
@@ -1039,7 +1044,13 @@ def dsir_weights(
         F.col(id_col).alias("id"),
         target_pred.cast("int").alias("is_t"),
         F.explode_outer(F.expr(_TOKS.format(t=text_col))).alias("tok"),
-    ).localCheckpoint(eager=False)  # feeds the head agg AND the scoring join
+    # NULL text → NULL-token row under explode_outer, which could claim
+    # a head-vocabulary slot and skew the shared Laplace totals while
+    # DuckDB's unnest emits nothing (ADVICE r6) — filter above the
+    # generate, matching unigram_logprob
+    ).where(F.col("tok").isNotNull()).localCheckpoint(
+        eager=False
+    )  # feeds the head agg AND the scoring join
     per_tok = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c_all"),
         F.sum("is_t").cast("bigint").alias("c_t"),

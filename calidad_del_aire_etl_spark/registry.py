@@ -139,6 +139,26 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
         "tpch_q13_custdist", "tpch_q20_excess", "tpch_q21_waiting",
         "tpch_q2_min_cost", "tpch_q9_profit", "user_feature_matrix",
     }),
+    # round 6 (50 keys, from CORRECTNESS_r06.json)
+    frozenset({
+        "cogroup_align_events", "cohort_retention", "column_profile",
+        "corpus_chunk_docs", "corpus_contamination", "corpus_dsir_weights",
+        "corpus_dup_spans", "corpus_mixture_sample", "corpus_ngram_topk",
+        "corpus_pack_sequences", "corpus_pii_scrub",
+        "corpus_repetition_filter", "corpus_stratified_sample",
+        "cube_type_dow", "cumulative_distinct_users", "dash_rolling_median",
+        "ema_per_user", "embed_kmeans", "er_blocked_match", "etl_aqi",
+        "etl_category", "etl_dedup_exact", "etl_interpolate", "etl_locf_fill",
+        "etl_outlier_iqr", "etl_resample_15min", "etl_sensor_gaps",
+        "event_transition_matrix", "expectations_report",
+        "geo_nearest_station", "graph_pagerank", "grouping_sets_profile",
+        "hour_dow_heatmap", "json_props_stats", "mm_frame_sample",
+        "mode_per_user", "psi_drift", "rfm_segments", "sample_n_per_user",
+        "scd2_point_in_time", "semi_anti_activity", "sql_interface",
+        "text_char_entropy", "text_tfidf_topk", "time_weighted_avg",
+        "topn_with_others", "unpivot_daily_metrics", "value_deciles",
+        "value_histogram", "winsorize_profile",
+    }),
 ]
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)

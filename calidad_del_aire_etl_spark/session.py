@@ -44,11 +44,15 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         )
         # ObjectHashAggregate (collect_set/collect_list paths) falls back
         # to sort-based aggregation after only 128 in-memory keys by
-        # default — a per-task re-sort on every basket/array build. Group
-        # state here is tiny (bounded arrays), and shuffle.partitions /
-        # maxPartitionBytes sizing keeps per-task group cardinality well
-        # under this cap at the target SF, so hash all the way.
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+        # default — a per-task re-sort on every basket/array build. Raise
+        # it to a BOUNDED budget, not "effectively never" (ADVICE r6: a
+        # 4M cap × a few hundred bytes of array state ≈ 1 GB+/task on a
+        # skewed key — trades spill safety for OOM). 262144 states ×
+        # ~256 B bounded-array state ≈ 64 MB/task worst case, covers the
+        # per-task group cardinality at every tested SF (sf1: ~1.5M
+        # orders / 32 tasks ≈ 47k groups) with 5× headroom, and still
+        # leaves the sort-based fallback live for genuinely hot keys.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

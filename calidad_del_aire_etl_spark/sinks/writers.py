@@ -393,19 +393,36 @@ class CommitConflictError(RuntimeError):
     was about to publish; raised only after ``max_retries`` rebases."""
 
 
+def _vanished_file_race(e: Exception) -> bool:
+    """True iff ``e`` is Spark failing to read a file that a concurrent
+    VACUUM retired mid-job (FAILED_READ_FILE / FileNotFoundException).
+    A rebasing writer treats this exactly like a commit conflict: the
+    snapshot it was reading is gone because a newer one exists, so
+    re-resolving ``latest_version`` and retrying reads files vacuum is
+    guaranteed to retain (``keep_last >= 1``). Narrow on message text —
+    py4j wraps the Java exception chain into the str."""
+    msg = str(e)
+    return "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
+
+
 # Test-only injection point: invoked once immediately before the atomic
 # publish rename, letting a pytest deterministically interleave a
 # competing writer into the read→compute→commit window.
 _test_pre_publish_hook = None
 
 
-def _strip_file_scheme(p: str) -> str | None:
-    """Local-filesystem path for ``p``, or None if it's a remote URI."""
-    if "://" in p:
-        return None  # hdfs://, s3a://, ... — not a local path
+def _strip_file_scheme(spark, p: str) -> str | None:
+    """Local-filesystem path for ``p``, or None if it resolves to a
+    remote filesystem. Scheme-less paths inherit ``fs.defaultFS`` (a
+    bare ``/warehouse/t`` on a defaultFS=hdfs cluster is an HDFS path,
+    not a local one — assuming local would silently take the POSIX
+    rename branch against the wrong filesystem)."""
     if p.startswith("file:"):
         return p[len("file:"):] or "/"
-    return p
+    if "://" in p:
+        return None  # hdfs://, s3a://, ... — explicit remote URI
+    default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+    return p if default_fs.startswith("file:") else None
 
 
 def _atomic_publish(spark, staged_dir: str, final_dir: str) -> bool:
@@ -418,14 +435,20 @@ def _atomic_publish(spark, staged_dir: str, final_dir: str) -> bool:
     Local FS: ``os.rename`` — POSIX rename(2) of a directory onto an
     existing non-empty directory fails with ENOTEMPTY, which is exactly
     the atomic test-and-set needed (manifest dirs are never empty).
-    Remote FS: Hadoop ``FileSystem.rename``, whose contract returns
-    False when the destination exists (atomic on HDFS; object stores
-    without atomic rename need a LogStore-style service — documented
-    limitation, same as open-source Delta's)."""
+    Remote FS: ``FileContext.rename(src, dst, Options.Rename.NONE)``,
+    which raises ``FileAlreadyExistsException`` when the destination
+    exists — the same primitive Delta's HDFSLogStore commits through.
+    ``FileSystem.rename`` is NOT usable here: for an existing dst
+    *directory* HDFS moves src UNDER dst (mv semantics) and returns
+    true, so a losing writer would nest its manifest inside the
+    winner's and report success (object stores without atomic rename
+    still need a LogStore-style service — documented limitation, same
+    as open-source Delta's)."""
     import errno
     import os
 
-    src_local, dst_local = _strip_file_scheme(staged_dir), _strip_file_scheme(final_dir)
+    src_local = _strip_file_scheme(spark, staged_dir)
+    dst_local = _strip_file_scheme(spark, final_dir)
     if src_local is not None and dst_local is not None:
         try:
             os.rename(src_local, dst_local)
@@ -434,16 +457,27 @@ def _atomic_publish(spark, staged_dir: str, final_dir: str) -> bool:
             if e.errno in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
                 return False
             raise
+    from py4j.protocol import Py4JJavaError
+
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(final_dir).getFileSystem(
-        spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(staged_dir)
+    dst = jvm.org.apache.hadoop.fs.Path(final_dir)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri(), spark._jsc.hadoopConfiguration()
     )
-    return bool(
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(staged_dir),
-            jvm.org.apache.hadoop.fs.Path(final_dir),
-        )
-    )
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.valueOf("NONE")
+    try:
+        fc.rename(src, dst, opts)
+        return True
+    except Py4JJavaError as e:
+        j = e.java_exception
+        while j is not None:
+            if "FileAlreadyExistsException" in j.getClass().getName():
+                return False
+            j = j.getCause()
+        raise
 
 
 def _delete_dir(spark, path: str) -> None:
@@ -630,31 +664,40 @@ def merge_versioned_parquet(
                 return 0
             _delete_dir(spark, commit_dir)
             continue
-        files = [
-            r["file"]
-            for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
-        ]
-        keys = updates.select(*key_cols).distinct()
-        if broadcast_keys:
-            keys = F.broadcast(keys)
-        tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-        affected = sorted(
-            r["__file"]
-            for r in tagged.join(keys, key_cols, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        aff = set(affected)
-        untouched = [f for f in files if f not in aff]
-        if affected:
-            survivors = spark.read.parquet(*affected).join(
-                keys, key_cols, "left_anti"
+        try:
+            files = [
+                r["file"]
+                for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+            ]
+            keys = updates.select(*key_cols).distinct()
+            if broadcast_keys:
+                keys = F.broadcast(keys)
+            tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+            affected = sorted(
+                r["__file"]
+                for r in tagged.join(keys, key_cols, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
             )
-            merged = survivors.unionByName(updates)
-        else:
-            merged = updates
-        merged.write.mode("error").parquet(commit_dir)
+            aff = set(affected)
+            untouched = [f for f in files if f not in aff]
+            if affected:
+                survivors = spark.read.parquet(*affected).join(
+                    keys, key_cols, "left_anti"
+                )
+                merged = survivors.unionByName(updates)
+            else:
+                merged = updates
+            merged.write.mode("error").parquet(commit_dir)
+        except Exception as e:
+            # A concurrent vacuum retired this snapshot's files mid-read
+            # (possible only when a newer snapshot exists) — a lost race
+            # in all but name: clean up and rebase on the new latest.
+            if not _vanished_file_race(e):
+                raise
+            _delete_dir(spark, commit_dir)
+            continue
         new_files = sorted(
             r["f"]
             for r in spark.read.parquet(commit_dir)
@@ -671,7 +714,7 @@ def merge_versioned_parquet(
 
 
 def vacuum_versioned_parquet(
-    spark, path: str, keep_last: int = 1, stale_tmp_seconds: int = 3600
+    spark, path: str, keep_last: int = 1, stale_tmp_seconds: int = 7 * 24 * 3600
 ) -> int:
     """VACUUM for the versioned table: drop snapshot manifests older
     than the last ``keep_last`` versions, then physically delete every
@@ -689,7 +732,13 @@ def vacuum_versioned_parquet(
     retains, and a lost-race writer cleans its own staging. Staging dirs
     (``_snapshots/.tmp-*``) from CRASHED writers are swept only after
     ``stale_tmp_seconds`` so an in-flight commit's staging is never
-    yanked mid-publish. Time-travel READERS of versions older than
+    yanked mid-publish. The same window shields not-yet-referenced DATA
+    files of in-flight writers, so ``stale_tmp_seconds`` MUST exceed the
+    maximum plausible writer wall time (stall between writing data and
+    publishing the manifest included) — hence the 7-day default, the
+    same retention Delta applies to uncommitted files; lowering it is a
+    test/ops escape hatch, not a tuning knob. Time-travel READERS of
+    versions older than
     ``keep_last`` race vacuum by definition (same as Delta/Iceberg
     retention): pin ``keep_last`` above the oldest version any reader
     still holds."""
@@ -737,6 +786,13 @@ def vacuum_versioned_parquet(
     expired_refs: set[str] = set()
     for st in fs.listStatus(snap_root):
         name = st.getPath().getName()
+        if name.startswith("v=") and int(name.split("=", 1)[1]) > current:
+            # Published AFTER this vacuum resolved latest_version — a
+            # concurrent writer's brand-new snapshot, NOT an expired
+            # one. Treating it as expired deleted the newest manifest
+            # and let three racing writers all "win" the same version
+            # number (caught by the r7 merge+vacuum chaos test).
+            continue
         if name.startswith("v=") and int(name.split("=", 1)[1]) not in keep:
             # Record the expired manifest's file list BEFORE deleting it:
             # a file referenced only by expired versions is known-committed
@@ -775,7 +831,13 @@ def vacuum_versioned_parquet(
                 else:
                     fs.delete(st.getPath(), False)
                     deleted += 1
-            if not live and swept_all:
+            # The dir-level sweep must respect the retention window too:
+            # an IN-FLIGHT writer's commit dir holds only _temporary/
+            # task files (zero top-level .parquet), which reads as
+            # not-live + swept_all — deleting it would yank the write
+            # out from under the writer (caught by the r7 merge+vacuum
+            # chaos test). Only reap dirs older than the window.
+            if not live and swept_all and not fresh:
                 fs.delete(commit.getPath(), True)
     return deleted
 
@@ -806,36 +868,44 @@ def delete_versioned_parquet(
         current = latest_version(spark, path)
         if current is None:
             raise ValueError(f"no snapshots at {path}")
-        files = [
-            r["file"]
-            for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
-        ]
-        kd = keys.select(*key_cols).distinct()
-        if broadcast_keys:
-            kd = F.broadcast(kd)
-        tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-        affected = sorted(
-            r["__file"]
-            for r in tagged.join(kd, key_cols, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        aff = set(affected)
-        untouched = [f for f in files if f not in aff]
-        new_files: list[str] = []
         commit_dir = None
-        if affected:
-            survivors = spark.read.parquet(*affected).join(kd, key_cols, "left_anti")
-            commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
-            survivors.write.mode("error").parquet(commit_dir)
-            new_files = sorted(
-                r["f"]
-                for r in spark.read.parquet(commit_dir)
-                .select(F.input_file_name().alias("f"))
+        try:
+            files = [
+                r["file"]
+                for r in spark.read.parquet(f"{path}/_snapshots/v={current}").collect()
+            ]
+            kd = keys.select(*key_cols).distinct()
+            if broadcast_keys:
+                kd = F.broadcast(kd)
+            tagged = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+            affected = sorted(
+                r["__file"]
+                for r in tagged.join(kd, key_cols, "left_semi")
+                .select("__file")
                 .distinct()
                 .collect()
             )
+            aff = set(affected)
+            untouched = [f for f in files if f not in aff]
+            new_files: list[str] = []
+            if affected:
+                survivors = spark.read.parquet(*affected).join(kd, key_cols, "left_anti")
+                commit_dir = f"{path}/data/c-{_uuid.uuid4().hex[:12]}"
+                survivors.write.mode("error").parquet(commit_dir)
+                new_files = sorted(
+                    r["f"]
+                    for r in spark.read.parquet(commit_dir)
+                    .select(F.input_file_name().alias("f"))
+                    .distinct()
+                    .collect()
+                )
+        except Exception as e:
+            # vacuum retired the snapshot mid-read (see merge) → rebase
+            if not _vanished_file_race(e):
+                raise
+            if commit_dir is not None:
+                _delete_dir(spark, commit_dir)
+            continue
         if _commit_snapshot(spark, path, current + 1, untouched + new_files):
             return current + 1
         if commit_dir is not None:

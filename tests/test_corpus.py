@@ -215,3 +215,31 @@ def test_sentence_dedup_strips_planted_boilerplate_keeps_order(spark):
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
     assert out[4]["clean_text"] == "Epsilon stands alone"
     assert all(r["n_sentences"] - r["n_removed"] >= 0 for r in out.values())
+
+
+def test_null_text_matches_duckdb_twin_for_lm_scores(spark, tmp_path):
+    """NULL text under explode_outer used to emit a NULL-token row that
+    DuckDB's unnest never produces — it could claim a head-vocabulary
+    slot and shift the shared Laplace totals (ADVICE r6). Parity-check
+    unigram_logprob and dsir_weights against their committed twins on a
+    corpus that CONTAINS NULL-text documents."""
+    import pandas as pd
+
+    from calidad_del_aire_etl_spark import oracle, registry
+
+    rows = [
+        (i, None if i % 5 == 0 else f"alpha beta {'gamma ' * (i % 3)}tok{i}",
+         "es", f"src{i % 7}", 20)
+        for i in range(40)
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    q = registry.queries()
+    o = registry.oracle_sql()
+    con = oracle.duck_connection(str(tmp_path))
+    for key in ("corpus_unigram_logprob", "corpus_dsir_weights"):
+        n, problems = oracle.compare_query(spark, con, q[key], o[key], str(tmp_path))
+        assert problems == [], f"{key}: {problems}"
+        assert 0 < n < 40  # NULL-text docs drop out on BOTH engines
