@@ -135,11 +135,21 @@ HEADLINE = [
     # round-6 additions
     "er_blocked_match",
     "corpus_dsir_weights",
+    # round-7 additions
+    "snapshot_diff_orders",
+    "data_skew_report",
+    "text_zipf_fit",
+    "open_order_backlog",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Record machine load going in (r6 VERDICT #8): the shared host's
+    # intermittent external load inflates suite totals ~±10-20%; a
+    # committed loadavg makes a noisy run self-describing instead of
+    # reading as a code regression.
+    loadavg_start = round(os.getloadavg()[0], 2)
     from calidad_del_aire_etl_spark import registry
     from calidad_del_aire_etl_spark.session import get_session
 
@@ -208,6 +218,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     # subset runs (SPARK_GRAFT_QUERIES) get their own detail file — they
     # must not overwrite the full-suite record a prior summary line's
@@ -228,6 +240,7 @@ def main() -> None:
         "sf": detail["sf"],
         "n_queries": len(timings),
         "detail": detail_name,
+        "loadavg_start": loadavg_start,
     }
     sys.stdout.flush()
     print(json.dumps(summary))

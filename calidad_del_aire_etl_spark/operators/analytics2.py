@@ -1298,3 +1298,72 @@ def user_feature_matrix_sql() -> str:
     GROUP BY user_id
     ORDER BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# #31j open-order backlog time series (event-sourcing cumulative balance)
+# ---------------------------------------------------------------------------
+
+
+def open_order_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Daily backlog of open orders: an order opens on ``o_orderdate``
+    and closes on its LAST line shipment (max ``l_shipdate``); backlog
+    on day d = cumulative opens − cumulative closes through d. The
+    open-balance series every fulfilment/ops dashboard carries, and the
+    canonical event-sourcing fold (balance = Σ credits − Σ debits).
+
+    Plan: the one table-sized step is the per-order max-shipdate
+    aggregate (map-side combined, shuffles distinct orderkeys); both
+    daily count series then live at calendar grain (thousands of rows
+    at ANY corpus size), so the full-outer date align and the running-
+    sum window — a single-partition window, bounded by the calendar,
+    documented like dash_kpis' 1-row crossJoin — cost nothing. At
+    100 TB the only knob that matters is the orderkey aggregate, which
+    AQE sizes like any other groupBy.
+    """
+    opens = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closes = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_d"))
+        .groupBy(F.col("close_d").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    cal = opens.join(closes, on="d", how="full_outer").select(
+        "d",
+        F.coalesce("n_opened", F.lit(0)).cast("bigint").alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cal.select(
+        F.col("d").cast("string").alias("date"),
+        "n_opened",
+        "n_closed",
+        (F.sum("n_opened").over(w) - F.sum("n_closed").over(w))
+        .cast("bigint")
+        .alias("backlog"),
+    )
+
+
+def open_order_backlog_sql() -> str:
+    return """
+    WITH closes_per_order AS (
+      SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_d
+      FROM lineitem GROUP BY 1
+    ), closes AS (
+      SELECT close_d AS d, COUNT(*) AS n_closed FROM closes_per_order GROUP BY 1
+    ), opens AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_opened
+      FROM orders GROUP BY 1
+    ), cal AS (
+      SELECT COALESCE(o.d, c.d) AS d,
+             CAST(COALESCE(o.n_opened, 0) AS BIGINT) AS n_opened,
+             CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed
+      FROM opens o FULL OUTER JOIN closes c ON o.d = c.d
+    )
+    SELECT CAST(d AS VARCHAR) AS date, n_opened, n_closed,
+           CAST(SUM(n_opened) OVER w - SUM(n_closed) OVER w AS BIGINT) AS backlog
+    FROM cal
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

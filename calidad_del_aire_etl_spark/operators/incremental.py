@@ -53,3 +53,102 @@ def incremental_daily_update(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return [r["date"] for r in summary.select("date").distinct().collect()]
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style table comparison)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two table snapshots: which rows were added, deleted,
+    or changed (and how) between versions — the audit/reconciliation pass
+    behind any CDC pipeline, versioned-table VACUUM review, or backfill
+    validation (the check the reference's load step trusts blindly,
+    dag:287-359).
+
+    Output: ``key_cols…, change_type ∈ {added, deleted, changed},
+    old_<c>, new_<c>`` for each compare column; unchanged rows are
+    dropped (they're the overwhelming majority at scale, so the result
+    is change-sized, not table-sized).
+
+    Plan: ONE full outer sort-merge join on the keys — each side
+    shuffles exactly once on the diff key. When both snapshots derive
+    from the same scan (the versioned-table case), Catalyst's
+    ReuseExchange dedupes the shuffle; when they're bucketed tables on
+    the key, the join needs no exchange at all. Change detection is a
+    null-safe column compare (``<=>``), so NULL→value and value→NULL
+    count as changes while NULL→NULL does not.
+    """
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(1).alias("__old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(1).alias("__new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    change_type = (
+        F.when(F.col("__old_present").isNull(), F.lit("added"))
+        .when(F.col("__new_present").isNull(), F.lit("deleted"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` over two snapshot subqueries."""
+    keys = ", ".join(key_cols)
+    o_keys = ", ".join(f"o.{k}" for k in key_cols)
+    n_keys = ", ".join(f"n.{k}" for k in key_cols)
+    key_out = ", ".join(
+        f"COALESCE(o.{k}, n.{k}) AS {k}" for k in key_cols
+    )
+    olds = ", ".join(f"o.{c} AS old_{c}" for c in compare_cols)
+    news = ", ".join(f"n.{c} AS new_{c}" for c in compare_cols)
+    changed = " OR ".join(
+        f"(o.{c} IS DISTINCT FROM n.{c})" for c in compare_cols
+    )
+    old_cnt = ", ".join(f"old_{c}" for c in compare_cols)
+    new_cnt = ", ".join(f"new_{c}" for c in compare_cols)
+    return f"""
+    WITH o AS ({old_sql}), n AS ({new_sql}),
+    j AS (
+      SELECT {key_out},
+             CASE WHEN o.{key_cols[0]} IS NULL THEN 'added'
+                  WHEN n.{key_cols[0]} IS NULL THEN 'deleted'
+                  WHEN {changed} THEN 'changed'
+             END AS change_type,
+             {olds}, {news}
+      FROM o FULL OUTER JOIN n
+        ON {" AND ".join(f"o.{k} = n.{k}" for k in key_cols)}
+    )
+    SELECT {keys}, change_type, {old_cnt}, {new_cnt}
+    FROM j WHERE change_type IS NOT NULL
+    """

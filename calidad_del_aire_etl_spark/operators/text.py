@@ -752,3 +752,83 @@ def score_auc_sql(scored: str, score_expr: str, label_expr: str) -> str:
       )
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# #33h Zipf-law fit per corpus slice
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(
+    df: DataFrame, group_col: str, text_col: str, top_terms: int = 1000
+) -> DataFrame:
+    """Per-slice Zipf fit: OLS slope of log(freq) vs log(rank) over each
+    slice's ``top_terms`` most frequent tokens. Natural text follows
+    Zipf's law with slope ≈ −1; machine-generated boilerplate, scraped
+    navigation chrome, and template spam bend the curve — so the slope
+    (and its R²) is a cheap corpus-health readout per source/domain,
+    used the same way as :func:`quality_score` but at slice grain
+    rather than document grain.
+
+    Output: ``{group_col}, n_terms, zipf_slope, zipf_intercept, r2``.
+
+    Plan: tokenize+explode (codegen, map-side), one combined groupBy on
+    (slice, token) — the only table-sized shuffle — then a per-slice
+    rank window over the DISTINCT-token relation (vocabulary-sized:
+    Heaps' law keeps per-slice vocab sublinear in corpus bytes, and the
+    window partitions by slice so no global sort), filter to the head,
+    and a per-slice OLS aggregate from covar/var moments. At 100 TB the
+    vocab relation is the only state and it's millions of rows, not
+    billions.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    freq = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("tok").asc())
+    head = freq.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= top_terms
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    pts = head.select("g", x.alias("x"), y.alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return (
+        pts.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            r4(slope).alias("zipf_slope"),
+            r4(F.avg("y") - slope * F.avg("x")).alias("zipf_intercept"),
+            r4(F.pow(F.corr("x", "y"), 2)).alias("r2"),
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def zipf_fit_sql(
+    table: str, group_col: str, text_col: str, top_terms: int = 1000
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS g,
+             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS tok
+      FROM {table}
+    ), freq AS (
+      SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), head AS (
+      SELECT g, c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, tok ASC) AS r
+      FROM freq
+      QUALIFY r <= {top_terms}
+    ), pts AS (
+      SELECT g, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM head
+    )
+    SELECT g AS {group_col},
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(covar_pop(x, y) / var_pop(x) + 1e-9, 4) AS zipf_slope,
+           ROUND(AVG(y) - (covar_pop(x, y) / var_pop(x)) * AVG(x) + 1e-9, 4)
+             AS zipf_intercept,
+           ROUND(POW(corr(x, y), 2) + 1e-9, 4) AS r2
+    FROM pts GROUP BY g
+    """

@@ -387,3 +387,68 @@ def inclusion_profile_sql(
            CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INTEGER) AS fk_holds
     FROM ({union})
     """
+
+
+# ---------------------------------------------------------------------------
+# #11g shuffle/join-key skew profiler
+# ---------------------------------------------------------------------------
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle/join key: the top-N
+    keys by row count with their share of the table and their multiple
+    of the mean per-key count — the diagnostic you run BEFORE deciding
+    whether a join needs salting, AQE skew splitting, or a broadcast
+    (every skew guard in the dedup family was tuned from exactly this
+    readout). ``skew_vs_avg`` ≫ 1 on the top key = a straggler reducer
+    at scale.
+
+    Plan: one map-side-combined groupBy (the shuffle carries distinct
+    keys, not rows), then a 1-row stats aggregate over the counts and a
+    TakeOrdered(top_n) — the grouped relation is lazily checkpointed so
+    the two consumers share one shuffle. The final rank window runs on
+    top_n rows. Nothing here is table-sized after the first combine.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    stats = counts.agg(
+        F.sum("cnt").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.avg("cnt").alias("__avg"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "n_keys",
+            r4(F.lit(100.0) * F.col("cnt") / F.col("__total")).alias("share_pct"),
+            r4(F.col("cnt") / F.col("__avg")).alias("skew_vs_avg"),
+        )
+    )
+
+
+def skew_report_sql(table: str, key_col: str, top_n: int = 20) -> str:
+    return f"""
+    WITH c AS (
+      SELECT {key_col} AS key, COUNT(*) AS cnt FROM {table} GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             AVG(cnt) AS avgc
+      FROM c
+    ), t AS (
+      SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT {top_n}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+           key, CAST(cnt AS BIGINT) AS cnt, n_keys,
+           ROUND(100.0 * cnt / total + 1e-9, 4) AS share_pct,
+           ROUND(cnt / avgc + 1e-9, 4) AS skew_vs_avg
+    FROM t CROSS JOIN s
+    """
