@@ -140,6 +140,11 @@ HEADLINE = [
     "data_skew_report",
     "text_zipf_fit",
     "open_order_backlog",
+    "benford_price_test",
+    "revenue_gini_by_nation",
+    "seasonal_decompose",
+    "corpus_gopher_rules",
+    "corpus_perplexity_buckets",
 ]
 
 

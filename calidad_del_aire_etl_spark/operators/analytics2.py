@@ -1367,3 +1367,150 @@ def open_order_backlog_sql() -> str:
     FROM cal
     WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+# ---------------------------------------------------------------------------
+# Concentration (Gini / Lorenz) per group
+# ---------------------------------------------------------------------------
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of ``amount_col`` over units
+    (customers, suppliers, domains) WITHIN each group — "how unequal is
+    revenue across customers in each nation", the standard market- and
+    corpus-concentration readout (a Gini near 1 on tokens-per-domain is
+    the signal to cap domains before training).
+
+    Uses the rank formula on ascending amounts:
+    ``G = 2·Σ(i·xᵢ) / (n·Σxᵢ) − (n+1)/n`` with deterministic
+    (amount, unit) ordering so ties rank identically on any engine.
+
+    Plan: the table-sized step is the per-unit amount aggregate
+    (map-side combined). The rank window then runs per GROUP over
+    unit-grain rows — at 100 TB with few groups that window is the
+    bottleneck; swap the exact rank for a fixed-bin Lorenz histogram
+    (same formula over bin midpoints) to make it partial-aggregable;
+    the exact form here is the oracle-checkable contract.
+    """
+    per_unit = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(unit_col).alias("unit")
+    ).agg(F.sum(F.col(amount_col).cast(DEC)).cast(DEC).alias("amt"))
+    w = Window.partitionBy("grp").orderBy(F.col("amt").asc(), F.col("unit").asc())
+    ranked = per_unit.select(
+        "grp", "amt", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum("amt").cast(DEC).alias("total_amount"),
+            F.sum(F.col("i") * F.col("amt").cast("double")).alias("__iw"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_units",
+            F.col("total_amount").cast("double").alias("total_amount"),
+            r4(
+                F.lit(2.0) * F.col("__iw")
+                / (F.col("n_units") * F.col("total_amount").cast("double"))
+                - (F.col("n_units") + F.lit(1.0)) / F.col("n_units")
+            ).alias("gini"),
+        )
+    )
+
+
+def gini_by_group_sql(
+    table: str, group_col: str, unit_col: str, amount_col: str
+) -> str:
+    return f"""
+    WITH per_unit AS (
+      SELECT {group_col} AS grp, {unit_col} AS unit,
+             CAST(SUM(CAST({amount_col} AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amt
+      FROM {table} GROUP BY 1, 2
+    ), ranked AS (
+      SELECT grp, amt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY amt, unit)
+                  AS BIGINT) AS i
+      FROM per_unit
+    )
+    SELECT grp AS {group_col},
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(CAST(SUM(amt) AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+           ROUND(2.0 * SUM(i * CAST(amt AS DOUBLE))
+                   / (COUNT(*) * CAST(CAST(SUM(amt) AS DECIMAL(18,2)) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*) + 1e-9, 4) AS gini
+    FROM ranked GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical additive decomposition of the per-type hourly series:
+    ``trend`` = centered (2·half_window+1)-hour moving average,
+    ``seasonal`` = per-(type, hour-of-day) mean of the detrended
+    series, ``resid`` = what's left. The sanity readout behind every
+    seasonal-anomaly rule (seasonal_anomaly flags against exactly this
+    hour-of-day profile).
+
+    Plan: ONE table-sized aggregate (to hourly grain, map-side
+    combined); every window after it runs on the bounded hourly series
+    (24·365·types rows per year regardless of SF), partitioned by type —
+    series post-aggregation cost is calendar-bounded, so the operator
+    stays scan-bound at 100 TB.
+    """
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    w_trend = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-half_window, half_window)
+    )
+    with_trend = hourly.withColumn("trend", F.avg("v").over(w_trend)).withColumn(
+        "det", F.col("v") - F.col("trend")
+    )
+    w_seas = Window.partitionBy("event_type", F.hour("hr"))
+    out = with_trend.withColumn("seasonal", F.avg("det").over(w_seas))
+    return out.select(
+        "event_type",
+        F.col("hr").cast("string").alias("hr"),
+        r4(F.col("v")).alias("value"),
+        r4(F.col("trend")).alias("trend"),
+        r4(F.col("seasonal")).alias("seasonal"),
+        r4(F.col("det") - F.col("seasonal")).alias("resid"),
+    )
+
+
+def seasonal_decompose_sql(half_window: int = 12) -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT *, AVG(v) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN {half_window} PRECEDING AND {half_window} FOLLOWING
+             ) AS trend
+      FROM hourly
+    ), det AS (SELECT *, v - trend AS d FROM tr)
+    SELECT event_type, CAST(hr AS VARCHAR) AS hr,
+           ROUND(v + 1e-9, 4) AS value,
+           ROUND(trend + 1e-9, 4) AS trend,
+           ROUND(AVG(d) OVER (PARTITION BY event_type, HOUR(hr)) + 1e-9, 4)
+             AS seasonal,
+           ROUND(d - AVG(d) OVER (PARTITION BY event_type, HOUR(hr)) + 1e-9, 4)
+             AS resid
+    FROM det
+    """

@@ -1118,3 +1118,222 @@ def dsir_weights_sql(
     FROM toks t JOIN ratios r USING (tok)
     GROUP BY t.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-source pass rates under the Gopher document-quality rules
+    (Rae et al. 2021): word count in [min_words, max_words], mean word
+    length in [3, 10], symbol-to-word ratio ('#' or ellipsis) ≤ 0.1,
+    < 90 % of lines bullet-started, ≤ 30 % ellipsis-ended, ≥ 80 % of
+    words containing an alphabetic character, and ≥ 2 distinct stop
+    words present. The de-facto standard pre-filter for web-scale LLM
+    corpora; the per-rule fail counts are the tuning readout (which
+    rule is doing the cutting per source).
+
+    Plan: every rule is a JVM higher-order-function expression over the
+    split arrays — no UDF, no explode, no shuffle of text. The only
+    exchange carries one row per source (map-side combined), so the
+    operator is scan-bound at any corpus size.
+    """
+    ws = f"split(lower(trim({text_col})), '\\\\s+')"
+    lines = f"split({text_col}, '\\n')"
+    n_words = f"size({ws})"
+    mean_wl = f"aggregate({ws}, 0L, (a, w) -> a + length(w)) / cast({n_words} as double)"
+    n_sym = (
+        f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+        f" + cast((length({text_col}) - length(replace({text_col}, '...', ''))) / 3 as bigint)"
+        f" + (length({text_col}) - length(replace({text_col}, '…', '')))"
+    )
+    bullet_frac = (
+        f"size(filter({lines}, l -> ltrim(l) rlike '^[-*•]'))"
+        f" / cast(size({lines}) as double)"
+    )
+    ellipsis_frac = (
+        f"size(filter({lines}, l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))"
+        f" / cast(size({lines}) as double)"
+    )
+    alpha_frac = (
+        f"size(filter({ws}, w -> w rlike '[a-z]')) / cast({n_words} as double)"
+    )
+    n_stop = " + ".join(
+        f"cast(array_contains({ws}, '{s}') as int)" for s in _GOPHER_STOPWORDS
+    )
+    fails = {
+        "fail_word_count": f"({n_words} < {min_words} OR {n_words} > {max_words})",
+        "fail_mean_word_len": f"({mean_wl} < 3.0 OR {mean_wl} > 10.0)",
+        "fail_symbol_ratio": f"({n_sym} / cast({n_words} as double) > 0.1)",
+        "fail_bullet_lines": f"({bullet_frac} > 0.9)",
+        "fail_ellipsis_lines": f"({ellipsis_frac} > 0.3)",
+        "fail_alpha_words": f"({alpha_frac} < 0.8)",
+        "fail_stop_words": f"(({n_stop}) < 2)",
+    }
+    flagged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        *[F.expr(expr).cast("int").alias(name) for name, expr in fails.items()],
+    )
+    any_fail = None
+    for name in fails:
+        c = F.col(name) == 1
+        any_fail = c if any_fail is None else (any_fail | c)
+    flagged = flagged.withColumn("__pass", (~any_fail).cast("bigint"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__pass").cast("bigint").alias("n_pass"),
+            r4(F.avg("__pass")).alias("pass_rate"),
+            *[F.sum(name).cast("bigint").alias(name) for name in fails],
+        )
+    )
+
+
+def gopher_rules_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    ws = rf"regexp_split_to_array(lower(trim({text_col})), '\s+')"
+    lines = f"string_split({text_col}, chr(10))"
+    n_words = f"len({ws})"
+    mean_wl = f"list_sum(list_transform({ws}, w -> length(w))) / CAST({n_words} AS DOUBLE)"
+    n_sym = (
+        f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+        f" + CAST((length({text_col}) - length(replace({text_col}, '...', ''))) / 3 AS BIGINT)"
+        f" + (length({text_col}) - length(replace({text_col}, '…', '')))"
+    )
+    bullet_frac = (
+        f"len(list_filter({lines}, l -> regexp_matches(ltrim(l), '^[-*•]')))"
+        f" / CAST(len({lines}) AS DOUBLE)"
+    )
+    ellipsis_frac = (
+        rf"len(list_filter({lines}, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))"
+        f" / CAST(len({lines}) AS DOUBLE)"
+    )
+    alpha_frac = (
+        f"len(list_filter({ws}, w -> regexp_matches(w, '[a-z]'))) / CAST({n_words} AS DOUBLE)"
+    )
+    n_stop = " + ".join(
+        f"CAST(list_contains({ws}, '{s}') AS INT)" for s in _GOPHER_STOPWORDS
+    )
+    fails = {
+        "fail_word_count": f"({n_words} < {min_words} OR {n_words} > {max_words})",
+        "fail_mean_word_len": f"({mean_wl} < 3.0 OR {mean_wl} > 10.0)",
+        "fail_symbol_ratio": f"({n_sym} / CAST({n_words} AS DOUBLE) > 0.1)",
+        "fail_bullet_lines": f"({bullet_frac} > 0.9)",
+        "fail_ellipsis_lines": f"({ellipsis_frac} > 0.3)",
+        "fail_alpha_words": f"({alpha_frac} < 0.8)",
+        "fail_stop_words": f"(({n_stop}) < 2)",
+    }
+    flag_cols = ",\n             ".join(
+        f"CAST({expr} AS INT) AS {name}" for name, expr in fails.items()
+    )
+    any_fail = " OR ".join(f"{name} = 1" for name in fails)
+    sum_cols = ",\n           ".join(
+        f"CAST(SUM({name}) AS BIGINT) AS {name}" for name in fails
+    )
+    return f"""
+    WITH flagged AS (
+      SELECT {source_col} AS source,
+             {flag_cols}
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ), passed AS (
+      SELECT *, CASE WHEN {any_fail} THEN 0 ELSE 1 END AS p FROM flagged
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p) AS BIGINT) AS n_pass,
+           ROUND(AVG(p) + 1e-9, 4) AS pass_rate,
+           {sum_cols}
+    FROM passed GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    head_size: int = 4096,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    document by mean unigram log-probability (the cheap perplexity
+    proxy — see :func:`unigram_logprob`), then tercile WITHIN each
+    language: 'head' = most-probable third (cleanest text), 'tail' =
+    least. Downstream mixers sample by bucket (e.g. keep head+middle,
+    drop tail) — this emits the bucket sizes and score ranges that
+    drive that decision.
+
+    Plan: rides unigram_logprob's broadcast-head/shuffle-tail shape; the
+    tercile is an exact NTILE per language on doc-grain rows. At 100 TB
+    swap NTILE for approx_percentile cut points (sketch-mergeable, no
+    global sort); the exact NTILE here is the oracle-checkable contract.
+    """
+    scored = unigram_logprob(df, id_col, text_col, head_size=head_size)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    joined = scored.join(langs, id_col)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_log2_prob").desc(), F.col(id_col).asc()
+    )
+    bucketed = joined.select(
+        "lang",
+        "mean_log2_prob",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            r4(F.avg("mean_log2_prob")).alias("avg_log2_prob"),
+            r4(F.min("mean_log2_prob")).alias("min_log2_prob"),
+            r4(F.max("mean_log2_prob")).alias("max_log2_prob"),
+        )
+    )
+
+
+def perplexity_buckets_sql(
+    table: str, id_col: str, text_col: str, lang_col: str
+) -> str:
+    inner = unigram_logprob_sql(table, id_col, text_col)
+    return f"""
+    WITH scored AS ({inner}),
+    bucketed AS (
+      SELECT d.{lang_col} AS lang, s.mean_log2_prob,
+             CASE NTILE(3) OVER (
+                    PARTITION BY d.{lang_col}
+                    ORDER BY s.mean_log2_prob DESC, s.{id_col})
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             END AS bucket
+      FROM scored s JOIN {table} d USING ({id_col})
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(mean_log2_prob) + 1e-9, 4) AS avg_log2_prob,
+           ROUND(MIN(mean_log2_prob) + 1e-9, 4) AS min_log2_prob,
+           ROUND(MAX(mean_log2_prob) + 1e-9, 4) AS max_log2_prob
+    FROM bucketed GROUP BY 1, 2
+    """

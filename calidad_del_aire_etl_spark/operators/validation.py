@@ -452,3 +452,61 @@ def skew_report_sql(table: str, key_col: str, top_n: int = 20) -> str:
            ROUND(cnt / avgc + 1e-9, 4) AS skew_vs_avg
     FROM t CROSS JOIN s
     """
+
+
+def benford_test(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    against Benford's law, with the per-digit chi-square contribution —
+    the classic fraud / synthetic-data / unit-mixup screen (a price or
+    amount column that drifts off Benford usually means duplicated rows,
+    truncation, or a bad currency conversion upstream).
+
+    ``digit d`` share under Benford = log10(1 + 1/d); ``chi2_term`` =
+    (n_d − N·p_d)² / (N·p_d) so callers can sum the 9 rows against the
+    χ²(8) critical value.
+
+    Plan: one map-side-combined 9-group aggregate over the scan (the
+    shuffle carries ≤ 9 rows per task) and a broadcast of the 1-row
+    total — nothing downstream of the combine is table-sized, so the
+    operator is scan-bound at any SF.
+    """
+    digit = F.floor(
+        F.col(value_col) / F.pow(F.lit(10.0), F.floor(F.log10(value_col)))
+    ).cast("bigint")
+    counts = (
+        df.where(F.col(value_col) > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("__N"))
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            r4(F.col("n") / F.col("__N")).alias("obs_share"),
+            r4(exp_share).alias("exp_share"),
+            r4(
+                F.pow(F.col("n") - F.col("__N") * exp_share, F.lit(2.0))
+                / (F.col("__N") * exp_share)
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def benford_test_sql(table: str, value_col: str) -> str:
+    return f"""
+    WITH c AS (
+      SELECT CAST(FLOOR({value_col} / POWER(10.0, FLOOR(LOG10({value_col}))))
+                  AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} WHERE {value_col} > 0 GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+    SELECT digit, n,
+           ROUND(n / tot + 1e-9, 4) AS obs_share,
+           ROUND(LOG10(1.0 + 1.0 / digit) + 1e-9, 4) AS exp_share,
+           ROUND(POWER(n - tot * LOG10(1.0 + 1.0 / digit), 2)
+                 / (tot * LOG10(1.0 + 1.0 / digit)) + 1e-9, 4) AS chi2_term
+    FROM c CROSS JOIN t
+    """

@@ -3501,3 +3501,93 @@ def q_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return analytics2.open_order_backlog(orders, li)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 2: Benford screen, Gini concentration, seasonal
+# decomposition, Gopher quality rules, CCNet perplexity buckets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_price_test",
+    validation.benford_test_sql("lineitem", "l_extendedprice"),
+)
+def q_benford_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #11h — Benford first-digit screen over
+    lineitem.l_extendedprice: per-digit observed vs expected share and
+    χ² contribution (operators/validation.py:benford_test) — the
+    fraud / synthetic-data / unit-mixup detector. One 9-group
+    map-side-combined aggregate; scan-bound at any SF."""
+    li = load(spark, sf_dir, "lineitem")
+    return validation.benford_test(li, "l_extendedprice")
+
+
+@register(
+    "revenue_gini_by_nation",
+    analytics2.gini_by_group_sql(
+        "(SELECT n_name, o.o_custkey AS cust, o.o_totalprice AS amt "
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey)",
+        "n_name", "cust", "amt",
+    ),
+)
+def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31k — Gini concentration of customer revenue within
+    each nation (operators/analytics2.py:gini_by_group): how unequal is
+    spend across customers per market. Fact aggregate is map-side
+    combined; nation dims broadcast; the exact rank window per nation is
+    the oracle contract (the 100 TB path swaps it for a Lorenz
+    histogram, see docstring)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("amt"),
+        )
+    )
+    return analytics2.gini_by_group(joined, "n_name", "cust", "amt")
+
+
+@register("seasonal_decompose", analytics2.seasonal_decompose_sql())
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #20b — classical additive trend/seasonal/residual
+    decomposition of the per-type hourly series
+    (operators/analytics2.py:seasonal_decompose); the profile behind
+    seasonal_anomaly. One table-sized aggregate to hourly grain; all
+    windows after it are calendar-bounded."""
+    ev = load(spark, sf_dir, "events")
+    return analytics2.seasonal_decompose(ev)
+
+
+@register(
+    "corpus_gopher_rules",
+    corpus.gopher_rules_sql("documents", "doc_id", "text", "source"),
+)
+def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49d — Gopher document-quality rules (Rae et al. 2021)
+    with per-source pass rates and per-rule fail counts
+    (operators/corpus.py:gopher_rules). All seven rules are JVM
+    higher-order-function expressions over the split arrays — no UDF,
+    no text shuffle; the one exchange carries a row per source."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.gopher_rules(docs, "doc_id", "text", "source")
+
+
+@register(
+    "corpus_perplexity_buckets",
+    corpus.perplexity_buckets_sql("documents", "doc_id", "text", "lang"),
+)
+def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49e — CCNet head/middle/tail perplexity buckets per
+    language (Wenzek et al. 2020): tercile documents within each lang
+    by unigram mean log-probability and report bucket sizes and score
+    ranges (operators/corpus.py:perplexity_buckets). Rides
+    unigram_logprob's broadcast-head/shuffled-tail token join."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.perplexity_buckets(docs, "doc_id", "text", "lang")
