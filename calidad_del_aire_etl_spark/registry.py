@@ -179,6 +179,26 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
         "tpch_q18_large_orders", "tpch_q19_disjunctive", "tpch_q22_inactive",
         "tpch_q8_mktshare", "window_funnel",
     }),
+    # round 8 (50 keys, from CORRECTNESS_r08.json)
+    frozenset({
+        "ann_ivfpq_topk", "ann_pq_topk", "asof_join_purchases",
+        "basket_affinity", "conversion_attribution", "corpus_domain_quota",
+        "corpus_split_decontaminated", "corpus_unigram_logprob",
+        "corpus_weighted_sample", "dash_spearman_matrix", "dash_trend_slope",
+        "dedup_cluster_star", "dedup_fuzzy_pairs", "dedup_incremental_minhash",
+        "docs_full_pipeline", "etl_anomaly_flags", "etl_full_pipeline",
+        "etl_outlier_mad", "etl_rollup_multigrain", "etl_upsert_merge",
+        "events_cusum_alarms", "graph_triangles", "heavy_hitters_topk",
+        "mm_binary_meta", "mm_feature_extract", "pivot_event_types",
+        "seasonal_anomaly", "sessionize", "share_of_total", "skew_salted_join",
+        "text_fingerprint", "text_lang_id", "text_normalize",
+        "text_quality_score", "text_readability", "text_token_count",
+        "topk_per_group", "tpch_q10_returned", "tpch_q11_important",
+        "tpch_q13_custdist", "tpch_q1_pricing", "tpch_q20_excess",
+        "tpch_q21_waiting", "tpch_q2_min_cost", "tpch_q3_shipping",
+        "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
+        "tpch_q7_volume", "tpch_q9_profit",
+    }),
 ]
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)

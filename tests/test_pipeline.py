@@ -149,9 +149,18 @@ def test_ingest_correctness_tool_is_idempotent():
     that appends each round's driver sample to _DRIVER_SAMPLED_BY_ROUND
     (VERDICT r6 #1: it was forgotten by hand two rounds running). Pin:
     already-ingested rounds are a no-op, and every committed
-    CORRECTNESS_r{N}.json's keys are present in the registry table."""
+    CORRECTNESS_r{N}.json's keys are present in the registry table.
+
+    Hermetic by construction (VERDICT r7/r8 gate #1b): only the
+    ``check=True`` dry-run path runs here, so this test can NEVER write
+    registry.py — a freshly-dropped, not-yet-ingested artifact fails the
+    assertion (telling the builder to run the tool) instead of mutating
+    source mid-test-run. The write path is additionally pinned against a
+    tempdir copy of the registry."""
     import importlib.util
     import json
+    import shutil
+    import tempfile
     from pathlib import Path
 
     from calidad_del_aire_etl_spark import registry
@@ -164,7 +173,31 @@ def test_ingest_correctness_tool_is_idempotent():
 
     files = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert files, "driver correctness artifacts missing"
+    before = mod.REGISTRY.read_text()
     for f in files:
-        assert mod.ingest(str(f)) is False, f"{f.name} not ingested"
+        assert mod.ingest(str(f), check=True) is False, (
+            f"{f.name} not ingested — run "
+            f"`python tools/ingest_correctness.py {f.name}`")
         keys = set(json.loads(f.read_text()))
         assert keys <= registry._DRIVER_SAMPLED
+    assert mod.REGISTRY.read_text() == before, "dry-run mutated registry.py"
+
+    # pin the WRITE path too, against a tempdir copy: ingesting a novel
+    # round modifies the copy exactly once, then no-ops on re-run.
+    with tempfile.TemporaryDirectory() as td:
+        reg_copy = Path(td) / "registry.py"
+        shutil.copy(mod.REGISTRY, reg_copy)
+        art = Path(td) / "CORRECTNESS_r99.json"
+        art.write_text(json.dumps({"etl_aqi": {"match": True},
+                                   "zz_novel_key_r99": {"match": True}}))
+        orig_registry = mod.REGISTRY
+        try:
+            mod.REGISTRY = reg_copy
+            assert mod.ingest(str(art), check=True) is True
+            assert reg_copy.read_text() == before, "check mode wrote the copy"
+            assert mod.ingest(str(art)) is True
+            assert "zz_novel_key_r99" in reg_copy.read_text()
+            assert mod.ingest(str(art)) is False  # idempotent
+        finally:
+            mod.REGISTRY = orig_registry
+    assert mod.REGISTRY.read_text() == before

@@ -27,8 +27,14 @@ REPO = Path(__file__).resolve().parent.parent
 REGISTRY = REPO / "calidad_del_aire_etl_spark" / "registry.py"
 
 
-def ingest(correctness_path: str) -> bool:
-    """Returns True if registry.py was modified, False if already ingested."""
+def ingest(correctness_path: str, check: bool = False) -> bool:
+    """Returns True if registry.py was (or, with ``check=True``, would be)
+    modified, False if the round is already ingested.
+
+    ``check=True`` is the hermetic dry-run mode used by the pytest
+    meta-test: it computes the answer without ever writing registry.py,
+    so a test run can never mutate source (VERDICT r7/r8 gate #1b).
+    """
     p = Path(correctness_path)
     m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
     if not m:
@@ -51,9 +57,19 @@ def ingest(correctness_path: str) -> bool:
     end = next(i for i in range(start + 1, len(lines)) if lines[i].rstrip() == "]")
 
     block = "".join(lines[start:end])
-    if tag in block or all(f'"{k}"' in block for k in keys):
+    # Idempotence: the round's own tag, or membership in the rounds-1..4
+    # union entry (ingested by hand before this tool existed, so no
+    # per-round tag). The all-keys fallback is scoped to rnd <= 4 on
+    # purpose: once the rotation covers all queries, every later round's
+    # keys are necessarily "all present" somewhere, yet the round still
+    # needs its own frozenset so stalest-first refresh ordering is right.
+    if tag in block or (rnd <= 4 and all(f'"{k}"' in block for k in keys)):
         print(f"round {rnd} already ingested — no-op")
         return False
+    if check:
+        print(f"round {rnd} NOT ingested ({len(keys)} keys) — dry-run, "
+              f"registry.py untouched")
+        return True
 
     body_lines = [f"    # round {rnd} ({len(keys)} keys, {tag})\n", "    frozenset({\n"]
     row = "       "
@@ -68,12 +84,17 @@ def ingest(correctness_path: str) -> bool:
 
     lines[end:end] = body_lines
     REGISTRY.write_text("".join(lines))
+    try:
+        shown = REGISTRY.relative_to(REPO)
+    except ValueError:  # e.g. the meta-test's tempdir copy
+        shown = REGISTRY
     print(f"ingested round {rnd}: {len(keys)} keys appended to "
-          f"_DRIVER_SAMPLED_BY_ROUND in {REGISTRY.relative_to(REPO)}")
+          f"_DRIVER_SAMPLED_BY_ROUND in {shown}")
     return True
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 2:
+    argv = [a for a in sys.argv[1:] if a != "--check"]
+    if len(argv) != 1:
         raise SystemExit(__doc__)
-    ingest(sys.argv[1])
+    ingest(argv[0], check="--check" in sys.argv[1:])
