@@ -231,6 +231,23 @@ def main() -> None:
     # `detail` pointer still references
     detail_name = "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
+    # Clobber guard (VERDICT r8 #2): round 7's snapshot overwrote the
+    # 14-query sf1 sweep with a 1-query run and destroyed the only
+    # committed at-scale evidence. Refuse to replace a detail file with
+    # one covering strictly fewer queries; divert to a .partial file the
+    # caller can merge by hand. SPARK_GRAFT_FORCE_DETAIL=1 overrides.
+    if (os.path.exists(detail_path)
+            and os.environ.get("SPARK_GRAFT_FORCE_DETAIL") != "1"):
+        try:
+            with open(detail_path) as fh:
+                prior = set(json.load(fh).get("queries", {}))
+        except (OSError, ValueError):
+            prior = set()
+        if prior - set(timings):
+            detail_path += ".partial"
+            print(f"refusing to shrink {detail_name} "
+                  f"(prior covers {sorted(prior - set(timings))}); "
+                  f"writing {detail_path} instead", file=sys.stderr)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
