@@ -1448,6 +1448,124 @@ def gini_by_group_sql(
     """
 
 
+def gini_by_group_hist(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    amount_col: str,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-bin Lorenz-histogram Gini — the 100 TB path promised by
+    :func:`gini_by_group`'s docstring, now as code (VERDICT r8 #5 /
+    ADVICE). Same readout, different plan: instead of an exact rank
+    window over UNIT-grain rows (at scale, millions of customers per
+    nation through one window per group), amounts land in ``bins``
+    fixed-width buckets per group and the rank formula is applied
+    bin-wise under the units-within-a-bin-are-equal assumption:
+
+        Σ(i·xᵢ) over a bin with all values x̄_b collapses to
+        x̄_b·(C_b·n_b + n_b(n_b+1)/2)  with C_b = units in lower bins,
+
+    so ``G = 2·Σ_b [s_b·C_b + s_b(n_b+1)/2] / (n·T) − (n+1)/n`` with
+    s_b = bin amount sum. Error is bounded by within-bin dispersion —
+    ≲ 1/bins of the amount range.
+
+    Plan: two map-side-combined aggregates over unit-grain rows (the
+    per-unit sum, then the per-(group,bin) histogram), a broadcast of
+    the one-row-per-group min/max, and a window over ≤ ``bins`` rows
+    per group — every table-sized step is partial-aggregable; nothing
+    unit-grain is ever sorted or windowed. Deterministic (no sketch),
+    so the DuckDB twin hash-matches exactly.
+    """
+    b = float(bins)
+    per_unit = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(unit_col).alias("unit")
+    ).agg(F.sum(F.col(amount_col).cast(DEC)).cast(DEC).alias("amt"))
+    per_unit = per_unit.select("grp", F.col("amt").cast("double").alias("amt"))
+    stats = per_unit.groupBy("grp").agg(
+        F.min("amt").alias("__mn"), F.max("amt").alias("__mx")
+    )
+    width = F.when(
+        F.col("__mx") > F.col("__mn"), (F.col("__mx") - F.col("__mn")) / F.lit(b)
+    ).otherwise(F.lit(1.0))
+    binned = per_unit.join(F.broadcast(stats), "grp").select(
+        "grp",
+        "amt",
+        F.least(
+            F.lit(int(b) - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("amt") - F.col("__mn")) / width)
+            ),
+        ).cast("bigint").alias("b"),
+    )
+    hist = binned.groupBy("grp", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("amt").alias("s_b"),
+    )
+    w = Window.partitionBy("grp").orderBy("b")
+    cum = hist.select(
+        "grp",
+        "n_b",
+        "s_b",
+        (F.sum("n_b").over(w) - F.col("n_b")).alias("c_b"),
+    )
+    contrib = F.col("s_b") * F.col("c_b") + F.col("s_b") * (F.col("n_b") + 1) / 2.0
+    return (
+        cum.groupBy("grp")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_units"),
+            F.sum("s_b").alias("__T"),
+            F.sum(contrib).alias("__iw"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_units",
+            r4(F.col("__T")).alias("total_amount"),
+            r4(
+                F.lit(2.0) * F.col("__iw") / (F.col("n_units") * F.col("__T"))
+                - (F.col("n_units") + F.lit(1.0)) / F.col("n_units")
+            ).alias("gini"),
+        )
+    )
+
+
+def gini_by_group_hist_sql(
+    table: str, group_col: str, unit_col: str, amount_col: str, bins: int = 256
+) -> str:
+    b = float(bins)
+    return f"""
+    WITH per_unit AS (
+      SELECT {group_col} AS grp,
+             CAST(CAST(SUM(CAST({amount_col} AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS DOUBLE) AS amt
+      FROM {table} GROUP BY {group_col}, {unit_col}
+    ), stats AS (
+      SELECT grp, MIN(amt) AS mn, MAX(amt) AS mx FROM per_unit GROUP BY 1
+    ), binned AS (
+      SELECT p.grp, p.amt,
+             CAST(LEAST({int(b) - 1}, GREATEST(0, FLOOR(
+               (p.amt - s.mn) /
+               (CASE WHEN s.mx > s.mn THEN (s.mx - s.mn) / {b} ELSE 1.0 END)
+             ))) AS BIGINT) AS b
+      FROM per_unit p JOIN stats s USING (grp)
+    ), hist AS (
+      SELECT grp, b, CAST(COUNT(*) AS BIGINT) AS n_b, SUM(amt) AS s_b
+      FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT grp, n_b, s_b,
+             SUM(n_b) OVER (PARTITION BY grp ORDER BY b) - n_b AS c_b
+      FROM hist
+    )
+    SELECT grp AS {group_col},
+           CAST(SUM(n_b) AS BIGINT) AS n_units,
+           ROUND(SUM(s_b) + 1e-9, 4) AS total_amount,
+           ROUND(2.0 * SUM(s_b * c_b + s_b * (n_b + 1) / 2.0)
+                   / (SUM(n_b) * SUM(s_b))
+                 - (SUM(n_b) + 1.0) / SUM(n_b) + 1e-9, 4) AS gini
+    FROM cum GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # Seasonal decomposition (trend / seasonal / residual)
 # ---------------------------------------------------------------------------

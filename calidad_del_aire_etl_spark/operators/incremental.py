@@ -123,10 +123,16 @@ def snapshot_diff_sql(
     key_cols: list[str],
     compare_cols: list[str],
 ) -> str:
-    """DuckDB twin of :func:`snapshot_diff` over two snapshot subqueries."""
+    """DuckDB twin of :func:`snapshot_diff` over two snapshot subqueries.
+
+    Added/deleted are classified via explicit presence markers (a
+    constant 1 attached to each side before the FULL OUTER JOIN), the
+    exact construction the Spark side uses — NOT ``o.<key> IS NULL``,
+    which would misclassify a row whose key column is legitimately NULL
+    (a NULL key joins nothing, so both presence tests must distinguish
+    "row absent" from "key NULL"; VERDICT r7 #8 / r8 #5a).
+    """
     keys = ", ".join(key_cols)
-    o_keys = ", ".join(f"o.{k}" for k in key_cols)
-    n_keys = ", ".join(f"n.{k}" for k in key_cols)
     key_out = ", ".join(
         f"COALESCE(o.{k}, n.{k}) AS {k}" for k in key_cols
     )
@@ -138,11 +144,12 @@ def snapshot_diff_sql(
     old_cnt = ", ".join(f"old_{c}" for c in compare_cols)
     new_cnt = ", ".join(f"new_{c}" for c in compare_cols)
     return f"""
-    WITH o AS ({old_sql}), n AS ({new_sql}),
+    WITH o AS (SELECT *, 1 AS __old_present FROM ({old_sql})),
+    n AS (SELECT *, 1 AS __new_present FROM ({new_sql})),
     j AS (
       SELECT {key_out},
-             CASE WHEN o.{key_cols[0]} IS NULL THEN 'added'
-                  WHEN n.{key_cols[0]} IS NULL THEN 'deleted'
+             CASE WHEN o.__old_present IS NULL THEN 'added'
+                  WHEN n.__new_present IS NULL THEN 'deleted'
                   WHEN {changed} THEN 'changed'
              END AS change_type,
              {olds}, {news}

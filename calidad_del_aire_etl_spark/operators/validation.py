@@ -473,8 +473,14 @@ def benford_test(df: DataFrame, value_col: str) -> DataFrame:
     digit = F.floor(
         F.col(value_col) / F.pow(F.lit(10.0), F.floor(F.log10(value_col)))
     ).cast("bigint")
+    # digit BETWEEN 1 AND 9 (not just value > 0): NaN passes `> 0` in
+    # both engines and +Inf passes trivially, and either lands as a
+    # NULL/0/10 digit row with ±Inf or NULL exp_share — degenerate rows
+    # the two engines then disagree on (VERDICT r8 #5b). The digit-range
+    # guard drops every non-finite input on both sides identically.
     counts = (
         df.where(F.col(value_col) > 0)
+        .where(digit.between(1, 9))
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -498,10 +504,17 @@ def benford_test(df: DataFrame, value_col: str) -> DataFrame:
 def benford_test_sql(table: str, value_col: str) -> str:
     return f"""
     WITH c AS (
-      SELECT CAST(FLOOR({value_col} / POWER(10.0, FLOOR(LOG10({value_col}))))
+      -- TRY_CAST, not CAST: a NaN/Inf value reaches the digit expression
+      -- (NaN > 0 is TRUE in DuckDB) and CAST(NaN AS BIGINT) would abort
+      -- the whole query; TRY_CAST yields NULL, which the BETWEEN guard
+      -- then drops — matching Spark's NaN-cast-to-NULL semantics.
+      SELECT TRY_CAST(FLOOR({value_col} / POWER(10.0, FLOOR(LOG10({value_col}))))
                   AS BIGINT) AS digit,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM {table} WHERE {value_col} > 0 GROUP BY 1
+      FROM {table} WHERE {value_col} > 0
+        AND TRY_CAST(FLOOR({value_col} / POWER(10.0, FLOOR(LOG10({value_col}))))
+                 AS BIGINT) BETWEEN 1 AND 9
+      GROUP BY 1
     ), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
     SELECT digit, n,
            ROUND(n / tot + 1e-9, 4) AS obs_share,

@@ -3607,16 +3607,16 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_gopher_rules",
-    corpus.gopher_rules_sql("documents", "doc_id", "text", "source"),
+    corpus.gopher_rules_sql("documents", "text", "source"),
 )
 def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49d — Gopher document-quality rules (Rae et al. 2021)
+    """SURVEY §2 #49l — Gopher document-quality rules (Rae et al. 2021)
     with per-source pass rates and per-rule fail counts
     (operators/corpus.py:gopher_rules). All seven rules are JVM
     higher-order-function expressions over the split arrays — no UDF,
     no text shuffle; the one exchange carries a row per source."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.gopher_rules(docs, "doc_id", "text", "source")
+    return corpus.gopher_rules(docs, "text", "source")
 
 
 @register(
@@ -3624,10 +3624,79 @@ def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.perplexity_buckets_sql("documents", "doc_id", "text", "lang"),
 )
 def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49e — CCNet head/middle/tail perplexity buckets per
+    """SURVEY §2 #49m — CCNet head/middle/tail perplexity buckets per
     language (Wenzek et al. 2020): tercile documents within each lang
     by unigram mean log-probability and report bucket sizes and score
     ranges (operators/corpus.py:perplexity_buckets). Rides
     unigram_logprob's broadcast-head/shuffled-tail token join."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return corpus.perplexity_buckets(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "revenue_gini_by_nation_hist",
+    analytics2.gini_by_group_hist_sql(
+        "(SELECT n_name, o.o_custkey AS cust, o.o_totalprice AS amt "
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey)",
+        "n_name", "cust", "amt",
+    ),
+)
+def q_revenue_gini_by_nation_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31k (scale variant) — Lorenz-histogram Gini of
+    customer revenue per nation (operators/analytics2.py:
+    gini_by_group_hist): the 100 TB path revenue_gini_by_nation's
+    docstring promises, as a registered query. 256 fixed-width bins per
+    nation replace the exact per-nation rank window over customer-grain
+    rows — every table-sized step is a map-side-combined aggregate; the
+    only window runs over <= 256 bin rows per nation. Deterministic, so
+    the DuckDB twin hash-matches; a tolerance pytest pins it within
+    0.01 of the exact Gini."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("amt"),
+        )
+    )
+    return analytics2.gini_by_group_hist(joined, "n_name", "cust", "amt")
+
+
+@register(
+    "corpus_perplexity_buckets_approx",
+    corpus.perplexity_buckets_approx_sql("documents", "doc_id", "text", "lang"),
+)
+def q_corpus_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49m (scale variant) — histogram-cut head/middle/tail
+    perplexity split (operators/corpus.py:perplexity_buckets_approx):
+    the 100 TB path corpus_perplexity_buckets' docstring promises, as a
+    registered query. 512 fixed-width score bins per language replace
+    the exact per-language NTILE over doc-grain rows — after the
+    unigram score, the whole plan is an aggregate tree (per-bin
+    histogram, a <= 512-row window, a 3-row rollup); no doc-grain sort
+    or re-join. Deterministic, so the DuckDB twin hash-matches; a
+    tolerance pytest pins bucket sizes within bin-straddle of exact
+    terciles."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.perplexity_buckets_approx(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "corpus_dup_spans_exact",
+    corpus.dup_spans_exact_sql("documents", "doc_id", "text", span_len=32),
+)
+def q_corpus_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49b (full-coverage variant) — duplicated-substring
+    profile at stride 1 (operators/corpus.py:dup_spans_exact): the
+    exact span-level signal of Lee et al. 2022, catching duplicates the
+    strided corpus_dup_spans misses when occurrences start at different
+    offsets modulo the stride. Double polynomial Horner hash per
+    position, all-JVM higher-order expressions, linear in corpus bytes,
+    self-join-free."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.dup_spans_exact(docs, "doc_id", "text", span_len=32)

@@ -96,7 +96,7 @@ def _gopher(spark, texts):
     df = spark.createDataFrame(
         [(i, t, "s") for i, t in enumerate(texts)], "doc_id int, text string, source string"
     )
-    rows = corpus.gopher_rules(df, "doc_id", "text", "source").collect()
+    rows = corpus.gopher_rules(df, "text", "source").collect()
     assert len(rows) == 1
     return rows[0]
 
@@ -129,7 +129,7 @@ def test_gopher_null_text_excluded(spark):
     df = spark.createDataFrame(
         [(1, GOOD_TEXT, "s"), (2, None, "s")], "doc_id int, text string, source string"
     )
-    r = corpus.gopher_rules(df, "doc_id", "text", "source").collect()[0]
+    r = corpus.gopher_rules(df, "text", "source").collect()[0]
     assert r["n_docs"] == 1
 
 
