@@ -145,6 +145,11 @@ HEADLINE = [
     "seasonal_decompose",
     "corpus_gopher_rules",
     "corpus_perplexity_buckets",
+    # round-9 additions
+    "revenue_gini_by_nation_hist",
+    "corpus_perplexity_buckets_approx",
+    "corpus_dup_spans_exact",
+    "ann_graph_topk",
 ]
 
 

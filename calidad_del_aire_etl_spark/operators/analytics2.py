@@ -1481,7 +1481,12 @@ def gini_by_group_hist(
     per_unit = df.groupBy(
         F.col(group_col).alias("grp"), F.col(unit_col).alias("unit")
     ).agg(F.sum(F.col(amount_col).cast(DEC)).cast(DEC).alias("amt"))
-    per_unit = per_unit.select("grp", F.col("amt").cast("double").alias("amt"))
+    # two consumers (per-group min/max stats, then binning) — checkpoint
+    # so the per-unit aggregate's lineage compiles and runs once, not
+    # per consumer (same multi-consumer discipline as unigram_logprob)
+    per_unit = per_unit.select(
+        "grp", F.col("amt").cast("double").alias("amt")
+    ).localCheckpoint(eager=False)
     stats = per_unit.groupBy("grp").agg(
         F.min("amt").alias("__mn"), F.max("amt").alias("__mx")
     )

@@ -1,0 +1,216 @@
+"""Graph-based approximate nearest neighbor (SURVEY §2 #31j): a
+distributed NN-Descent k-NN graph plus beam search over it — the
+Spark-distributable counterpart of the HNSW/SW-graph family, closing the
+one remaining ANN layout gap (VERDICT r8 "What's missing" #3).
+
+Why not literal HNSW: HNSW's insert loop is inherently sequential (each
+insertion greedy-searches the graph built so far) and its layered
+skip-list lives in one address space — it does not distribute. The
+published distributed equivalents keep the two ideas separable:
+
+- **NN-Descent** (Dong, Moses, Li — WWW 2011) builds the k-NN graph by
+  iterated local joins: "a neighbor of my neighbor is probably my
+  neighbor". Each round joins the edge list with itself on the shared
+  endpoint, scores the new candidate pairs, and keeps the best k per
+  node — embarrassingly parallel, O(N·k²·d) work per round, converges
+  in a handful of rounds.
+- **Beam (best-first) search** over the finished graph answers queries,
+  seeded from a small global hub set (the distributable stand-in for
+  HNSW's upper layers: a deterministic md5-ordered sample every node
+  and every query can reach, so the graph needs no global entry point).
+
+Scale shape: the hub set (64 rows) broadcasts; every other step is an
+equi-join or aggregate hash-partitioned on node id — no global sort, no
+driver-side state, no per-row Python. Per NN-Descent round the candidate
+set is ≤ N·(2k)² rows before dedup; per beam hop each query touches
+≤ beam·k rows. Both are the published costs of these algorithms.
+
+Determinism: hub choice orders by md5(id); all top-k cuts break ties on
+(cosine desc, neighbor id asc) over r4-rounded cosines — stable across
+runs and partitionings. Registered rows-only (iterative algorithm — the
+driver's DuckDB oracle cannot express the fixpoint); the guarantees live
+in tests/test_ann_graph.py: recall@k vs brute force, determinism, and
+graph-degree invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import r4
+from .dedup import COSINE_SPARK
+
+
+def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
+                   nb_col: str = "nb") -> DataFrame:
+    """Best k rows per node by (cosine desc, neighbor asc); input may
+    hold duplicate (id, nb) pairs from different candidate sources."""
+    dedup = scored.groupBy(id_col, nb_col).agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col(nb_col).asc()
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _cos(a: str, b: str):
+    return r4(F.expr(COSINE_SPARK.format(a=a, b=b)))
+
+
+def hub_sample(base: DataFrame, n_hubs: int) -> DataFrame:
+    """Deterministic global hub set: first ``n_hubs`` nodes by md5(id).
+    Bounded (TakeOrdered, never a full materialized sort) and
+    broadcastable; serves as NN-Descent's seed edges and beam search's
+    entry points."""
+    return (
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id").asc())
+        .limit(n_hubs)
+        .select(F.col("id").alias("hid"), F.col("v").alias("hv"))
+    )
+
+
+def nndescent_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    n_hubs: int = 64,
+) -> DataFrame:
+    """Approximate k-NN graph via NN-Descent. Returns
+    ``(id, neighbor_id, cosine, rank)`` — k rows per node.
+
+    Seed: every node scores the broadcast hub set and keeps its best k
+    (hub-mediated co-membership then acts like coarse IVF cells for the
+    first local join). Each round: symmetrize the edge list, join it
+    with itself on the shared endpoint (neighbor-of-neighbor
+    candidates), score only the NEW pairs, and keep the best k per
+    node. ``localCheckpoint`` cuts the per-round lineage so the plan
+    stays round-sized (the star-CC discipline)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    hubs = hub_sample(base, n_hubs)
+
+    seed = (
+        base.crossJoin(F.broadcast(hubs))
+        .filter(F.col("id") != F.col("hid"))
+        .select("id", F.col("hid").alias("nb"), _cos("v", "hv").alias("cosine"))
+    )
+    graph = _topk_per_node(seed, k).localCheckpoint(eager=False)
+
+    vecs = base  # (id, v), joined by key — no broadcast: corpus-sized
+    for _ in range(iters):
+        edges = graph.select("id", "nb").unionByName(
+            graph.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+        )
+        e1 = edges.alias("e1")
+        e2 = edges.alias("e2")
+        cand = (
+            e1.join(e2, F.col("e1.nb") == F.col("e2.id"))
+            .select(F.col("e1.id").alias("id"), F.col("e2.nb").alias("nb"))
+            .filter(F.col("id") != F.col("nb"))
+            .distinct()
+        )
+        scored = (
+            cand.join(vecs.select(F.col("id"), F.col("v")), "id")
+            .join(
+                vecs.select(F.col("id").alias("nb"), F.col("v").alias("nv")),
+                "nb",
+            )
+            .select("id", "nb", _cos("v", "nv").alias("cosine"))
+        )
+        merged = graph.select("id", "nb", "cosine").unionByName(scored)
+        graph = _topk_per_node(merged, k).localCheckpoint(eager=False)
+
+    return graph.select(
+        F.col("id").alias(id_col),
+        F.col("nb").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
+def graph_beam_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_pred,
+    k: int = 5,
+    graph_k: int = 8,
+    iters: int = 2,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> DataFrame:
+    """ANN top-k via beam search over the NN-Descent graph — the full
+    graph-ANN query path (build once, search cheaply), output-compatible
+    with the other ``ann_*_topk`` operators:
+    ``(query_id, neighbor_id, cosine, rank)``.
+
+    Search: each query seeds its beam with the broadcast hubs, then for
+    ``hops`` rounds expands the beam's graph neighbors, scores the new
+    nodes against the query vector, and keeps the best ``beam`` — the
+    parallel-beam variant of best-first graph search (DiskANN's search
+    loop batched across queries). Per hop per query the frontier is
+    ≤ beam·graph_k rows; queries are broadcast so the only shuffled
+    relation is frontier-sized, never corpus-sized."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    queries = base.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    g = nndescent_graph(df, id_col, vec_col, k=graph_k, iters=iters,
+                        n_hubs=n_hubs)
+    edges = (
+        g.select(F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"))
+        .unionByName(
+            g.select(
+                F.col("neighbor_id").alias("id"), F.col(id_col).alias("nb")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = hub_sample(base, n_hubs)
+
+    state = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(hubs))
+        .select("qid", F.col("hid").alias("node"),
+                _cos("qv", "hv").alias("cosine"))
+    )
+    state = _topk_per_node(state, beam, id_col="qid", nb_col="node")
+    state = state.localCheckpoint(eager=False)
+
+    for _ in range(hops):
+        frontier = (
+            state.join(edges, state.node == edges.id)
+            .select("qid", F.col("nb").alias("node"))
+            .distinct()
+        )
+        scored = (
+            frontier.join(
+                base.select(F.col("id").alias("node"), F.col("v")), "node"
+            )
+            .join(F.broadcast(queries), "qid")
+            .select("qid", "node", _cos("qv", "v").alias("cosine"))
+        )
+        merged = state.select("qid", "node", "cosine").unionByName(scored)
+        state = _topk_per_node(merged, beam, id_col="qid", nb_col="node")
+        state = state.localCheckpoint(eager=False)
+
+    final = state.filter(F.col("qid") != F.col("node"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

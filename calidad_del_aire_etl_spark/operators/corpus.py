@@ -1479,7 +1479,15 @@ def perplexity_buckets_approx(
     b = float(bins)
     scored = unigram_logprob(df, id_col, text_col, head_size=head_size)
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    joined = scored.join(langs, id_col).select("lang", "mean_log2_prob")
+    # two consumers (per-lang min/max stats, then binning) — checkpoint
+    # so the unigram-score lineage compiles and runs once, not per
+    # consumer (same multi-consumer discipline as unigram_logprob's own
+    # token stream; halves the plan's exchange count)
+    joined = (
+        scored.join(langs, id_col)
+        .select("lang", "mean_log2_prob")
+        .localCheckpoint(eager=False)
+    )
     stats = joined.groupBy("lang").agg(
         F.min("mean_log2_prob").alias("__mn"),
         F.max("mean_log2_prob").alias("__mx"),

@@ -3700,3 +3700,22 @@ def q_corpus_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join-free."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return corpus.dup_spans_exact(docs, "doc_id", "text", span_len=32)
+
+
+from .operators import ann_graph  # noqa: E402
+
+
+@register("ann_graph_topk", None)  # iterative fixpoint — rows-only by design
+def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31j — graph ANN: NN-Descent k-NN graph (Dong et al.
+    2011) + hub-seeded beam search (operators/ann_graph.py), the
+    distributable counterpart of the HNSW/SW-graph family. Build is
+    iterated local joins hash-partitioned on node id (O(N k^2 d) per
+    round); search touches <= beam*k rows per query per hop. Rows-only
+    by design (the NN-Descent fixpoint is not single-query SQL);
+    recall@5 vs brute force, determinism, and degree invariants are
+    pinned in tests/test_ann_graph.py."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann_graph.graph_beam_topk(
+        em, "vec_id", "embedding", lambda c: c < 10, k=5
+    )

@@ -1,0 +1,81 @@
+"""Guarantees for the graph-ANN operator (NN-Descent k-NN graph + beam
+search, operators/ann_graph.py): registered rows-only — the iterative
+fixpoint is not DuckDB-expressible — so recall, determinism, and graph
+invariants are pinned here instead (the sketch-operator test pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import ann, ann_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def _em(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_nndescent_graph_invariants(spark):
+    g = ann_graph.nndescent_graph(_em(spark), "vec_id", "embedding", k=6, iters=2)
+    rows = g.collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["vec_id"], []).append(r)
+    # exactly k neighbors per node (N=500 >> k), no self-loops,
+    # ranks contiguous, cosines non-increasing within a node
+    assert len(by_node) == 500
+    for node, nbrs in by_node.items():
+        assert len(nbrs) == 6
+        assert all(r["neighbor_id"] != node for r in nbrs)
+        ranked = sorted(nbrs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in ranked] == list(range(1, 7))
+        cos = [r["cosine"] for r in ranked]
+        assert all(a >= b for a, b in zip(cos, cos[1:]))
+
+
+def test_nndescent_improves_over_seed_round(spark):
+    """NN-Descent's whole point: local joins lift neighbor quality over
+    the hub-seeded graph. Mean kept-cosine must strictly improve."""
+    em = _em(spark)
+    seed = ann_graph.nndescent_graph(em, "vec_id", "embedding", k=6, iters=0)
+    ref = ann_graph.nndescent_graph(em, "vec_id", "embedding", k=6, iters=2)
+    m0 = seed.agg(F.avg("cosine")).collect()[0][0]
+    m2 = ref.agg(F.avg("cosine")).collect()[0][0]
+    assert m2 > m0 + 0.01, (m0, m2)
+
+
+def test_graph_beam_recall_vs_bruteforce(spark):
+    em = _em(spark)
+    exact = ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
+    approx = ann_graph.graph_beam_topk(
+        em, "vec_id", "embedding", lambda c: c < 10, k=5
+    )
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall
+
+
+def test_graph_beam_deterministic(spark):
+    em = _em(spark)
+    a = sorted(map(tuple, ann_graph.graph_beam_topk(
+        em, "vec_id", "embedding", lambda c: c < 5, k=5).collect()))
+    b = sorted(map(tuple, ann_graph.graph_beam_topk(
+        em, "vec_id", "embedding", lambda c: c < 5, k=5).collect()))
+    assert a == b
+
+
+def test_graph_beam_output_contract(spark):
+    out = ann_graph.graph_beam_topk(
+        _em(spark), "vec_id", "embedding", lambda c: c < 3, k=4
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    rows = out.collect()
+    qids = {r["query_id"] for r in rows}
+    assert qids == {0, 1, 2}
+    for q in qids:
+        ranks = sorted(r["rank"] for r in rows if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r["neighbor_id"] != q for r in rows if r["query_id"] == q)

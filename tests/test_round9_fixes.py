@@ -223,3 +223,28 @@ def test_dup_spans_exact_duckdb_parity(spark, tmp_path):
         con.close()
     assert problems == [], problems
     assert n == 4  # doc 4 (NULL) dropped
+
+
+def test_plans_md_covers_every_headline_query():
+    """PLANS.md freshness gate (VERDICT r7 #5 / r8 #4: the audit went
+    three rounds stale while SURVEY §5 claimed per-round regeneration).
+    There is no repo-side snapshot script to hook — the end-of-round
+    commit is driver-made — so enforce it structurally: every HEADLINE
+    query must have a row in PLANS.md, which fails the suite the moment
+    a new headline query ships without `python tools/plan_audit.py >
+    PLANS.md` being re-run."""
+    from pathlib import Path
+
+    from bench import HEADLINE
+
+    plans = Path(__file__).resolve().parent.parent / "PLANS.md"
+    rows = {
+        line.split("|")[1].strip()
+        for line in plans.read_text().splitlines()
+        if line.startswith("|") and not line.startswith("|---")
+    }
+    missing = [q for q in HEADLINE if q not in rows]
+    assert not missing, (
+        f"PLANS.md is stale — regenerate with "
+        f"`python tools/plan_audit.py > PLANS.md`; missing: {missing}"
+    )
