@@ -150,6 +150,7 @@ HEADLINE = [
     "corpus_perplexity_buckets_approx",
     "corpus_dup_spans_exact",
     "ann_graph_topk",
+    "ann_graph_insert",
 ]
 
 

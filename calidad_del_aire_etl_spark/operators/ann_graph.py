@@ -182,6 +182,65 @@ def nndescent_graph(
     )
 
 
+def _symmetrize(g: DataFrame, id_col: str) -> DataFrame:
+    """Undirected edge list of a (id, neighbor_id, ...) graph frame."""
+    return (
+        g.select(F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"))
+        .unionByName(
+            g.select(
+                F.col("neighbor_id").alias("id"), F.col(id_col).alias("nb")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _beam_states(
+    base: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    id_t: str,
+    beam: int,
+    hops: int,
+    n_hubs: int,
+) -> DataFrame:
+    """Hub-seeded parallel beam search: per query, the best ``beam``
+    graph nodes after ``hops`` expand-score-prune rounds. Shared by
+    :func:`graph_beam_topk` (answering queries) and
+    :func:`nndescent_insert` (placing new vectors)."""
+    hubs = hub_sample(base, n_hubs)
+    seed_pairs = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(hubs))
+        .select("qid", F.col("hid").alias("node"),
+                F.col("qv").alias("v"), F.col("hv").alias("nv"))
+    )
+    state = _score_pairs(seed_pairs, "qid", "node", id_t)
+    state = _topk_per_node(state, beam, id_col="qid", nb_col="node")
+    state = state.localCheckpoint()
+
+    for _ in range(hops):
+        frontier = (
+            state.join(edges, state.node == edges.id)
+            .select("qid", F.col("nb").alias("node"))
+            .distinct()
+        )
+        pair_rows = (
+            frontier.join(
+                base.select(F.col("id").alias("node"),
+                            F.col("v").alias("nv")), "node"
+            )
+            .join(F.broadcast(queries), "qid")
+            .select("qid", "node", F.col("qv").alias("v"), "nv")
+        )
+        scored = _score_pairs(pair_rows, "qid", "node", id_t)
+        merged = state.select("qid", "node", "cosine").unionByName(scored)
+        state = _topk_per_node(merged, beam, id_col="qid", nb_col="node")
+        state = state.localCheckpoint()
+    return state
+
+
 def graph_beam_topk(
     df: DataFrame,
     id_col: str,
@@ -213,47 +272,8 @@ def graph_beam_topk(
     )
     g = nndescent_graph(df, id_col, vec_col, k=graph_k, iters=iters,
                         n_hubs=n_hubs)
-    edges = (
-        g.select(F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"))
-        .unionByName(
-            g.select(
-                F.col("neighbor_id").alias("id"), F.col(id_col).alias("nb")
-            )
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    hubs = hub_sample(base, n_hubs)
-
-    seed_pairs = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(hubs))
-        .select("qid", F.col("hid").alias("node"),
-                F.col("qv").alias("v"), F.col("hv").alias("nv"))
-    )
-    state = _score_pairs(seed_pairs, "qid", "node", id_t)
-    state = _topk_per_node(state, beam, id_col="qid", nb_col="node")
-    state = state.localCheckpoint()
-
-    for _ in range(hops):
-        frontier = (
-            state.join(edges, state.node == edges.id)
-            .select("qid", F.col("nb").alias("node"))
-            .distinct()
-        )
-        pair_rows = (
-            frontier.join(
-                base.select(F.col("id").alias("node"),
-                            F.col("v").alias("nv")), "node"
-            )
-            .join(F.broadcast(queries), "qid")
-            .select("qid", "node", F.col("qv").alias("v"), "nv")
-        )
-        scored = _score_pairs(pair_rows, "qid", "node", id_t)
-        merged = state.select("qid", "node", "cosine").unionByName(scored)
-        state = _topk_per_node(merged, beam, id_col="qid", nb_col="node")
-        state = state.localCheckpoint()
-
+    edges = _symmetrize(g, id_col)
+    state = _beam_states(base, edges, queries, id_t, beam, hops, n_hubs)
     final = state.filter(F.col("qid") != F.col("node"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
@@ -264,6 +284,100 @@ def graph_beam_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("node").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def nndescent_insert(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    new_pred,
+    k: int = 8,
+    iters: int = 2,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> DataFrame:
+    """Incremental index maintenance — insert a batch of new vectors
+    into the NN-Descent graph WITHOUT rebuilding it (the batched
+    counterpart of HNSW/DiskANN insertion, and the graph-ANN sibling of
+    ``dedup_incremental_minhash``'s persisted-band probe). Rows matching
+    ``new_pred`` are the arriving batch; the rest are the standing
+    index. Returns the UPDATED full graph ``(id, neighbor_id, cosine,
+    rank)`` covering old + new nodes.
+
+    Three edge sources, all batch-sized (the standing index is never
+    re-scored):
+
+    1. **new→old**: each new vector beam-searches the old graph
+       (hub-seeded, ≤ beam·k rows per query per hop) — HNSW's insert
+       search, batched across the arrivals.
+    2. **old→new** (back-links): the same scored pairs flipped and
+       merged into the touched old nodes' lists — only nodes a search
+       visited re-rank, everyone else's adjacency is untouched.
+    3. **new↔new**: arrivals sharing an old neighbor are scored against
+       each other (one NN-Descent-style local join over the new→old
+       edge list) so a clustered batch links internally instead of only
+       through the old index.
+    """
+    id_t = _sql_type(df, id_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    old = base.filter(~new_pred(F.col("id")))
+    new = base.filter(new_pred(F.col("id")))
+
+    g_old = nndescent_graph(
+        df.filter(~new_pred(F.col(id_col))), id_col, vec_col,
+        k=k, iters=iters, n_hubs=n_hubs,
+    )
+    edges_old = _symmetrize(g_old, id_col)
+    arrivals = new.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    placed = _beam_states(old, edges_old, arrivals, id_t, beam, hops, n_hubs)
+
+    # 1) new→old out-edges: best k of the beam state per arrival
+    new_out = _topk_per_node(
+        placed.select("qid", "node", "cosine"), k, id_col="qid", nb_col="node"
+    ).select(F.col("qid").alias("id"), F.col("node").alias("nb"), "cosine")
+
+    # 3) new↔new via shared old neighbor (one bounded local join)
+    n1 = new_out.alias("n1")
+    n2 = new_out.alias("n2")
+    nn_cand = (
+        n1.join(n2, F.col("n1.nb") == F.col("n2.nb"))
+        .select(F.col("n1.id").alias("id"), F.col("n2.id").alias("nb"))
+        .filter(F.col("id") != F.col("nb"))
+        .distinct()
+    )
+    nn_pairs = (
+        nn_cand.join(new.select("id", "v"), "id")
+        .join(new.select(F.col("id").alias("nb"), F.col("v").alias("nv")), "nb")
+        .select("id", "nb", "v", "nv")
+    )
+    nn_scored = _score_pairs(nn_pairs, "id", "nb", id_t)
+
+    new_adj = _topk_per_node(
+        new_out.unionByName(nn_scored), k
+    ).select("id", "nb", "cosine", "rank")
+
+    # 2) back-links: flip the new→old edges into the touched old lists
+    back = new_out.select(
+        F.col("nb").alias("id"), F.col("id").alias("nb"), "cosine"
+    )
+    old_adj = _topk_per_node(
+        g_old.select(
+            F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"),
+            "cosine",
+        ).unionByName(back),
+        k,
+    ).select("id", "nb", "cosine", "rank")
+
+    return (
+        old_adj.unionByName(new_adj)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("nb").alias("neighbor_id"),
             "cosine",
             "rank",
         )

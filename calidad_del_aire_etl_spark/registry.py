@@ -3719,3 +3719,19 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_graph.graph_beam_topk(
         em, "vec_id", "embedding", lambda c: c < 10, k=5
     )
+
+
+@register("ann_graph_insert", None)  # iterative fixpoint — rows-only by design
+def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31j2 — incremental graph-ANN maintenance
+    (operators/ann_graph.py:nndescent_insert): a 20% arrival batch is
+    inserted into the standing NN-Descent index by batched beam-search
+    placement (new->old), back-link merge into only the touched old
+    nodes, and one bounded new<->new local join — the standing index is
+    never re-scored, the graph-ANN sibling of dedup_incremental_minhash.
+    Rows-only by design; coverage/quality/locality invariants pinned in
+    tests/test_ann_graph.py."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann_graph.nndescent_insert(
+        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8
+    )

@@ -79,3 +79,72 @@ def test_graph_beam_output_contract(spark):
         ranks = sorted(r["rank"] for r in rows if r["query_id"] == q)
         assert ranks == list(range(1, len(ranks) + 1))
         assert all(r["neighbor_id"] != q for r in rows if r["query_id"] == q)
+
+
+def test_nndescent_insert_covers_all_nodes(spark):
+    """Inserting a 20% batch yields a full graph: every node (old and
+    new) has k ranked neighbors, no self-loops, no edges to nowhere."""
+    em = _em(spark)
+    g = ann_graph.nndescent_insert(
+        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=6
+    )
+    rows = g.collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["vec_id"], []).append(r)
+    assert len(by_node) == 500
+    ids = set(by_node)
+    for node, nbrs in by_node.items():
+        assert 1 <= len(nbrs) <= 6
+        assert all(r["neighbor_id"] != node for r in nbrs)
+        assert all(r["neighbor_id"] in ids for r in nbrs)
+        ranks = sorted(r["rank"] for r in nbrs)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_nndescent_insert_quality_near_full_rebuild(spark):
+    """The incremental graph's kept-neighbor quality (mean cosine) must
+    land within a small band of a from-scratch rebuild on the same
+    data — the insert path is an approximation of the rebuild, not a
+    degradation."""
+    em = _em(spark)
+    full = ann_graph.nndescent_graph(em, "vec_id", "embedding", k=6, iters=2)
+    incr = ann_graph.nndescent_insert(
+        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=6
+    )
+    mf = full.agg(F.avg("cosine")).collect()[0][0]
+    mi = incr.agg(F.avg("cosine")).collect()[0][0]
+    assert mi > mf - 0.05, (mf, mi)
+
+
+def test_nndescent_insert_preserves_untouched_old_nodes(spark):
+    """An old node no insert search visited keeps its adjacency
+    byte-identical to the old-only build (locality: inserts only touch
+    what they see)."""
+    em = _em(spark)
+    old_only = ann_graph.nndescent_graph(
+        em.filter(F.col("vec_id") % 5 != 0), "vec_id", "embedding", k=6
+    )
+    incr = ann_graph.nndescent_insert(
+        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=6
+    )
+    old_rows = {}
+    for r in old_only.collect():
+        old_rows.setdefault(r["vec_id"], set()).add(
+            (r["neighbor_id"], r["cosine"])
+        )
+    touched = {
+        r["vec_id"]
+        for r in incr.collect()
+        if r["vec_id"] % 5 != 0 and r["neighbor_id"] % 5 == 0
+    }
+    incr_rows = {}
+    for r in incr.collect():
+        if r["vec_id"] % 5 != 0:
+            incr_rows.setdefault(r["vec_id"], set()).add(
+                (r["neighbor_id"], r["cosine"])
+            )
+    untouched = set(old_rows) - touched
+    assert untouched, "expected some untouched old nodes"
+    same = sum(1 for n in untouched if incr_rows[n] == old_rows[n])
+    assert same == len(untouched), (same, len(untouched))
