@@ -331,8 +331,47 @@ def nndescent_insert(
     g_old = nndescent_graph(
         df.filter(~new_pred(F.col(id_col))), id_col, vec_col,
         k=k, iters=iters, n_hubs=n_hubs,
+    ).select(
+        F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"),
+        "cosine", "rank",
     )
-    edges_old = _symmetrize(g_old, id_col)
+    old_adj, new_adj = insert_into_graph(
+        old, g_old, new, id_t, k=k, beam=beam, hops=hops, n_hubs=n_hubs,
+    )
+    return (
+        old_adj.unionByName(new_adj)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("nb").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def insert_into_graph(
+    old: DataFrame,
+    g_old: DataFrame,
+    new: DataFrame,
+    id_t: str,
+    k: int = 8,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of the insert path, against an EXISTING standing graph —
+    shared by :func:`nndescent_insert` (which builds the old graph
+    in-process) and the streaming index sink (which loads it from the
+    persisted store). ``old``/``new`` are (id, v) relations; ``g_old``
+    is (id, nb, cosine, rank). Returns ``(old_adj, new_adj)`` — the
+    re-ranked adjacency of ALL old nodes (only those receiving a
+    back-link can differ from ``g_old``) and the new nodes' adjacency.
+    """
+    edges_old = _symmetrize(
+        g_old.select(F.col("id").alias("gid"), F.col("nb").alias("neighbor_id"))
+        .withColumnRenamed("gid", "id"),
+        "id",
+    )
     arrivals = new.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
     placed = _beam_states(old, edges_old, arrivals, id_t, beam, hops, n_hubs)
 
@@ -366,19 +405,6 @@ def nndescent_insert(
         F.col("nb").alias("id"), F.col("id").alias("nb"), "cosine"
     )
     old_adj = _topk_per_node(
-        g_old.select(
-            F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"),
-            "cosine",
-        ).unionByName(back),
-        k,
+        g_old.select("id", "nb", "cosine").unionByName(back), k
     ).select("id", "nb", "cosine", "rank")
-
-    return (
-        old_adj.unionByName(new_adj)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("nb").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-    )
+    return old_adj, new_adj

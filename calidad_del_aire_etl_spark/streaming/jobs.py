@@ -940,3 +940,166 @@ def run_minhash_dedup(stream_df: DataFrame, store_dir: str, checkpoint_dir: str)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# #40r: streaming ANN index maintenance (graph-ANN sibling of the
+# MinHash band store — the vector corpus is never re-scored)
+# ---------------------------------------------------------------------------
+
+VECS_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def ann_index_sink(store_dir: str, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8):
+    """foreachBatch incremental graph-ANN index: each epoch inserts its
+    micro-batch of vectors into the PERSISTED NN-Descent graph via
+    batched beam placement (`ann_graph.insert_into_graph`) — the
+    standing corpus is never re-scored, exactly the MinHash band-store
+    discipline applied to similarity search.
+
+    Store layout (all append-only, epoch-partitioned parquet):
+      * ``vectors/epoch=N`` — the batch's (id, vector) rows;
+      * ``graph/epoch=N``  — adjacency DELTA: the new nodes' lists plus
+        only the old nodes whose list changed (a back-link displaced an
+        incumbent edge). Readers take each node's latest epoch
+        (:func:`ann_index_view`) — last-writer-wins per node, the CDC
+        merge convention.
+
+    Replay safety: an ``_epochs/batch-N`` marker makes redelivered
+    epochs no-ops, and both loads filter ``epoch < batch_id`` so a
+    crash between the data writes and the marker can never make a
+    re-run read its own partial output. The first epoch (empty store)
+    builds the graph from the batch alone with NN-Descent proper.
+
+    At 100 TB the store is the only growing state; per epoch the work
+    is O(batch · beam · k · hops) scoring against the standing graph —
+    never O(corpus) — and compaction of old epochs is ordinary table
+    maintenance.
+    """
+    from ..operators import ann_graph
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/_epochs/batch-{batch_id}"
+        )
+        if fs.exists(marker):
+            return  # epoch replay — already applied
+        batch = batch_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).localCheckpoint(eager=True)
+
+        vec_path = f"{store_dir}/vectors"
+        have_store = fs.exists(jvm.org.apache.hadoop.fs.Path(vec_path))
+        if have_store:
+            old = (
+                spark.read.parquet(vec_path)
+                .filter(F.col("epoch") < batch_id)
+                .select("id", "v")
+            )
+            # drop ids already indexed (idempotent upstream redelivery)
+            batch_new = batch.join(old, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            g_old = ann_index_view(spark, store_dir, max_epoch=batch_id)
+            old_adj, new_adj = ann_graph.insert_into_graph(
+                old, g_old, batch_new, "bigint", k=k
+            )
+            # delta: new nodes always; old nodes only where a back-link
+            # changed the list (anti-join on the exact row set)
+            changed_old = old_adj.join(
+                g_old.select("id", "nb", "cosine", "rank"),
+                ["id", "nb", "cosine", "rank"],
+                "left_anti",
+            ).select("id").distinct()
+            delta = new_adj.unionByName(
+                old_adj.join(changed_old, "id", "left_semi")
+            )
+        else:
+            batch_new = batch
+            delta = ann_graph.nndescent_graph(
+                batch.select(F.col("id").alias(id_col),
+                             F.col("v").alias(vec_col)),
+                id_col, vec_col, k=k,
+            ).select(
+                F.col(id_col).alias("id"),
+                F.col("neighbor_id").alias("nb"),
+                "cosine", "rank",
+            )
+
+        delta.write.mode("overwrite").parquet(f"{store_dir}/graph/epoch={batch_id}")
+        batch_new.write.mode("overwrite").parquet(f"{vec_path}/epoch={batch_id}")
+        _crash_point("ann_index:pre_marker", batch_id)
+        fs.mkdirs(marker)
+
+    return write_batch
+
+
+def ann_index_view(spark: SparkSession, store_dir: str,
+                   max_epoch: int | None = None) -> DataFrame:
+    """Current adjacency of the persisted index: each node's rows from
+    its LATEST epoch (last-writer-wins per node). ``max_epoch`` bounds
+    the read to epochs strictly below it (crash-safe replay reads)."""
+    g = spark.read.parquet(f"{store_dir}/graph")
+    if max_epoch is not None:
+        g = g.filter(F.col("epoch") < max_epoch)
+    latest = g.groupBy("id").agg(F.max("epoch").alias("epoch"))
+    return g.join(latest, ["id", "epoch"]).select("id", "nb", "cosine", "rank")
+
+
+def ann_index_search(spark: SparkSession, store_dir: str,
+                     queries: DataFrame, k: int = 5, beam: int = 8,
+                     hops: int = 3, n_hubs: int = 64) -> DataFrame:
+    """Beam-search the persisted index for a (qid, qv) query relation —
+    same output contract as the batch ``ann_*_topk`` operators."""
+    from pyspark.sql import Window
+
+    from ..operators import ann_graph
+
+    base = (
+        spark.read.parquet(f"{store_dir}/vectors").select("id", "v")
+    )
+    g = ann_index_view(spark, store_dir)
+    edges = ann_graph._symmetrize(
+        g.select("id", F.col("nb").alias("neighbor_id")), "id"
+    )
+    state = ann_graph._beam_states(
+        base, edges, queries, "bigint", beam, hops, n_hubs
+    )
+    final = state.filter(F.col("qid") != F.col("node"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def read_vecs_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(VECS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def run_ann_index(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Wire a vector stream into the incremental ANN index sink."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(ann_index_sink(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

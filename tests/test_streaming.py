@@ -744,3 +744,91 @@ def test_streaming_minhash_dedup_band_store(spark, input_dir, tmp_path):
         r["id"] for r in spark.read.parquet(f"{store}/bands").select("id").collect()
     }
     assert stored_after == {1, 3, 5}
+
+
+def test_streaming_ann_index_store(spark, input_dir, tmp_path):
+    """#40r: epoch 0 bootstraps the graph from its own batch; later
+    epochs insert against the PERSISTED index (the standing corpus is
+    never re-scored); the view is last-writer-wins per node; search
+    over the store finds planted neighbors; a replayed epoch is a
+    no-op."""
+    import glob
+    import os
+
+    import numpy as np
+
+    store = str(tmp_path / "ann_store")
+    ckpt = str(tmp_path / "ann_ckpt")
+    rng = np.random.RandomState(3)
+
+    def mk(seed_vec, eps, n, start_id):
+        rows = []
+        for i in range(n):
+            v = seed_vec + eps * rng.randn(8)
+            rows.append((start_id + i, [float(x) for x in v]))
+        return rows
+
+    a = rng.randn(8)
+    b = rng.randn(8)
+    batch0 = mk(a, 0.05, 6, 0) + mk(b, 0.05, 6, 100)
+
+    def _write_vecs(rows, idx):
+        tmp = f"{input_dir}/.vstage{idx}"
+        df = spark.createDataFrame(rows, jobs.VECS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.replace(part, f"{input_dir}/vecs{idx}.parquet")
+
+    _write_vecs(batch0, 0)
+    q = jobs.run_ann_index(jobs.read_vecs_stream(spark, input_dir), store, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_vecs(mk(a, 0.05, 3, 200), 1)  # arrivals near cluster a
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # view covers every inserted node with ranked, self-loop-free lists
+    view = jobs.ann_index_view(spark, store)
+    rows = view.collect()
+    nodes = {r["id"] for r in rows}
+    assert nodes == set(range(6)) | set(range(100, 106)) | set(range(200, 203))
+    for n in nodes:
+        nbrs = [r for r in rows if r["id"] == n]
+        assert all(r["nb"] != n for r in nbrs)
+        assert sorted(r["rank"] for r in nbrs) == list(range(1, len(nbrs) + 1))
+
+    # arrivals near cluster a must link into cluster a, not b
+    for n in (200, 201, 202):
+        nbrs = {r["nb"] for r in rows if r["id"] == n}
+        assert nbrs & (set(range(6)) | {200, 201, 202} - {n}), nbrs
+        a_side = sum(1 for x in nbrs if x < 100 or x >= 200)
+        assert a_side > len(nbrs) / 2, (n, nbrs)
+
+    # search the persisted store: a fresh query near cluster b returns
+    # b-cluster neighbors
+    qv = [float(x) for x in (b + 0.02 * rng.randn(8))]
+    queries = spark.createDataFrame([(999, qv)], "qid bigint, qv array<float>")
+    hits = jobs.ann_index_search(spark, store, queries, k=4).collect()
+    assert len(hits) == 4
+    assert all(100 <= r["neighbor_id"] < 106 for r in hits), hits
+
+    # replaying epoch 0 by hand is a no-op
+    n_graph_rows = spark.read.parquet(f"{store}/graph").count()
+    sink = jobs.ann_index_sink(store)
+    sink(spark.createDataFrame([(9, [0.0] * 8)], jobs.VECS_SCHEMA), 0)
+    assert spark.read.parquet(f"{store}/graph").count() == n_graph_rows
+    assert 9 not in {
+        r["id"] for r in spark.read.parquet(f"{store}/vectors").collect()
+    }
+
+    # crash between data writes and marker: drop epoch 1's marker and
+    # re-run it — the re-run must read only epochs < 1 and converge to
+    # a store that still answers the same searches
+    import shutil as _sh
+
+    _sh.rmtree(f"{store}/_epochs")
+    os.makedirs(f"{store}/_epochs")
+    sink(spark.createDataFrame(mk(a, 0.05, 3, 200), jobs.VECS_SCHEMA), 1)
+    view2 = jobs.ann_index_view(spark, store)
+    assert {r["id"] for r in view2.collect()} == nodes
