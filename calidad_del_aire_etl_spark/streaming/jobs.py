@@ -1103,3 +1103,39 @@ def run_ann_index(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def ann_index_compact(spark: SparkSession, store_dir: str) -> dict:
+    """Table maintenance for the streaming ANN store (the
+    vacuum/compact sibling of the versioned-parquet sinks): collapse
+    all graph epochs into one last-writer-wins snapshot and all vector
+    epochs into one partition, both written as ``epoch=K`` where K is
+    the highest epoch compacted — readers see an identical view
+    (``epoch < batch_id`` filters and :func:`ann_index_view` keep
+    working unchanged, since every surviving row's epoch is <= K), and
+    the per-epoch small-file growth resets. Epoch markers are left
+    untouched: replay of an already-applied batch stays a no-op.
+
+    Returns {"epochs_before", "rows_graph", "rows_vectors"}.
+    """
+    import shutil
+
+    g = spark.read.parquet(f"{store_dir}/graph")
+    epochs = [r["epoch"] for r in g.select("epoch").distinct().collect()]
+    k = max(epochs)
+    view = ann_index_view(spark, store_dir).localCheckpoint(eager=True)
+    vecs = (
+        spark.read.parquet(f"{store_dir}/vectors")
+        .select("id", "v")
+        .localCheckpoint(eager=True)
+    )
+    n_g, n_v = view.count(), vecs.count()
+    shutil.rmtree(f"{store_dir}/graph")
+    shutil.rmtree(f"{store_dir}/vectors")
+    view.write.mode("overwrite").parquet(f"{store_dir}/graph/epoch={k}")
+    vecs.write.mode("overwrite").parquet(f"{store_dir}/vectors/epoch={k}")
+    return {
+        "epochs_before": len(epochs),
+        "rows_graph": n_g,
+        "rows_vectors": n_v,
+    }

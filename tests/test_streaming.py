@@ -832,3 +832,45 @@ def test_streaming_ann_index_store(spark, input_dir, tmp_path):
     sink(spark.createDataFrame(mk(a, 0.05, 3, 200), jobs.VECS_SCHEMA), 1)
     view2 = jobs.ann_index_view(spark, store)
     assert {r["id"] for r in view2.collect()} == nodes
+
+
+def test_ann_index_compact_preserves_view(spark, input_dir, tmp_path):
+    """#40r maintenance: compaction collapses the epoch partitions into
+    one snapshot with an IDENTICAL last-writer-wins view, search still
+    works, and a later epoch can still append past it."""
+    import glob
+    import os
+
+    import numpy as np
+
+    store = str(tmp_path / "annc_store")
+    rng = np.random.RandomState(11)
+    sink = jobs.ann_index_sink(store)
+
+    def rows(n, start_id, center):
+        return [
+            (start_id + i, [float(x) for x in center + 0.05 * rng.randn(8)])
+            for i in range(n)
+        ]
+
+    a, b = rng.randn(8), rng.randn(8)
+    sink(spark.createDataFrame(rows(6, 0, a) + rows(6, 100, b), jobs.VECS_SCHEMA), 0)
+    sink(spark.createDataFrame(rows(3, 200, a), jobs.VECS_SCHEMA), 1)
+
+    before = {
+        (r["id"], r["nb"], r["cosine"], r["rank"])
+        for r in jobs.ann_index_view(spark, store).collect()
+    }
+    stats = jobs.ann_index_compact(spark, store)
+    assert stats["epochs_before"] == 2 and stats["rows_graph"] == len(before)
+    after = {
+        (r["id"], r["nb"], r["cosine"], r["rank"])
+        for r in jobs.ann_index_view(spark, store).collect()
+    }
+    assert after == before
+    # one epoch partition left, and appending epoch 2 still works
+    eps = {r["epoch"] for r in spark.read.parquet(f"{store}/graph").select("epoch").distinct().collect()}
+    assert eps == {1}
+    sink(spark.createDataFrame(rows(2, 300, b), jobs.VECS_SCHEMA), 2)
+    ids = {r["id"] for r in jobs.ann_index_view(spark, store).collect()}
+    assert {300, 301} <= ids and len(ids) == 17
