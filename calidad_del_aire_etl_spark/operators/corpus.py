@@ -716,10 +716,6 @@ def dup_spans_sql(
     """
 
 
-_P1, _B1 = 2147483647, 131  # 2^31-1, classic Rabin-Karp pair
-_P2, _B2 = 2147483629, 137  # nearby prime, independent base
-
-
 def dup_spans_exact(
     df: DataFrame,
     id_col: str,
@@ -736,56 +732,19 @@ def dup_spans_exact(
     substring shared with another document is caught regardless of
     alignment.
 
-    Hashing: per position, a Horner fold of the character code points
-    under two independent polynomial hashes (bases 131/137, primes
-    2^31-1 / 2^31-19) combined into one 62-bit key — collision odds
-    stay negligible at corpus scale, unlike a single 31-bit hash. The
-    fold is a JVM higher-order ``aggregate`` over a slice of the
-    per-row code-point array (materialized once per document in its own
-    projection): O(chars x span_len) with span_len a constant — linear
-    in corpus bytes, no self-join, no UDF. A constant-increment rolling
-    hash would shave the span_len factor but needs cross-element state
-    Spark's HOFs can't express without dropping to Python; keeping the
-    whole pass JVM-side is the better trade.
-
-    Caveat: code points come from ``split(text, '')`` + ``ascii`` —
-    UTF-16 code units on the Spark side, so astral-plane characters
-    (outside the BMP) would hash differently than DuckDB's code-point
-    split. The corpus contract is BMP text (the testdata is ASCII).
+    Same plan as the strided profile (posexplode -> one map-side-
+    combined span aggregate -> verdict join-back -> per-doc rollup),
+    just at unit stride: linear in corpus bytes, self-join-free, no
+    UDF. Hashing stays the strided family's 60-bit md5 prefix — an
+    O(span_len)-per-position Horner/rolling polynomial fold was
+    prototyped as HOF ``aggregate`` lambdas and measured 4x SLOWER at
+    sf1 (27.7 s vs 6.8 s): Spark interprets higher-order-function
+    lambdas per element, while md5-of-substring is one codegen'd JVM
+    intrinsic per position, so the "cheaper" hash loses to the
+    intrinsic by an order of magnitude of per-op cost. The DuckDB twin
+    uses the identical md5 prefix, so parity is exact.
     """
-    codes = f"transform(split({text_col}, ''), c -> ascii(c))"
-
-    def fold(base: int, prime: int) -> str:
-        return (
-            f"aggregate(slice(__codes, s, {span_len}), 0L, "
-            f"(a, c) -> pmod(a * {base} + c, {prime}))"
-        )
-
-    spans = (
-        f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1)), "
-        f"s -> {fold(_B1, _P1)} * {_P2}L + {fold(_B2, _P2)})"
-    )
-    sp = (
-        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .select(F.col(id_col).alias("id"), F.expr(codes).alias("__codes"),
-                F.col(text_col))
-        .select("id", F.posexplode(F.expr(spans)).alias("pos", "h"))
-    )
-    per_span = sp.groupBy("h").agg(F.count_distinct("id").alias("__nd"))
-    flagged = sp.join(per_span, "h").select(
-        "id", (F.col("__nd") >= 2).cast("bigint").alias("__dup")
-    )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("__dup").alias("n_dup_spans"),
-            r4(
-                F.sum("__dup").cast("double") / F.count(F.lit(1)).cast("double")
-            ).alias("dup_frac"),
-        )
-        .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans", "dup_frac")
-    )
+    return dup_spans(df, id_col, text_col, span_len=span_len, stride=1)
 
 
 def dup_spans_exact_sql(
@@ -794,39 +753,7 @@ def dup_spans_exact_sql(
     text_col: str,
     span_len: int = 32,
 ) -> str:
-    codes = f"list_transform(string_split({text_col}, ''), c -> unicode(c))"
-
-    def fold(base: int, prime: int) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_slice(codes, s, s + {span_len - 1})), "
-            f"(a, c) -> (a * {base} + c) % {prime})"
-        )
-
-    return f"""
-    WITH docs AS (
-      SELECT {id_col} AS id, {codes} AS codes, LENGTH({text_col}) AS len
-      FROM {table}
-      WHERE {text_col} IS NOT NULL AND LENGTH({text_col}) > 0
-    ), sp AS (
-      SELECT id,
-             {fold(_B1, _P1)} * {_P2} + {fold(_B2, _P2)} AS h
-      FROM (
-        SELECT id, codes,
-               unnest(generate_series(1, greatest(len - {span_len - 1}, 1))) AS s
-        FROM docs
-      )
-    ), per_span AS (
-      SELECT h, COUNT(DISTINCT id) AS nd FROM sp GROUP BY h
-    )
-    SELECT sp.id AS {id_col},
-           CAST(COUNT(*) AS BIGINT) AS n_spans,
-           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-           ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4) AS dup_frac
-    FROM sp JOIN per_span USING (h)
-    GROUP BY sp.id
-    """
+    return dup_spans_sql(table, id_col, text_col, span_len=span_len, stride=1)
 
 
 # ---------------------------------------------------------------------------
