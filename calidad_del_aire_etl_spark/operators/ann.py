@@ -1370,3 +1370,209 @@ def cluster_purity_sql(
            ROUND(n * 1.0 / n_cluster + 1e-9, 4) AS purity
     FROM ranked WHERE rk = 1 ORDER BY cluster
     """
+
+
+# --- range search: all neighbors above a cosine threshold ------------------
+
+def range_search(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_pred,
+    threshold: float,
+) -> DataFrame:
+    """Cosine RANGE search — every corpus vector with rounded cosine ≥
+    ``threshold`` for each query, the companion search mode to top-k
+    (FAISS ``range_search``; radius queries in dedup pipelines where the
+    match count per query is unknown a priori).
+
+    Same scale shape as :func:`bruteforce_topk`: the query set is
+    broadcast, the corpus streams once map-side with zero shuffle (no
+    per-query window needed at all — the threshold replaces the rank),
+    so the only exchange is the final presentation sort. The filter is
+    applied to the r4-ROUNDED cosine so the boundary is engine-stable.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    queries = base.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    cos = r4(F.expr(COSINE_SPARK.format(a="qv", b="v")))
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .orderBy(F.col("query_id").asc(), F.col("cosine").desc(), F.col("neighbor_id").asc())
+    )
+
+
+def range_search_sql(
+    table: str, id_col: str, vec_col: str, query_pred_sql: str, threshold: float
+) -> str:
+    from .dedup import COSINE_DUCK
+
+    cos = COSINE_DUCK.format(a=f"q.{vec_col}", b=f"c.{vec_col}")
+    return f"""
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             ROUND({cos} + 1e-9, 4) AS cosine
+      FROM {table} q JOIN {table} c ON q.{id_col} != c.{id_col}
+      WHERE {query_pred_sql}
+    ) WHERE cosine >= {threshold}
+    ORDER BY query_id ASC, cosine DESC, neighbor_id ASC
+    """
+
+
+# --- Matryoshka truncation recall -------------------------------------------
+
+def matryoshka_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_pred,
+    k: int = 5,
+    dims: tuple[int, ...] = (4, 8, 16),
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine search vs the full-dim
+    exact top-k — the evaluation behind Matryoshka-style embedding
+    serving (Kusupati et al. 2022), where a prefix of the vector is
+    searched first and the full vector only re-ranks.
+
+    One broadcast of the query set; the corpus streams ONCE and every
+    truncation is scored in the same map pass (the per-dim slices are
+    projected side by side, then unpivoted via an inline stack), so the
+    cost is one corpus scan regardless of |dims|. Per-(dim, query)
+    top-k via window over the tiny scored relation; hits counted
+    against the full-dim reference set. Ties broken identically to
+    :func:`bruteforce_topk` (rounded cosine, neighbor id), so the twin
+    is hash-exact.
+
+    Output: (dim int, hits bigint, possible bigint, recall double) —
+    ``possible`` = Σ_q min(k, N-1), the reference set size.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    queries = base.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = base.crossJoin(F.broadcast(queries)).filter(F.col("id") != F.col("qid"))
+    # dim 0 encodes the full-dim reference; stack() unpivots the
+    # side-by-side scores computed in one pass over the corpus.
+    scored_cols = [
+        (0, r4(F.expr(COSINE_SPARK.format(a="qv", b="v"))))
+    ] + [
+        (
+            d,
+            r4(
+                F.expr(
+                    COSINE_SPARK.format(
+                        a=f"slice(qv, 1, {d})", b=f"slice(v, 1, {d})"
+                    )
+                )
+            ),
+        )
+        for d in dims
+    ]
+    wide = pairs.select(
+        "qid",
+        F.col("id").alias("nid"),
+        *[c.alias(f"c{d}") for d, c in scored_cols],
+    )
+    stack_args = ", ".join(f"{d}, c{d}" for d, _ in scored_cols)
+    long = wide.selectExpr(
+        "qid",
+        "nid",
+        f"stack({len(scored_cols)}, {stack_args}) AS (dim, cosine)",
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    # topk is consumed three times (reference size, hit join, trunc
+    # side); pin the tiny (|dims|+1) × |queries| × k relation so the
+    # corpus cross-product is scored exactly once.
+    topk = (
+        long.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("dim", "qid", "nid")
+        .localCheckpoint(eager=False)
+    )
+    ref = topk.filter(F.col("dim") == 0).select("qid", "nid")
+    possible = ref.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
+    trunc = topk.filter(F.col("dim") > 0)
+    hits = (
+        trunc.join(ref, ["qid", "nid"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    # literal dim spine (not trunc.select("dim").distinct(): that would
+    # re-evaluate the whole scored relation just to enumerate dims)
+    dims_df = base.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("dim")
+    )
+    return (
+        dims_df.join(hits, "dim", "left")
+        .crossJoin(F.broadcast(possible))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.col("possible").cast("bigint").alias("possible"),
+            r4(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.col("possible").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("dim")
+    )
+
+
+def matryoshka_recall_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    dims: tuple[int, ...] = (4, 8, 16),
+) -> str:
+    from .dedup import COSINE_DUCK
+
+    def scored(d: int) -> str:
+        if d == 0:
+            a, b = f"q.{vec_col}", f"c.{vec_col}"
+        else:
+            a, b = f"q.{vec_col}[1:{d}]", f"c.{vec_col}[1:{d}]"
+        cos = COSINE_DUCK.format(a=a, b=b)
+        return f"""
+      SELECT {d} AS dim, q.{id_col} AS qid, c.{id_col} AS nid,
+             ROUND({cos} + 1e-9, 4) AS cosine
+      FROM {table} q JOIN {table} c ON q.{id_col} != c.{id_col}
+      WHERE {query_pred_sql}"""
+
+    union = "\n      UNION ALL".join(scored(d) for d in [0, *dims])
+    return f"""
+    WITH long AS ({union}),
+    topk AS (
+      SELECT dim, qid, nid FROM (
+        SELECT dim, qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY dim, qid
+                                  ORDER BY cosine DESC, nid ASC) AS rk
+        FROM long
+      ) WHERE rk <= {k}
+    ),
+    ref AS (SELECT qid, nid FROM topk WHERE dim = 0),
+    possible AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM ref),
+    hits AS (
+      SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM topk t JOIN ref r ON t.qid = r.qid AND t.nid = r.nid
+      WHERE t.dim > 0 GROUP BY 1
+    ),
+    dims AS (SELECT DISTINCT dim FROM topk WHERE dim > 0)
+    SELECT CAST(d.dim AS INTEGER) AS dim,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           p.possible AS possible,
+           ROUND(COALESCE(h.hits, 0) * 1.0 / p.possible + 1e-9, 4) AS recall
+    FROM dims d LEFT JOIN hits h ON d.dim = h.dim CROSS JOIN possible p
+    ORDER BY dim
+    """

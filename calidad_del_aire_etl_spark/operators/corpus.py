@@ -1512,3 +1512,145 @@ def perplexity_buckets_approx_sql(
            ROUND(MAX(mx_b) + 1e-9, 4) AS max_log2_prob
     FROM cum GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training statistics
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies over character-level
+    word symbolizations — the statistic a BPE tokenizer trainer
+    (Sennrich et al. 2016; GPT-2) computes for its FIRST merge
+    decision, at corpus scale. Each word contributes its interior
+    character bigrams plus a terminal (last-char, '|') end-of-word
+    pair, weighted by the word's corpus frequency.
+
+    Scale shape: tokens collapse to DISTINCT words first (map-side
+    combined groupBy — Heaps'-law bounded, not token-bounded), then
+    pair explosion runs over the small vocabulary relation only
+    (≤ word-length rows per distinct word), and the final pair agg is
+    again combiner-backed. Two shuffles total, both on aggregated
+    relations; no per-token wire traffic at any point. Top-k ties
+    broken by pair text so the boundary is deterministic.
+    """
+    toks = _TOKS.format(t=text_col)
+    words = df.select(F.explode(F.expr(toks)).alias("w")).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w || '|', i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(table: str, text_col: str, k: int = 50) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    return f"""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT unnest({toks}) AS w FROM {table})
+      WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w || '|', i, 2) AS pair, wf
+      FROM (SELECT w, wf, unnest(range(1, length(w) + 1)) AS i FROM wc)
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT {k}
+    """
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, top_ns: tuple[int, ...] = (10, 50, 200)
+) -> DataFrame:
+    """Token coverage of the top-N corpus vocabulary — the
+    fixed-vocabulary OOV-rate curve a tokenizer/vocab designer reads
+    before choosing a vocab size. For each N: the fraction of ALL token
+    occurrences covered by the N most frequent words (ties at the
+    boundary broken by word text, so the cut is deterministic).
+
+    Scale shape: one combiner-backed word count (vocab-bounded), then
+    ``orderBy().limit(max_N)`` — Spark's TakeOrdered, a per-partition
+    heap + driver merge of max_N rows, NOT a full vocabulary sort —
+    and all remaining arithmetic runs on ≤ max_N rows. The total token
+    count rides a 1-row broadcast.
+    """
+    max_n = max(top_ns)
+    toks = _TOKS.format(t=text_col)
+    words = df.select(F.explode(F.expr(toks)).alias("w")).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = wc.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    top = wc.orderBy(F.col("c").desc(), F.col("w").asc()).limit(max_n)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("w").asc())
+        ),
+    )
+    ns = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(n)) for n in top_ns])).alias("top_n")
+    )
+    cov = (
+        ns.join(ranked, ranked.rk <= ns.top_n)
+        .groupBy("top_n")
+        .agg(F.sum("c").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(total))
+        .select(
+            F.col("top_n").cast("int").alias("top_n"),
+            "covered_tokens",
+            "total_tokens",
+            r4(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+            r4(
+                F.lit(1.0)
+                - F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("top_n")
+    )
+
+
+def vocab_coverage_sql(
+    table: str, text_col: str, top_ns: tuple[int, ...] = (10, 50, 200)
+) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    ns_values = ", ".join(f"({int(n)})" for n in top_ns)
+    return f"""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({toks}) AS w FROM {table})
+      WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM wc),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk FROM wc
+    ),
+    ns(top_n) AS (VALUES {ns_values}),
+    cov AS (
+      SELECT ns.top_n, CAST(SUM(r.c) AS BIGINT) AS covered_tokens
+      FROM ns JOIN ranked r ON r.rk <= ns.top_n
+      GROUP BY 1
+    )
+    SELECT CAST(cov.top_n AS INTEGER) AS top_n,
+           cov.covered_tokens,
+           tot.total_tokens,
+           ROUND(cov.covered_tokens * 1.0 / tot.total_tokens + 1e-9, 4) AS coverage,
+           ROUND(1.0 - cov.covered_tokens * 1.0 / tot.total_tokens + 1e-9, 4) AS oov_rate
+    FROM cov CROSS JOIN tot
+    ORDER BY top_n
+    """

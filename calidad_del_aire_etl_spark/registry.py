@@ -3735,3 +3735,62 @@ def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_graph.nndescent_insert(
         em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8
     )
+
+
+@register(
+    "ann_range_search",
+    ann.range_search_sql("embeddings", "vec_id", "embedding", "q.vec_id < 10", 0.30),
+)
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #30b — cosine RANGE search (all neighbors with rounded
+    cosine >= 0.30 per query, FAISS range_search semantics): the
+    unknown-result-count companion to top-k. Broadcast query set, one
+    shuffle-free corpus scan, threshold applied to the r4-rounded score
+    so the boundary is engine-stable."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.range_search(em, "vec_id", "embedding", lambda c: c < 10, 0.30)
+
+
+@register(
+    "embed_matryoshka_recall",
+    ann.matryoshka_recall_sql(
+        "embeddings", "vec_id", "embedding", "q.vec_id < 10", k=5, dims=(4, 8, 16)
+    ),
+)
+def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31h2 — Matryoshka truncation recall (Kusupati et al.
+    2022): recall@5 of prefix-dimension cosine search (dims 4/8/16) vs
+    the full-dim exact top-5. One broadcast of the query set and ONE
+    corpus scan scores every truncation side by side (stack unpivot);
+    per-dim top-k windows run over the tiny scored relation."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.matryoshka_recall(
+        em, "vec_id", "embedding", lambda c: c < 10, k=5, dims=(4, 8, 16)
+    )
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    corpus.bpe_pair_counts_sql("documents", "text", k=50),
+)
+def q_corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #47b — BPE merge-step pair statistics (Sennrich et al.
+    2016): corpus-wide adjacent character-pair frequencies (with
+    end-of-word marker), weighted by word frequency — the first-merge
+    decision of a distributed tokenizer trainer. Tokens collapse to the
+    Heaps'-bounded distinct-word relation before any pair explosion."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.bpe_pair_counts(docs, "text", k=50)
+
+
+@register(
+    "corpus_vocab_coverage",
+    corpus.vocab_coverage_sql("documents", "text", top_ns=(10, 50, 200)),
+)
+def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #47c — top-N vocabulary token coverage / OOV-rate curve
+    (tokenizer vocab sizing): combiner-backed word count, TakeOrdered
+    top-max(N) (no full vocabulary sort), all remaining math on <= 200
+    rows with the corpus total riding a 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.vocab_coverage(docs, "text", top_ns=(10, 50, 200))
