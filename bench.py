@@ -151,6 +151,10 @@ HEADLINE = [
     "corpus_dup_spans_exact",
     "ann_graph_topk",
     "ann_graph_insert",
+    "ann_range_search",
+    "embed_matryoshka_recall",
+    "corpus_bpe_pair_counts",
+    "corpus_vocab_coverage",
 ]
 
 

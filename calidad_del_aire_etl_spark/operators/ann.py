@@ -1502,8 +1502,10 @@ def matryoshka_recall(
     ref = topk.filter(F.col("dim") == 0).select("qid", "nid")
     possible = ref.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
     trunc = topk.filter(F.col("dim") > 0)
+    # ref is |queries| × k rows — broadcast it so the hit join never
+    # sorts/shuffles (explain-time stats can't see how tiny it is)
     hits = (
-        trunc.join(ref, ["qid", "nid"])
+        trunc.join(F.broadcast(ref), ["qid", "nid"])
         .groupBy("dim")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     )
@@ -1513,7 +1515,7 @@ def matryoshka_recall(
         F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("dim")
     )
     return (
-        dims_df.join(hits, "dim", "left")
+        dims_df.join(F.broadcast(hits), "dim", "left")
         .crossJoin(F.broadcast(possible))
         .select(
             F.col("dim").cast("int").alias("dim"),
