@@ -410,6 +410,12 @@ def _vanished_file_race(e: Exception) -> bool:
 # competing writer into the read→compute→commit window.
 _test_pre_publish_hook = None
 
+# Test-only injection point: invoked by VACUUM for each commit dir
+# between the data/ listing and the per-dir listStatus, with the dir
+# path string — lets a pytest deterministically vanish the dir inside
+# that window (the r9 chaos-test race).
+_test_vacuum_pre_dir_list_hook = None
+
 
 def _strip_file_scheme(spark, p: str) -> str | None:
     """Local-filesystem path for ``p``, or None if it resolves to a
@@ -755,10 +761,20 @@ def vacuum_versioned_parquet(
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/_snapshots/v={v}")
         if not fs.exists(p):
             continue
-        referenced |= {
-            r["file"]
-            for r in spark.read.parquet(f"{path}/_snapshots/v={v}").collect()
-        }
+        try:
+            referenced |= {
+                r["file"]
+                for r in spark.read.parquet(f"{path}/_snapshots/v={v}").collect()
+            }
+        except Exception as e:
+            if not _vanished_file_race(e):
+                raise
+            # A RETAINED manifest vanished mid-read: a concurrent vacuum
+            # with a different keep window got ahead of us. Our view of
+            # the live set is stale — sweeping with an incomplete
+            # reference set could delete live data, so abort this pass
+            # (the winning vacuum does the sweep).
+            return 0
     # Normalize BOTH sides through Hadoop Path.toUri().getPath():
     # manifest entries are input_file_name() URIs (file:/..., possibly
     # percent-encoded); listing statuses are decoded FS paths. Running
@@ -797,10 +813,20 @@ def vacuum_versioned_parquet(
             # Record the expired manifest's file list BEFORE deleting it:
             # a file referenced only by expired versions is known-committed
             # garbage, deletable regardless of age.
-            expired_refs |= {
-                r["file"]
-                for r in spark.read.parquet(f"{path}/_snapshots/{name}").collect()
-            }
+            try:
+                expired_refs |= {
+                    r["file"]
+                    for r in spark.read.parquet(
+                        f"{path}/_snapshots/{name}"
+                    ).collect()
+                }
+            except Exception as e:
+                if not _vanished_file_race(e):
+                    raise
+                # A concurrent vacuum deleted this expired manifest
+                # between our listStatus and the read — it already
+                # recorded (or will sweep) its file list; skip.
+                continue
             fs.delete(st.getPath(), True)
         elif name.startswith(".tmp-") and (
             now_ms - st.getModificationTime() > stale_tmp_seconds * 1000
@@ -820,7 +846,22 @@ def vacuum_versioned_parquet(
             )
             live = False
             swept_all = True
-            for st in fs.listStatus(commit.getPath()):
+            if _test_vacuum_pre_dir_list_hook is not None:
+                _test_vacuum_pre_dir_list_hook(commit.getPath().toString())
+            try:
+                commit_files = list(fs.listStatus(commit.getPath()))
+            except Exception as e:
+                if not _vanished_file_race(e):
+                    raise
+                # The commit dir vanished between the data/ listing and
+                # this per-dir listStatus: either a lost-race MERGE
+                # writer cleaned its own staging, or a concurrent vacuum
+                # already reaped it. Both mean "nothing left to sweep
+                # here" — skipping is exactly correct (this unguarded
+                # listStatus killed the vacuum thread in the r9
+                # merge+vacuum chaos test under load).
+                continue
+            for st in commit_files:
                 if not st.getPath().getName().endswith(".parquet"):
                     continue
                 n = _name(st)

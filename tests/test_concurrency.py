@@ -334,3 +334,43 @@ def test_vacuum_sweeps_crashed_writer_leftovers_only_when_stale(spark, tmp_path)
     assert not os.path.exists(orphan_data)
     assert not os.path.exists(orphan_stage)
     assert writers.read_versioned_parquet(spark, path).count() == 10
+
+
+def test_vacuum_survives_commit_dir_vanishing_between_listings(spark, tmp_path):
+    """The r9 chaos-test race, pinned deterministically: a lost-race
+    MERGE writer deletes its staged commit dir AFTER vacuum has listed
+    ``data/`` but BEFORE vacuum lists that dir's files. The unguarded
+    ``fs.listStatus(commit)`` raised FileNotFoundException through py4j
+    and killed the vacuum pass; the fix skips the vanished dir (it is by
+    definition cleaned-up staging or already-reaped garbage)."""
+    import shutil
+
+    path = str(tmp_path / "vanish")
+    _mk_base(spark, path, n=10)
+
+    # Fake an in-flight writer's commit dir that will vanish mid-vacuum.
+    doomed = os.path.join(path, "data", "c-vanishing0000")
+    os.makedirs(doomed)
+    with open(os.path.join(doomed, "part-0.parquet"), "wb") as f:
+        f.write(b"staged rewrite of a writer about to lose its race")
+
+    fired = []
+
+    def vanish(dir_path: str):
+        if "c-vanishing0000" in dir_path and os.path.exists(doomed):
+            shutil.rmtree(doomed)  # the loser cleaning its own staging
+            fired.append(dir_path)
+
+    writers._test_vacuum_pre_dir_list_hook = vanish
+    try:
+        # Must complete, not raise — the vanished dir is simply skipped.
+        writers.vacuum_versioned_parquet(spark, path, keep_last=1)
+    finally:
+        writers._test_vacuum_pre_dir_list_hook = None
+
+    assert fired, "injection hook never visited the doomed commit dir"
+    assert not os.path.exists(doomed)
+    # Live table untouched by the skipped sweep.
+    assert writers.read_versioned_parquet(spark, path).count() == 10
+    # A follow-up quiet pass still works and finds nothing left to do.
+    assert writers.vacuum_versioned_parquet(spark, path, keep_last=1) == 0
