@@ -155,6 +155,9 @@ HEADLINE = [
     "embed_matryoshka_recall",
     "corpus_bpe_pair_counts",
     "corpus_vocab_coverage",
+    "ann_graph_recall_eval",
+    "corpus_bpe_merges",
+    "corpus_span_dedup_emit",
 ]
 
 

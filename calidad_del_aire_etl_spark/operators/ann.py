@@ -1521,10 +1521,16 @@ def matryoshka_recall(
             F.col("dim").cast("int").alias("dim"),
             F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
             F.col("possible").cast("bigint").alias("possible"),
-            r4(
-                F.coalesce("hits", F.lit(0)).cast("double")
-                / F.col("possible").cast("double")
-            ).alias("recall"),
+            # degenerate empty query set: 0 hits of 0 possible is a
+            # recall of 0.0, not 0/0 = NaN (twin-parity guard)
+            F.when(F.col("possible") == 0, F.lit(0.0))
+            .otherwise(
+                r4(
+                    F.coalesce("hits", F.lit(0)).cast("double")
+                    / F.col("possible").cast("double")
+                )
+            )
+            .alias("recall"),
         )
         .orderBy("dim")
     )
@@ -1570,11 +1576,13 @@ def matryoshka_recall_sql(
       FROM topk t JOIN ref r ON t.qid = r.qid AND t.nid = r.nid
       WHERE t.dim > 0 GROUP BY 1
     ),
-    dims AS (SELECT DISTINCT dim FROM topk WHERE dim > 0)
+    dims AS (SELECT unnest(ARRAY[{", ".join(str(int(d)) for d in dims)}]) AS dim)
     SELECT CAST(d.dim AS INTEGER) AS dim,
            CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
            p.possible AS possible,
-           ROUND(COALESCE(h.hits, 0) * 1.0 / p.possible + 1e-9, 4) AS recall
+           CASE WHEN p.possible = 0 THEN 0.0
+                ELSE ROUND(COALESCE(h.hits, 0) * 1.0 / p.possible + 1e-9, 4)
+           END AS recall
     FROM dims d LEFT JOIN hits h ON d.dim = h.dim CROSS JOIN possible p
     ORDER BY dim
     """

@@ -408,3 +408,205 @@ def insert_into_graph(
         g_old.select("id", "nb", "cosine").unionByName(back), k
     ).select("id", "nb", "cosine", "rank")
     return old_adj, new_adj
+
+
+def graph_beam_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+    graph_k: int = 8,
+    iters: int = 2,
+    sample_k: int = 4,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> str:
+    """DuckDB twin of :func:`graph_beam_topk` — the ENTIRE deterministic
+    algorithm (md5-ordered hubs, ``iters`` NN-Descent rounds with the
+    sample_k forward/reverse caps, graph symmetrization, ``hops``
+    beam-search expansions, final re-rank) unrolled into chained CTEs,
+    the same discipline as embed_kmeans's unrolled-k-means oracle. Every
+    top-k cut uses the engines' shared tie-break (r4-rounded cosine
+    desc, id asc), so both engines walk the identical graph and beam.
+    ``query_pred_sql`` is a predicate over the aliased column ``id``
+    (e.g. ``"id < 10"``)."""
+    from .dedup import COSINE_DUCK
+
+    def cos(a: str, b: str) -> str:
+        return f"ROUND({COSINE_DUCK.format(a=a, b=b)} + 1e-9, 4)"
+
+    def topk_nodes(src_sql: str, kk: int, idc: str, nbc: str) -> str:
+        # _topk_per_node twin: dedup (id, nb) on MAX(cosine), then
+        # ROW_NUMBER by (cosine DESC, nb ASC) capped at kk
+        return f"""
+        SELECT {idc}, {nbc}, cosine, rank FROM (
+          SELECT {idc}, {nbc}, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY {idc}
+                   ORDER BY cosine DESC, {nbc} ASC) AS rank
+          FROM (SELECT {idc}, {nbc}, MAX(cosine) AS cosine
+                FROM ({src_sql}) GROUP BY {idc}, {nbc})
+        ) WHERE rank <= {kk}"""
+
+    parts = [
+        f"base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
+        f"""hubs AS (SELECT id AS hid, v AS hv FROM base
+            ORDER BY md5(CAST(id AS VARCHAR)), id ASC LIMIT {n_hubs})""",
+        "g0 AS ("
+        + topk_nodes(
+            f"""SELECT b.id AS id, h.hid AS nb, {cos('b.v', 'h.hv')} AS cosine
+                FROM base b CROSS JOIN hubs h WHERE b.id != h.hid""",
+            graph_k, "id", "nb",
+        )
+        + ")",
+    ]
+    prev = "g0"
+    for r in range(1, iters + 1):
+        parts += [
+            f"s{r} AS (SELECT id, nb FROM {prev} WHERE rank <= {sample_k})",
+            f"rev{r} AS ("
+            + topk_nodes(
+                f"SELECT nb AS id, id AS nb, cosine FROM {prev}",
+                sample_k, "id", "nb",
+            )
+            + ")",
+            f"""e{r} AS (SELECT id, nb FROM s{r}
+                 UNION SELECT id, nb FROM rev{r})""",
+            f"""cand{r} AS (SELECT DISTINCT e1.id AS id, e2.nb AS nb
+                 FROM e{r} e1 JOIN e{r} e2 ON e1.nb = e2.id
+                 WHERE e1.id != e2.nb)""",
+            f"""sc{r} AS (SELECT c.id, c.nb, {cos('bi.v', 'bn.v')} AS cosine
+                 FROM cand{r} c JOIN base bi ON c.id = bi.id
+                 JOIN base bn ON c.nb = bn.id)""",
+            f"g{r} AS ("
+            + topk_nodes(
+                f"""SELECT id, nb, cosine FROM {prev}
+                    UNION ALL SELECT id, nb, cosine FROM sc{r}""",
+                graph_k, "id", "nb",
+            )
+            + ")",
+        ]
+        prev = f"g{r}"
+    parts += [
+        f"""edges AS (SELECT id, nb FROM {prev}
+             UNION SELECT nb AS id, id AS nb FROM {prev})""",
+        f"q AS (SELECT id AS qid, v AS qv FROM base WHERE {query_pred_sql})",
+        # beam seed: queries x hubs, NO self-filter (matches _beam_states)
+        "st0 AS ("
+        + topk_nodes(
+            f"""SELECT q.qid AS qid, h.hid AS node, {cos('q.qv', 'h.hv')} AS cosine
+                FROM q CROSS JOIN hubs h""",
+            beam, "qid", "node",
+        )
+        + ")",
+    ]
+    sprev = "st0"
+    for h in range(1, hops + 1):
+        parts += [
+            f"""fr{h} AS (SELECT DISTINCT s.qid, e.nb AS node
+                 FROM {sprev} s JOIN edges e ON s.node = e.id)""",
+            f"""ssc{h} AS (SELECT f.qid, f.node, {cos('q.qv', 'b.v')} AS cosine
+                 FROM fr{h} f JOIN base b ON f.node = b.id
+                 JOIN q ON f.qid = q.qid)""",
+            f"st{h} AS ("
+            + topk_nodes(
+                f"""SELECT qid, node, cosine FROM {sprev}
+                    UNION ALL SELECT qid, node, cosine FROM ssc{h}""",
+                beam, "qid", "node",
+            )
+            + ")",
+        ]
+        sprev = f"st{h}"
+    ctes = ",\n".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT qid AS query_id, node AS neighbor_id, cosine, rank FROM (
+      SELECT qid, node, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, node ASC) AS rank
+      FROM (SELECT qid, node, cosine FROM {sprev} WHERE qid != node)
+    ) WHERE rank <= {k}
+    """
+
+
+def graph_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_pred,
+    k: int = 5,
+    graph_k: int = 8,
+    iters: int = 2,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> DataFrame:
+    """Recall@k of the NN-Descent beam search vs the exact brute-force
+    ranking, one row per query — the graph-ANN analog of
+    ``ann.recall_eval`` (VERDICT r9 #3): the graph BUILD stays rows-only
+    (iterative fixpoint), but because every decision in it is
+    deterministic (md5 hubs, r4 tie-breaks), the search OUTPUT is a pure
+    function of the data and the oracle twin replays the identical walk
+    as unrolled SQL — making the pair's quality hash-checkable."""
+    from .ann import bruteforce_topk
+
+    exact = bruteforce_topk(df, id_col, vec_col, query_ids_pred, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__e")
+    )
+    approx = graph_beam_topk(
+        df, id_col, vec_col, query_ids_pred, k=k, graph_k=graph_k,
+        iters=iters, beam=beam, hops=hops, n_hubs=n_hubs,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__a"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    per_q = j.groupBy("query_id").agg(
+        F.sum("__e").cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum(F.col("__e") * F.col("__a")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    from .ann import r4
+
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        r4(F.col("n_hits") / F.col("n_exact")).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+def graph_recall_eval_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    bf_pred_sql: str,
+    graph_pred_sql: str,
+    k: int = 5,
+    graph_k: int = 8,
+    iters: int = 2,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> str:
+    from .ann import bruteforce_topk_sql
+
+    exact = bruteforce_topk_sql(table, id_col, vec_col, bf_pred_sql, k=k)
+    approx = graph_beam_topk_sql(
+        table, id_col, vec_col, graph_pred_sql, k=k, graph_k=graph_k,
+        iters=iters, beam=beam, hops=hops, n_hubs=n_hubs,
+    )
+    return f"""
+    WITH exact AS ({exact}), approx AS ({approx}),
+    j AS (
+      SELECT COALESCE(e.query_id, a.query_id) AS query_id,
+             CASE WHEN e.query_id IS NOT NULL THEN 1 END AS e,
+             CASE WHEN a.query_id IS NOT NULL THEN 1 END AS a
+      FROM exact e FULL OUTER JOIN approx a
+        USING (query_id, neighbor_id)
+    )
+    SELECT query_id,
+           CAST(SUM(e) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(e * a), 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(SUM(e * a), 0) * 1.0 / SUM(e) + 1e-9, 4) AS recall_at_k
+    FROM j GROUP BY 1 ORDER BY 1
+    """

@@ -1600,10 +1600,23 @@ def vocab_coverage(
     ns = df.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(int(n)) for n in top_ns])).alias("top_n")
     )
+    # running-sum + EQUI-join at rk == top_n (ADVICE r9: the rk <= top_n
+    # non-equi join compiled to a BroadcastNestedLoopJoin between
+    # multi-row relations, violating PLANS.md's BNLJ invariant). The
+    # cumulative window runs over <= max_n rows, one partition — tiny.
+    # top_n beyond the vocabulary falls back to the whole-list sum.
+    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cums = ranked.select("rk", F.sum("c").over(wcum).alias("cum"))
+    allc = cums.agg(F.coalesce(F.max("cum"), F.lit(0)).alias("allcum"))
     cov = (
-        ns.join(ranked, ranked.rk <= ns.top_n)
-        .groupBy("top_n")
-        .agg(F.sum("c").cast("bigint").alias("covered_tokens"))
+        ns.join(
+            F.broadcast(cums.withColumnRenamed("rk", "top_n")), "top_n", "left"
+        )
+        .crossJoin(F.broadcast(allc))
+        .select(
+            "top_n",
+            F.coalesce("cum", "allcum").cast("bigint").alias("covered_tokens"),
+        )
     )
     return (
         cov.crossJoin(F.broadcast(total))
@@ -1641,10 +1654,12 @@ def vocab_coverage_sql(
       SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk FROM wc
     ),
     ns(top_n) AS (VALUES {ns_values}),
+    cums AS (SELECT rk, SUM(c) OVER (ORDER BY rk) AS cum FROM ranked),
+    allc AS (SELECT COALESCE(MAX(cum), 0) AS allcum FROM cums),
     cov AS (
-      SELECT ns.top_n, CAST(SUM(r.c) AS BIGINT) AS covered_tokens
-      FROM ns JOIN ranked r ON r.rk <= ns.top_n
-      GROUP BY 1
+      SELECT ns.top_n,
+             CAST(COALESCE(cums.cum, allc.allcum) AS BIGINT) AS covered_tokens
+      FROM ns LEFT JOIN cums ON cums.rk = ns.top_n CROSS JOIN allc
     )
     SELECT CAST(cov.top_n AS INTEGER) AS top_n,
            cov.covered_tokens,
@@ -1653,4 +1668,273 @@ def vocab_coverage_sql(
            ROUND(1.0 - cov.covered_tokens * 1.0 / tot.total_tokens + 1e-9, 4) AS oov_rate
     FROM cov CROSS JOIN tot
     ORDER BY top_n
+    """
+
+
+# BPE symbol sentinels: each symbol in a word's symbolization is stored
+# as S1+sym+S2 inside one string, so applying a merge (a,b)->ab is a
+# plain left-to-right literal replace of S1+a+S2+S1+b+S2 — the exact
+# greedy non-overlapping scan reference BPE uses, and identical
+# semantics in Spark (`replace`) and DuckDB (`replace`). Record
+# separators are vanishingly rare in text; if one ever appears both
+# engines degrade identically, so parity is unaffected.
+_BPE_S1 = "\x1e"
+_BPE_S2 = "\x1f"
+
+
+def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 6) -> DataFrame:
+    """The BPE trainer loop (Sennrich et al. 2016) — ``n_merges``
+    iterated merge decisions over the corpus, extending
+    :func:`bpe_pair_counts` (the first decision) into the merge-table
+    ARTIFACT a tokenizer ships with. Returns one row per merge step:
+    ``(step, pair_left, pair_right, merged, pair_count)``.
+
+    Scale shape (the embed_kmeans codebook discipline): tokens collapse
+    once to the Heaps'-law-bounded distinct-word relation; every
+    iteration re-scores adjacent symbol pairs over that vocab relation
+    (combiner-backed groupBy, two small shuffles) and collects exactly
+    ONE argmax row to the driver — merge-table-sized driver traffic,
+    never corpus-sized. The winning pair broadcasts back as two literals
+    in a `replace` projection; `localCheckpoint` keeps each round's plan
+    round-sized. Ties break on (count desc, left asc, right asc) so both
+    engines pick the identical merge at every step."""
+    toks = _TOKS.format(t=text_col)
+    words = df.select(F.explode(F.expr(toks)).alias("w")).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+    wrapped = F.expr(
+        f"concat(regexp_replace(w, '(.)', '{_BPE_S1}$1{_BPE_S2}'),"
+        f" '{_BPE_S1}|{_BPE_S2}')"
+    )
+    vocab = wc.select(wrapped.alias("s"), "wf").localCheckpoint()
+
+    sy = (
+        f"split(substring(s, 2, length(s) - 2), '{_BPE_S2}{_BPE_S1}')"
+    )
+    pair_expr = (
+        f"CASE WHEN size({sy}) > 1 THEN "
+        f"transform(sequence(1, size({sy}) - 1),"
+        f" i -> struct(element_at({sy}, i) AS a, element_at({sy}, i + 1) AS b))"
+        f" ELSE array() END"
+    )
+    rows = []
+    for step in range(1, n_merges + 1):
+        pc = (
+            vocab.select(F.explode(F.expr(pair_expr)).alias("p"), "wf")
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wf")
+            .groupBy("a", "b")
+            .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+        )
+        best = pc.orderBy(
+            F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not best:
+            break  # corpus fully merged before n_merges steps
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["pair_count"]
+        rows.append((step, a, b, a + b, cnt))
+        pat = f"{_BPE_S1}{a}{_BPE_S2}{_BPE_S1}{b}{_BPE_S2}"
+        rep = f"{_BPE_S1}{a}{b}{_BPE_S2}"
+        vocab = vocab.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "wf"
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        rows,
+        "step int, pair_left string, pair_right string, "
+        "merged string, pair_count bigint",
+    ).orderBy("step")
+
+
+def bpe_merges_sql(table: str, text_col: str, n_merges: int = 6) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the trainer loop unrolled into
+    one CTE chain per step (count pairs -> argmax -> literal replace),
+    the same discipline as embed_kmeans's unrolled-k-means oracle."""
+    toks = _TOKS_SQL.format(t=text_col)
+    s1, s2 = _BPE_S1, _BPE_S2
+    parts = [
+        f"""wc AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+          FROM (SELECT unnest({toks}) AS w FROM {table})
+          WHERE w <> '' GROUP BY w
+        )""",
+        f"""v0 AS (
+          SELECT regexp_replace(w, '(.)', '{s1}\\1{s2}', 'g')
+                 || '{s1}|{s2}' AS s, wf
+          FROM wc
+        )""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts += [
+            f"""p{i} AS (
+              SELECT sy[j] AS a, sy[j + 1] AS b, wf FROM (
+                SELECT string_split(substr(s, 2, length(s) - 2),
+                                    '{s2}{s1}') AS sy,
+                       wf, unnest(range(1, len(string_split(
+                         substr(s, 2, length(s) - 2), '{s2}{s1}')))) AS j
+                FROM v{i - 1})
+            )""",
+            f"""b{i} AS (
+              SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count
+              FROM p{i} GROUP BY 1, 2
+              ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+            )""",
+            f"""v{i} AS (
+              SELECT replace(v.s, '{s1}' || b.a || '{s2}{s1}' || b.b || '{s2}',
+                             '{s1}' || b.a || b.b || '{s2}') AS s, v.wf
+              FROM v{i - 1} v, b{i} b
+            )""",
+        ]
+    steps = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, a AS pair_left, b AS pair_right,"
+        f" a || b AS merged, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT * FROM ({steps}) ORDER BY step"
+
+
+def span_dedup_emit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 32,
+    drop_frac: float = 0.3,
+) -> DataFrame:
+    """The REMOVAL step of Lee et al. 2022 span dedup — the decision
+    analog of ``dedup_keep_best`` (VERDICT r9 #7), consuming the exact
+    stride-1 span verdicts that :func:`dup_spans_exact` profiles. Per
+    document: the duplicated-CHAR fraction (union of all duplicated
+    span intervals — tighter than the span fraction, since overlapping
+    stride-1 spans over-count), and the emit action:
+
+    - ``drop`` — duplicated-char fraction exceeds ``drop_frac``: the
+      doc is mostly pasted content, remove it from the corpus;
+    - ``clip`` — some duplicated chars but under the threshold: keep,
+      trimming the duplicated intervals (``kept_chars`` is the size of
+      the survivor);
+    - ``keep`` — no cross-document duplicated span at all.
+
+    Plan: the proven span machinery (posexplode stride-1 spans, ONE
+    map-side-combined per-span distinct-doc count, verdict join-back)
+    plus an interval-union window over ONLY the duplicated spans —
+    running-max of interval end per doc, new-coverage arithmetic all in
+    integers, so both engines agree exactly. Linear in corpus bytes,
+    self-join-free."""
+    spans_expr = (
+        f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1), 1), "
+        f"s -> cast(conv(substr(md5(cast(substring({text_col}, s, {span_len}) as binary)), 1, 15), 16, 10) as bigint))"
+    )
+    sp = df.select(
+        F.col(id_col).alias("id"),
+        F.char_length(F.col(text_col)).cast("bigint").alias("doc_len"),
+        F.posexplode(F.expr(spans_expr)).alias("pos", "h"),
+    )
+    # three consumers of the span stream (per-span verdict, totals,
+    # interval union) — checkpoint so tokenize+hash runs once
+    sp = sp.localCheckpoint(eager=False)
+    per_span = sp.groupBy("h").agg(F.count_distinct("id").alias("__nd"))
+    flagged = sp.join(per_span, "h").select(
+        "id", "doc_len", (F.col("pos") + 1).alias("cpos"),
+        (F.col("__nd") >= 2).alias("__dup"),
+    )
+    tot = flagged.groupBy("id", "doc_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("__dup").cast("bigint")).cast("bigint").alias("n_dup_spans"),
+    )
+    dups = flagged.filter(F.col("__dup")).select(
+        "id",
+        "cpos",
+        F.least(F.col("cpos") + F.lit(span_len - 1), F.col("doc_len")).alias("iend"),
+    )
+    w = Window.partitionBy("id").orderBy("cpos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cov = dups.withColumn("prev_end", F.max("iend").over(w)).select(
+        "id",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("iend")
+            - F.greatest(F.col("cpos") - 1, F.coalesce(F.col("prev_end"), F.lit(0))),
+        ).alias("contrib"),
+    )
+    dup_chars = cov.groupBy("id").agg(
+        F.sum("contrib").cast("bigint").alias("dup_chars")
+    )
+    out = tot.join(dup_chars, "id", "left").select(
+        "id",
+        "doc_len",
+        "n_spans",
+        "n_dup_spans",
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias("dup_chars"),
+    )
+    frac = r4(F.col("dup_chars").cast("double") / F.col("doc_len").cast("double"))
+    return out.select(
+        F.col("id").alias(id_col),
+        "doc_len",
+        "n_spans",
+        "n_dup_spans",
+        "dup_chars",
+        frac.alias("dup_char_frac"),
+        (F.col("doc_len") - F.col("dup_chars")).cast("bigint").alias("kept_chars"),
+        F.when(
+            F.col("dup_chars").cast("double") / F.col("doc_len").cast("double")
+            > F.lit(drop_frac),
+            F.lit("drop"),
+        )
+        .when(F.col("dup_chars") > 0, F.lit("clip"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+def span_dedup_emit_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    span_len: int = 32,
+    drop_frac: float = 0.3,
+) -> str:
+    return f"""
+    WITH sp AS (
+      SELECT {id_col} AS id, CAST(LENGTH({text_col}) AS BIGINT) AS doc_len,
+             CAST(s AS BIGINT) AS cpos,
+             (('0x' || substr(md5(substr({text_col}, CAST(s AS INTEGER), {span_len})), 1, 15))::BIGINT) AS h
+      FROM (
+        SELECT {id_col}, {text_col},
+               unnest(generate_series(1, greatest(LENGTH({text_col}) - {span_len - 1}, 1), 1)) AS s
+        FROM {table}
+      )
+    ), per_span AS (
+      SELECT h, COUNT(DISTINCT id) AS nd FROM sp GROUP BY h
+    ), flagged AS (
+      SELECT sp.id, sp.doc_len, sp.cpos, (nd >= 2) AS dup
+      FROM sp JOIN per_span USING (h)
+    ), tot AS (
+      SELECT id, doc_len, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM flagged GROUP BY id, doc_len
+    ), cov AS (
+      SELECT id,
+             GREATEST(0, iend - GREATEST(cpos - 1, COALESCE(prev_end, 0))) AS contrib
+      FROM (
+        SELECT id, cpos, iend,
+               MAX(iend) OVER (PARTITION BY id ORDER BY cpos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM (
+          SELECT id, cpos, LEAST(cpos + {span_len - 1}, doc_len) AS iend
+          FROM flagged WHERE dup
+        )
+      )
+    ), dc AS (
+      SELECT id, CAST(SUM(contrib) AS BIGINT) AS dup_chars FROM cov GROUP BY id
+    )
+    SELECT t.id AS {id_col}, t.doc_len, t.n_spans, t.n_dup_spans,
+           CAST(COALESCE(dc.dup_chars, 0) AS BIGINT) AS dup_chars,
+           ROUND(CAST(COALESCE(dc.dup_chars, 0) AS DOUBLE)
+                 / CAST(t.doc_len AS DOUBLE) + 1e-9, 4) AS dup_char_frac,
+           CAST(t.doc_len - COALESCE(dc.dup_chars, 0) AS BIGINT) AS kept_chars,
+           CASE WHEN CAST(COALESCE(dc.dup_chars, 0) AS DOUBLE)
+                     / CAST(t.doc_len AS DOUBLE) > {drop_frac} THEN 'drop'
+                WHEN COALESCE(dc.dup_chars, 0) > 0 THEN 'clip'
+                ELSE 'keep'
+           END AS action
+    FROM tot t LEFT JOIN dc ON t.id = dc.id
     """

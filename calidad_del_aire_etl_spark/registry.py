@@ -199,6 +199,27 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
         "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
         "tpch_q7_volume", "tpch_q9_profit",
     }),
+    # round 9 (50 keys, from CORRECTNESS_r09.json)
+    frozenset({
+        "ab_welch_t", "ann_graph_insert", "ann_graph_topk", "ann_range_search",
+        "ann_recall_eval", "corpus_bpe_pair_counts", "corpus_chunk_docs",
+        "corpus_dup_spans", "corpus_dup_spans_exact", "corpus_ngram_topk",
+        "corpus_pack_sequences", "corpus_perplexity_buckets_approx",
+        "corpus_pii_scrub", "corpus_repetition_filter",
+        "corpus_sentence_dedup", "corpus_stratified_sample",
+        "corpus_vocab_coverage", "daily_percentile_bands", "decayed_counts",
+        "dedup_containment", "dedup_keep_best", "dedup_minhash_eval",
+        "dedup_semantic", "embed_cluster_purity", "embed_kmeans",
+        "embed_matryoshka_recall", "etl_aqi", "etl_calendar_dim",
+        "etl_category", "etl_dedup_exact", "etl_interpolate",
+        "etl_outlier_iqr", "fd_profile", "geo_close_pairs",
+        "holt_trend_forecast", "inclusion_profile", "item_cf_cosine",
+        "lang_id_eval", "mm_frame_sample", "pareto_frontier",
+        "quality_auc_eval", "quantile_rollup_merge",
+        "revenue_gini_by_nation_hist", "scd2_apply_incremental",
+        "session_stats", "sql_interface", "text_bm25_topk",
+        "text_hash_features", "top_event_paths", "user_feature_matrix",
+    }),
 ]
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)
@@ -3738,6 +3759,26 @@ def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_graph_recall_eval",
+    ann_graph.graph_recall_eval_sql(
+        "embeddings", "vec_id", "embedding", "q.vec_id < 10", "id < 10", k=5
+    ),
+)
+def q_ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31j3 — recall@5 of the NN-Descent beam search vs the
+    exact brute-force ranking, per query (VERDICT r9 #3): closes the
+    graph-ANN verification gap. The graph BUILD stays rows-only, but
+    every decision in it is deterministic (md5-ordered hubs, r4-rounded
+    tie-breaks), so the oracle twin replays the IDENTICAL build+search
+    as unrolled CTEs (the embed_kmeans discipline) — the pair's output
+    quality is now hash-checkable, not just pytest-pinned."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann_graph.graph_recall_eval(
+        em, "vec_id", "embedding", lambda c: c < 10, k=5
+    )
+
+
+@register(
     "ann_range_search",
     ann.range_search_sql("embeddings", "vec_id", "embedding", "q.vec_id < 10", 0.30),
 )
@@ -3781,6 +3822,40 @@ def q_corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Heaps'-bounded distinct-word relation before any pair explosion."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return corpus.bpe_pair_counts(docs, "text", k=50)
+
+
+@register(
+    "corpus_span_dedup_emit",
+    corpus.span_dedup_emit_sql("documents", "doc_id", "text", span_len=32, drop_frac=0.3),
+)
+def q_corpus_span_dedup_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49g3 — the REMOVAL step of Lee et al. 2022 span dedup
+    (VERDICT r9 #7): per-doc duplicated-CHAR fraction (interval union of
+    the stride-1 duplicated spans — tighter than the span fraction) and
+    the emit action (drop > 0.3, clip if any dup chars, else keep) — the
+    decision analog of dedup_keep_best, built on the proven
+    corpus_dup_spans_exact machinery. All-integer interval arithmetic,
+    so both engines agree exactly; planted-doc pytest in
+    tests/test_round10_ops.py."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.span_dedup_emit(docs, "doc_id", "text", span_len=32, drop_frac=0.3)
+
+
+@register(
+    "corpus_bpe_merges",
+    corpus.bpe_merges_sql("documents", "text", n_merges=6),
+)
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #47d — the BPE trainer LOOP (Sennrich et al. 2016;
+    VERDICT r9 #6): 6 iterated merge decisions over the Heaps'-bounded
+    distinct-word relation, extending corpus_bpe_pair_counts (the first
+    decision) into the merge-table artifact a tokenizer ships with.
+    Per step: combiner-backed pair count over the vocab relation, ONE
+    argmax row to the driver (codebook discipline), literal-replace
+    broadcast back. Oracle = the loop unrolled into per-step CTEs;
+    pytest pins the loop against a reference BPE on a toy corpus."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.bpe_merges(docs, "text", n_merges=6)
 
 
 @register(

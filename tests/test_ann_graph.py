@@ -148,3 +148,32 @@ def test_nndescent_insert_preserves_untouched_old_nodes(spark):
     assert untouched, "expected some untouched old nodes"
     same = sum(1 for n in untouched if incr_rows[n] == old_rows[n])
     assert same == len(untouched), (same, len(untouched))
+
+
+def test_graph_recall_eval_matches_manual_intersection(spark):
+    """graph_recall_eval's per-query n_hits must equal the literal
+    intersection of the two relations it claims to compare (the eval
+    can't over- or under-count); recall is n_hits/k in [0,1]."""
+    from calidad_del_aire_etl_spark.operators import ann, ann_graph
+
+    em = _em(spark)
+    pred = lambda c: c < 5  # noqa: E731
+    ev = {
+        r["query_id"]: (r["n_exact"], r["n_hits"], r["recall_at_k"])
+        for r in ann_graph.graph_recall_eval(
+            em, "vec_id", "embedding", pred, k=5
+        ).collect()
+    }
+    exact = ann.bruteforce_topk(em, "vec_id", "embedding", pred, k=5).collect()
+    approx = ann_graph.graph_beam_topk(
+        em, "vec_id", "embedding", pred, k=5
+    ).collect()
+    truth = {}
+    for q in ev:
+        e = {r["neighbor_id"] for r in exact if r["query_id"] == q}
+        a = {r["neighbor_id"] for r in approx if r["query_id"] == q}
+        truth[q] = (len(e), len(e & a))
+    for q, (n_exact, n_hits, rec) in ev.items():
+        assert (n_exact, n_hits) == truth[q]
+        assert abs(rec - round(n_hits / n_exact + 1e-9, 4)) < 1e-12
+        assert 0.0 <= rec <= 1.0

@@ -70,14 +70,21 @@ def main() -> None:
             oversized.append((name, p.count("Exchange")))
     print(
         "\nReading guide: a non-zero BNLJ/cartesian count is acceptable"
-        "\nONLY for the scalar-broadcast pattern — crossJoin(broadcast(«1-row"
-        "\nrelation»)) carrying a total/threshold/codebook into the plan"
-        "\n(dash_kpis, ann topk codebooks, tfidf N, heavy-hitters error bound,"
-        "\nq11 threshold are exactly these); BNLJ between row-sized relations"
-        "\nis a bug. SMJ only where both sides are fact-sized; mapInPandas"
-        "\nqueries show 0 codegen spans by construction (Python stage);"
-        "\npushed filters apply only to queries whose scan has a selective"
-        "\npredicate."
+        "\nONLY for two sanctioned patterns. (1) scalar broadcast —"
+        "\ncrossJoin(broadcast(«1-row relation»)) carrying a"
+        "\ntotal/threshold/codebook into the plan (dash_kpis, ann topk"
+        "\ncodebooks, tfidf N, heavy-hitters error bound, q11 threshold)."
+        "\n(2) broadcast query/hub set — crossJoin(broadcast(«k-row bounded"
+        "\nrelation»)) scoring a streaming corpus against a small fixed set"
+        "\n(ann_range_search, embed_matryoshka_recall, bruteforce scoring):"
+        "\nthe small side is bounded by the query/hub count, the big side"
+        "\nstreams, no shuffle — the correct distributed brute-force plan."
+        "\nBNLJ between two unbounded multi-row relations is a bug"
+        "\n(the r9 vocab_coverage rk<=top_n join was exactly that and was"
+        "\nreplaced by a running-sum equi-join). SMJ only where both sides"
+        "\nare fact-sized; mapInPandas queries show 0 codegen spans by"
+        "\nconstruction (Python stage); pushed filters apply only to"
+        "\nqueries whose scan has a selective predicate."
     )
     spark.stop()
     assert not oversized, (
