@@ -268,13 +268,11 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# Core ETL operators (SURVEY §2 #1-12) on the `events` table.
-# `events` plays the sensor-readings role: ts→timestamp, user_id→station,
-# value→PM2.5-like reading (see SURVEY §3).
+# Shared fixture helpers used by several query modules (the gappy-events
+# relation feeds q01 interpolation, the q05 flagship pipeline, and the
+# q09 SQL surface).
 # ---------------------------------------------------------------------------
 
-# The raw testdata has no NULLs; the interpolation operator needs gaps, so
-# both engines deterministically blank the same rows (event_id % 37 == 0).
 _GAPPY_EVENTS_SQL = (
     "(SELECT event_id, ts, user_id, event_type, "
     "CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value FROM events)"
@@ -294,3578 +292,28 @@ def _gappy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "etl_interpolate",
-    "SELECT * FROM ("
-    + cleaning.interpolate_linear_sql(
-        _GAPPY_EVENTS_SQL,
-        value_col="value",
-        group_cols=["user_id"],
-        order_cols=["ts", "event_id"],
-        limit=3,
-        passthrough=["event_id", "user_id"],
-    )
-    + ")",
-)
-def q_etl_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #1 — per-group linear interpolation (ref dag:162-168)."""
-    df = cleaning.interpolate_linear(
-        _gappy_events(spark, sf_dir),
-        value_col="value",
-        group_cols=["user_id"],
-        order_cols=["ts", "event_id"],
-        limit=3,
-    )
-    return df.select("event_id", "user_id", "value")
-
-
-@register(
-    "etl_outlier_iqr",
-    cleaning.iqr_clip_sql(
-        "events",
-        cols=["value"],
-        group_cols=["event_type"],
-        k=3.0,
-        passthrough=["t.event_id AS event_id", "t.event_type AS event_type"],
-    ),
-)
-def q_etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #2 — IQR clipping with exact percentiles (ref dag:170-177)."""
-    ev = load(spark, sf_dir, "events")
-    out = cleaning.iqr_clip(ev, cols=["value"], group_cols=["event_type"], k=3.0)
-    return out.select("event_id", "event_type", "value")
-
-
-@register(
-    "etl_dedup_exact",
-    """
-    SELECT event_id, user_id, event_type, value FROM (
-      SELECT event_id, user_id, event_type, value,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id, event_type, date_trunc('hour', ts)
-               ORDER BY event_id) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
-def q_etl_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #3 — composite-key dedup, deterministic survivor
-    (ref dag:179-180). Key: (station, type, hour-bucket)."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "__hr", F.date_trunc("hour", F.col("ts"))
-    )
-    out = cleaning.dedup_exact(
-        ev, key_cols=["user_id", "event_type", "__hr"], tiebreak_cols=["event_id"]
-    )
-    return out.select("event_id", "user_id", "event_type", "value")
-
-
-@register(
-    "etl_aqi",
-    f"SELECT event_id, value, {aqi_sql('value')} AS aqi FROM events",
-)
-def q_etl_aqi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #4 — EPA AQI piecewise transform (ref dag:184-199)."""
-    ev = load(spark, sf_dir, "events")
-    return features.with_aqi(ev, "value").select("event_id", "value", "aqi")
-
-
-@register(
-    "etl_category",
-    f"""
-    SELECT event_id, aqi, {quality_category_sql("aqi")} AS air_quality_category
-    FROM (SELECT event_id, {aqi_sql("value")} AS aqi FROM events)
-    """,
-)
-def q_etl_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #5 — quality category bucketing (ref dag:201-218)."""
-    ev = load(spark, sf_dir, "events")
-    df = features.with_aqi(ev, "value")
-    df = features.with_quality_category(df, "aqi")
-    return df.select("event_id", "aqi", "air_quality_category")
-
-
-@register(
-    "etl_temporal_features",
-    """
-    SELECT event_id,
-           CAST(HOUR(ts) AS INTEGER) AS hour,
-           CAST(ISODOW(ts) - 1 AS INTEGER) AS day_of_week,
-           CAST(CASE WHEN ISODOW(ts) - 1 IN (5,6) THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
-           CAST(CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END AS INTEGER) AS is_rush_hour,
-           CAST(MONTH(ts) AS INTEGER) AS month,
-           CAST(CAST(ts AS DATE) AS VARCHAR) AS date
-    FROM events
-    """,
-)
-def q_etl_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #6 — temporal feature extraction (ref dag:220-226)."""
-    ev = load(spark, sf_dir, "events")
-    df = features.with_temporal_features(ev, "ts")
-    return df.select(
-        "event_id",
-        F.col("hour").cast("int").alias("hour"),
-        F.col("day_of_week").cast("int").alias("day_of_week"),
-        F.col("is_weekend").cast("int").alias("is_weekend"),
-        F.col("is_rush_hour").cast("int").alias("is_rush_hour"),
-        F.col("month").cast("int").alias("month"),
-        F.col("date").cast("string").alias("date"),
-    )
-
-
-@register(
-    "etl_pollution_index",
-    """
-    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
-           ROUND(COALESCE(ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4), 0) / 50.0 * 0.3
-               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4), 0) / 100.0 * 0.3
-               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4), 0) / 100.0 * 0.2
-               + COALESCE(ROUND(AVG(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4), 0) / 2.0 * 0.002
-               + 1e-9, 4) AS pollution_index
-    FROM events
-    GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
-    """,
-)
-def q_etl_pollution_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #7 — weighted multi-column composite (ref dag:229-234).
-
-    The reference combines four pollutant columns; events is long-form, so
-    the engine first pivots event types to columns via conditional
-    aggregation (one shuffle), then applies the same weighted formula.
-    """
-    ev = load(spark, sf_dir, "events")
-
-    def cavg(t: str):
-        return r4(F.avg(F.when(F.col("event_type") == t, F.col("value"))))
-
-    pivoted = ev.groupBy(
-        F.col("user_id"), F.to_date("ts").cast("string").alias("date")
-    ).agg(
-        cavg("purchase").alias("__purchase"),
-        cavg("view").alias("__view"),
-        cavg("click").alias("__click"),
-        cavg("error").alias("__error"),
-    )
-    idx = r4(
-        F.coalesce(F.col("__purchase"), F.lit(0.0)) / 50.0 * 0.3
-        + F.coalesce(F.col("__view"), F.lit(0.0)) / 100.0 * 0.3
-        + F.coalesce(F.col("__click"), F.lit(0.0)) / 100.0 * 0.2
-        + F.coalesce(F.col("__error"), F.lit(0.0)) / 2.0 * 0.002
-        + F.lit(1e-9)  # nudge off the .5e-4 tie so both engines round alike
-    )
-    return pivoted.select("user_id", "date", idx.alias("pollution_index"))
-
-
-@register(
-    "etl_daily_summary",
-    """
-    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-           ROUND(MAX(value) + 1e-9, 4) AS value_max,
-           ROUND(MIN(value) + 1e-9, 4) AS value_min,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END) AS BIGINT) AS rush_hours
-    FROM events GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR), event_type
-    """,
-)
-def q_etl_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #8 — daily per-group multi-agg rollup (ref dag:243-253)."""
-    ev = load(spark, sf_dir, "events")
-    out = aggregates.daily_summary(ev, "ts", "event_type", "value")
-    return out.withColumn("date", F.col("date").cast("string"))
-
-
-@register(
-    "etl_weekly_summary",
-    """
-    SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS period_start, event_type,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-           ROUND(MAX(value) + 1e-9, 4) AS value_max,
-           ROUND(MIN(value) + 1e-9, 4) AS value_min,
-           ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS value_std,
-           CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_etl_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #9 — weekly rollup (README §2)."""
-    ev = load(spark, sf_dir, "events")
-    out = aggregates.period_summary(ev, "ts", "event_type", "value", "week")
-    return out.withColumn("period_start", F.col("period_start").cast("string"))
-
-
-@register(
-    "etl_monthly_summary",
-    """
-    SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS period_start, event_type,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-           ROUND(MAX(value) + 1e-9, 4) AS value_max,
-           ROUND(MIN(value) + 1e-9, 4) AS value_min,
-           ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS value_std,
-           CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_etl_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #10 — monthly rollup (README §2)."""
-    ev = load(spark, sf_dir, "events")
-    out = aggregates.period_summary(ev, "ts", "event_type", "value", "month")
-    return out.withColumn("period_start", F.col("period_start").cast("string"))
-
-
-@register(
-    "etl_validation_report",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
-           ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) * 1 AS DOUBLE) * 100.0 + 1e-9, 4) AS null_percentage,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_groups,
-           CAST(MIN(ts) AS TIMESTAMP) AS ts_min, CAST(MAX(ts) AS TIMESTAMP) AS ts_max,
-           CAST(SUM(CASE WHEN {cat} = 'Good' THEN 1 ELSE 0 END) AS BIGINT) AS records_good
-    FROM (SELECT *, {catexpr} AS cat FROM
-          (SELECT event_id, ts, user_id,
-                  CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value,
-                  {aqi} AS aqi
-           FROM events))
-    """.format(
-        cat="cat",
-        catexpr=quality_category_sql("aqi"),
-        aqi=aqi_sql("(CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END)"),
-    ),
-)
-def q_etl_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #11 — data-quality report (ref dag:365-407), including the
-    deterministic NULL injection so null_percentage is non-trivial."""
-    df = _gappy_events(spark, sf_dir)
-    df = features.with_aqi(df, "value")
-    df = features.with_quality_category(df, "aqi")
-    return aggregates.validation_report(
-        df, "ts", "user_id", ["value"], category_col="air_quality_category"
-    )
-
-
 # ---------------------------------------------------------------------------
-# Dashboard analytics (SURVEY §2 #13-18) — reference dashboard_calidad_aire.py
+# Registration side-effects (VERDICT r9 #8: registry.py split by family).
+# Import order == original section order == driver sampling order — the
+# external 50-key correctness window samples queries() in registration
+# order, so REORDERING THESE LINES SHIFTS DRIVER SAMPLING. Add new
+# modules at the END.
 # ---------------------------------------------------------------------------
 
-from .operators import analytics  # noqa: E402
-
-_EVENT_TYPES = ["purchase", "view", "click", "error", "signup"]
-
-
-@register(
-    "dash_kpis",
-    analytics.kpis_sql("events", "ts", "user_id", "value", unhealthy_threshold=82.0),
+from .queries import (  # noqa: E402,F401
+    q01_etl,
+    q02_dash,
+    q03_dedup_ann_text,
+    q04_general_mm,
+    q05_flagship,
+    q06_docs_pipeline,
+    q07_general2,
+    q08_corpus,
+    q09_sql_surface,
+    q10_geo,
+    q11_analytics_widening,
+    q12_widen_r2,
+    q13_widen_r4,
+    q14_widen_r7a,
+    q15_widen_r7b,
 )
-def q_dash_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #13 — KPI row (ref dashboard:81-93)."""
-    ev = load(spark, sf_dir, "events")
-    return analytics.kpis(ev, "ts", "user_id", "value", unhealthy_threshold=82.0)
-
-
-@register(
-    "dash_rolling_mean",
-    """
-    SELECT event_id, user_id, value,
-           ROUND(AVG(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_mean
-    FROM events
-    """,
-)
-def q_dash_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #14 — trailing 6-row rolling mean (ref dashboard:110-131)."""
-    ev = load(spark, sf_dir, "events")
-    out = analytics.rolling_mean(
-        ev, "ts", "user_id", "value", window_rows=6, order_tiebreak=["event_id"]
-    )
-    return out.select("event_id", "user_id", "value", "rolling_mean")
-
-
-@register(
-    "dash_dow_distribution",
-    """
-    SELECT CAST(ISODOW(ts) - 1 AS INTEGER) AS day_of_week,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-           ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS value_std,
-           ROUND(quantile_cont(value, 0.25) + 1e-9, 4) AS q1,
-           ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS median,
-           ROUND(quantile_cont(value, 0.75) + 1e-9, 4) AS q3,
-           CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM events GROUP BY 1
-    """,
-)
-def q_dash_dow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #15 — day-of-week distribution (ref dashboard:146-163)."""
-    ev = load(spark, sf_dir, "events")
-    return analytics.dow_distribution(ev, "ts", "value")
-
-
-@register(
-    "dash_station_compare",
-    """
-    SELECT user_id,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS mean_purchase,
-           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS mean_view,
-           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS mean_click,
-           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS mean_error,
-           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END) + 1e-9, 4) AS mean_signup
-    FROM events GROUP BY user_id
-    """,
-)
-def q_dash_station_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #16 — per-group multi-metric comparison (ref dashboard:167-192)."""
-    ev = load(spark, sf_dir, "events")
-    return analytics.group_compare(ev, "user_id", "value", "event_type", _EVENT_TYPES)
-
-
-@register(
-    "dash_hourly_pattern",
-    """
-    SELECT CAST(HOUR(ts) AS INTEGER) AS hour,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END AS INTEGER)
-             AS is_rush_hour
-    FROM events GROUP BY 1, 4
-    """,
-)
-def q_dash_hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #17 — hour-of-day profile (ref dashboard:196-219)."""
-    ev = load(spark, sf_dir, "events")
-    return analytics.hourly_pattern(ev, "ts", "value")
-
-
-_CORR_PIVOT_SQL = """
-  SELECT user_id, CAST(ts AS DATE) AS d,
-         ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS m_purchase,
-         ROUND(AVG(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS m_view,
-         ROUND(AVG(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS m_click,
-         ROUND(AVG(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS m_error
-  FROM events GROUP BY 1, 2
-"""
-
-_CORR_PAIRS = [
-    ("m_purchase", "m_view"),
-    ("m_purchase", "m_click"),
-    ("m_purchase", "m_error"),
-    ("m_view", "m_click"),
-    ("m_view", "m_error"),
-    ("m_click", "m_error"),
-]
-
-
-@register(
-    "dash_corr_matrix",
-    "WITH p AS ({pivot}) SELECT col_a, col_b, corr FROM (\n".format(pivot=_CORR_PIVOT_SQL)
-    + "\nUNION ALL\n".join(
-        f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(CORR({a}, {b}) + 1e-9, 4) AS corr FROM p"
-        for a, b in _CORR_PAIRS
-    )
-    + "\n)",
-)
-def q_dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #18 — Pearson correlation matrix, long form
-    (ref dashboard:223-243). Metrics are the day×station conditional
-    means of each event type (the engine's pivot of the reference's
-    pollutant columns)."""
-    ev = load(spark, sf_dir, "events")
-
-    def cavg(t: str):
-        return r4(F.avg(F.when(F.col("event_type") == t, F.col("value"))))
-
-    pivoted = ev.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(*[cavg(t).alias(f"m_{t}") for t in ["purchase", "view", "click", "error"]])
-    return analytics.corr_matrix_long(
-        pivoted, ["m_purchase", "m_view", "m_click", "m_error"]
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dedup suite (SURVEY §2 #25-29), similarity search (#30-31), and text
-# analysis (#32-35) — the LLM-data-pipeline operators on documents/embeddings.
-# ---------------------------------------------------------------------------
-
-from .operators import ann, dedup, text  # noqa: E402
-
-
-@register("dedup_exact_docs", dedup.exact_dedup_sql("documents", "doc_id", "text"))
-def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #25 — exact dedup by content hash."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.exact_dedup(docs, "doc_id", "text")
-
-
-@register(
-    "dedup_ngram_jaccard",
-    dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #26 — word-3-gram Jaccard near-dup pairs (j ≥ 0.5)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-
-
-@register(
-    "dedup_minhash_lsh",
-    dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=3, num_hashes=16, bands=4),
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #27 — MinHash(16) + LSH(4 bands) candidate pairs."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
-
-
-@register("dedup_simhash", dedup.simhash_sql("documents", "doc_id", "text", bits=16))
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #28 — 16-bit frequency-weighted SimHash fingerprints."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.simhash(docs, "doc_id", "text", bits=16)
-
-
-@register(
-    "dedup_embedding_cosine",
-    dedup.embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", "label", 0.35),
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #29 — partition-local embedding near-dup pairs (cos ≥ 0.35)."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return dedup.embedding_cosine_pairs(em, "vec_id", "embedding", "label", 0.35)
-
-
-@register(
-    "ann_bruteforce_topk",
-    ann.bruteforce_topk_sql("embeddings", "vec_id", "embedding", "q.vec_id < 10", k=5),
-)
-def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #30 — exact cosine top-5 for query vectors vec_id < 10."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
-
-
-@register(
-    "ann_lsh_topk",
-    ann.lsh_topk_sql("embeddings", "vec_id", "embedding", "id < 10", k=5),
-)
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31 — LSH-bucketed cosine top-5 (approximate scale path).
-    Recall vs brute force additionally asserted in tests/test_ann.py."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.lsh_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
-
-
-@register(
-    "ann_ivf_topk",
-    ann.ivf_topk_sql(
-        "embeddings", "vec_id", "embedding", "label", "id < 10", k=5, nprobe=2
-    ),
-)
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31b — IVF top-5: per-label centroid codebook,
-    nearest-centroid assignment, nprobe=2 probing."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.ivf_topk(
-        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2
-    )
-
-
-@register(
-    "ann_sq_topk",
-    ann.sq_topk_sql("embeddings", "vec_id", "embedding", "q.id < 10", k=5),
-)
-def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31c — int8 scalar-quantized cosine top-5: 4× fewer
-    corpus-side bytes than float32 brute force; integer dot products
-    make the twin hash-exact. Recall vs exact asserted in tests/test_ann.py."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.sq_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
-
-
-@register(
-    "dedup_cluster_resolve",
-    dedup.resolve_duplicate_clusters_sql(
-        "documents",
-        "doc_id",
-        dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
-    ),
-)
-def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #26b — near-dup pairs → connected components → one
-    canonical survivor per duplicate cluster."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    # checkpoint=False: the standalone query is collected once, so the
-    # eager checkpoint's extra materialization job is pure cost here
-    # (r3 VERDICT #3); the composed pipelines keep the default.
-    return dedup.resolve_duplicate_clusters(docs, "doc_id", pairs, checkpoint=False)
-
-
-@register(
-    "dedup_incremental_minhash",
-    dedup.incremental_minhash_dedup_sql(
-        "documents",
-        "doc_id",
-        "text",
-        corpus_pred="doc_id % 5 != 0",
-        new_pred="doc_id % 5 = 0",
-        n=3,
-        threshold=0.5,
-    ),
-)
-def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #27b — incremental dedup: the 'new batch' (every 5th
-    doc) is LSH-probed against the 'corpus' (the rest) WITHOUT
-    re-signing the corpus — the daily-increment pattern that avoids
-    re-hashing 100 TB per load. New side broadcasts (the scale
-    asymmetry); corpus band store streams map-side."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
-    return dedup.incremental_minhash_dedup(
-        corpus, new_batch, "doc_id", "text", n=3, threshold=0.5
-    )
-
-
-@register(
-    "dedup_cluster_star",
-    dedup.resolve_duplicate_clusters_sql(
-        "documents",
-        "doc_id",
-        dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
-    ),
-)
-def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #26c — same clustering as dedup_cluster_resolve via
-    alternating large-star/small-star contraction: O(log² n) rounds in
-    component size, independent of diameter — the scale path for
-    chain-shaped revision clusters. Identical oracle (exact transitive
-    closure), so parity proves the two CC variants agree."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return dedup.resolve_duplicate_clusters_star(
-        docs, "doc_id", pairs, checkpoint=False
-    )
-
-
-@register("text_lang_id", text.lang_id_sql("documents", "doc_id", "text"))
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #32 — stopword-profile language ID."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    scored = text.lang_scores(docs.select("doc_id", "text"), "text")
-    langs = list(text.LANG_MARKERS)
-    return scored.select(
-        "doc_id",
-        text.lang_pick().alias("detected_lang"),
-        *[f"score_{lg}" for lg in langs],
-    )
-
-
-@register("text_quality_score", text.quality_score_sql("documents", "doc_id", "text"))
-def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #33 — length/stopword/punctuation quality score."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    out = text.quality_score(docs.select("doc_id", "text"), "text")
-    return out.select("doc_id", "n_words", "stopword_ratio", "punct_ratio", "quality_score")
-
-
-@register(
-    "text_token_count",
-    text.TOKEN_COUNTS_SQL.format(table="documents", id_col="doc_id", t="text"),
-)
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #34 — whitespace + BPE-ish class token counts."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    out = text.token_counts(docs.select("doc_id", "text"), "text")
-    return out.select(
-        "doc_id", "ws_tokens", "alpha_tokens", "num_tokens", "symbol_tokens", "n_chars_measured"
-    )
-
-
-@register("text_fingerprint", text.fingerprint_sql("documents", "doc_id", "text", gram=8))
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #35 — min-md5 char-8-gram document fingerprint."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    out = text.fingerprint(docs.select("doc_id", "text"), "text", gram=8)
-    return out.select("doc_id", "fingerprint", "n_shingles")
-
-
-# ---------------------------------------------------------------------------
-# General analytics on TPC-H-ish tables (SURVEY §2 #19-24) and multimodal
-# binary columns (#36-37).
-# ---------------------------------------------------------------------------
-
-from .operators import general, multimodal  # noqa: E402
-
-
-@register("tpch_q1_pricing", general.Q1_SQL.format(cutoff="2001-09-01"))
-def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #19 — TPC-H Q1-shape pricing summary (exact decimal sums)."""
-    return general.q1_pricing_summary(load(spark, sf_dir, "lineitem"), "2001-09-01")
-
-
-@register(
-    "tpch_q3_shipping",
-    general.Q3_SQL.format(segment="BUILDING", cutoff="1998-03-15", topn=10),
-)
-def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #20 — TPC-H Q3-shape top-N revenue with broadcast dims."""
-    return general.q3_shipping(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        segment="BUILDING",
-        cutoff="1998-03-15",
-        topn=10,
-    )
-
-
-@register(
-    "tpch_q5_local_supplier",
-    general.Q5_SQL.format(region_name="ASIA", date_lo="1996-01-01", date_hi="1998-01-01"),
-)
-def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #21 — TPC-H Q5-shape 6-way star join, all dims broadcast."""
-    return general.q5_local_supplier(
-        load(spark, sf_dir, "region"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        region_name="ASIA",
-        date_lo="1996-01-01",
-        date_hi="1998-01-01",
-    )
-
-
-@register("topk_per_group", general.TOPK_SQL.format(k=3))
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #22 — window top-3 orders per priority class."""
-    return general.topk_per_group(load(spark, sf_dir, "orders"), k=3)
-
-
-@register("sessionize", general.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000))
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23 — 30-minute-gap sessionization of the event stream."""
-    return general.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
-
-
-@register("pivot_event_types", general.pivot_sql(["purchase", "view", "click", "error", "signup"]))
-def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24 — long→wide pivot with declared types (single groupBy)."""
-    return general.pivot_event_types(
-        load(spark, sf_dir, "events"), ["purchase", "view", "click", "error", "signup"]
-    )
-
-
-@register(
-    "mm_binary_meta",
-    """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           sha256(text) AS sha256,
-           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
-    FROM documents
-    """,
-)
-def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #36 — binary payload + typed metadata (length/digest/magic)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    withbin = multimodal.with_binary_payload(docs, "text")
-    return multimodal.binary_meta(withbin).select("doc_id", "byte_len", "sha256", "magic_hex")
-
-
-# DuckDB twin of the deterministic decode stub (8-bin byte histogram):
-# re-derive every byte value from the hex dump of the UTF-8 payload, bin by
-# b >> 5, normalize, and round with the same +1e-9 nudge the Spark side uses.
-_MM_FEATURE_SQL = """
-WITH b AS (
-  SELECT doc_id,
-         lower(hex(encode(text))) AS hx,
-         octet_length(encode(text)) AS n
-  FROM documents
-), pos AS (
-  SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS i
-  FROM b WHERE n > 0
-), bytes AS (
-  SELECT doc_id, n,
-         ((strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1)) // 32 AS bin
-  FROM pos
-), agg AS (
-  SELECT doc_id, n,
-         {fcols}
-  FROM bytes GROUP BY doc_id, n
-)
-SELECT doc_id, CAST(n AS BIGINT) AS byte_len, TRUE AS ok, {fnames}
-FROM agg
-UNION ALL
-SELECT doc_id, CAST(0 AS BIGINT) AS byte_len, FALSE AS ok,
-       {zeros}
-FROM b WHERE n = 0
-""".format(
-    fcols=",\n         ".join(
-        "round(count(*) FILTER (WHERE bin = {k}) / CAST(n AS DOUBLE) + 1e-9, 6)"
-        " AS f{k}".format(k=k)
-        for k in range(8)
-    ),
-    fnames=", ".join(f"f{k}" for k in range(8)),
-    zeros=", ".join(f"CAST(0.0 AS DOUBLE) AS f{k}" for k in range(8)),
-)
-
-
-@register("mm_feature_extract", _MM_FEATURE_SQL)
-def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #37 — Arrow-batched mapInPandas feature extraction over
-    binary payloads (decode stubbed deterministically).
-
-    The library API (multimodal.feature_extract) returns the
-    ``array<double>`` feature vector; the registered query projects it to
-    f0..f7 scalar doubles (driver canonicalizers can't hash list cells) with
-    the standard +1e-9 round nudge on both engines."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    withbin = multimodal.with_binary_payload(docs, "text")
-    feats = multimodal.feature_extract(withbin, "doc_id")
-    return feats.select(
-        "doc_id",
-        "byte_len",
-        "ok",
-        *[
-            F.round(F.col("features")[k] + F.lit(1e-9), 6).alias(f"f{k}")
-            for k in range(8)
-        ],
-    )
-
-
-# ---------------------------------------------------------------------------
-# Flagship: the full ETL pipeline composed end-to-end (SURVEY §2 #12).
-# interpolate → IQR-clip → dedup → AQI/category/temporal → daily rollup,
-# exactly the reference task order (dag:441), as ONE Catalyst plan.
-# ---------------------------------------------------------------------------
-
-_FULL_PIPE_SQL = f"""
-WITH gappy AS (
-  SELECT event_id, ts, user_id, event_type,
-         CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value
-  FROM events
-), interp AS (
-{cleaning.interpolate_linear_sql(
-    "gappy",
-    value_col="value",
-    group_cols=["user_id"],
-    order_cols=["ts", "event_id"],
-    limit=3,
-    passthrough=["event_id", "ts", "user_id", "event_type"],
-)}
-), clipped AS (
-{cleaning.iqr_clip_sql(
-    "interp",
-    cols=["value"],
-    group_cols=["event_type"],
-    k=3.0,
-    passthrough=[
-        "t.event_id AS event_id",
-        "t.ts AS ts",
-        "t.user_id AS user_id",
-        "t.event_type AS event_type",
-    ],
-)}
-), deduped AS (
-  SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY user_id, event_type, date_trunc('hour', ts)
-      ORDER BY event_id) AS __rn
-    FROM clipped
-  ) WHERE __rn = 1
-), feat AS (
-  SELECT *, {aqi_sql("value")} AS aqi,
-         CASE WHEN HOUR(ts) IN (7,8,9,17,18,19) THEN 1 ELSE 0 END AS rush
-  FROM deduped
-)
-SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(AVG(value) + 1e-9, 4) AS value_mean,
-       ROUND(AVG(aqi) + 1e-9, 4) AS aqi_mean,
-       CAST(SUM(CASE WHEN {quality_category_sql("aqi")} = 'Good' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_good,
-       CAST(SUM(rush) AS BIGINT) AS rush_hours
-FROM feat
-GROUP BY 1, 2
-"""
-
-
-@register("etl_full_pipeline", _FULL_PIPE_SQL)
-def q_etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #12 — the composed reference pipeline as one lazy plan.
-
-    Shuffle budget (VERDICT r2 asked for <=4 exchanges, was 6): the fact
-    chain shuffles ONCE — the user_id hash for the interpolation windows
-    — and every later pass rides it:
-      - the interpolated relation is checkpointed once WITH its
-        user_id partitioning pinned (checkpoint_keeping_partitioning),
-        so it feeds both consumers below without recompute;
-      - dedup is hoisted ahead of the clip (legal: the clip only
-        rewrites `value`, never the dedup keys or the event_id
-        tiebreak), so its (user_id, event_type, hour) window is
-        satisfied by the pinned clustering — a sort, not a shuffle;
-      - the clip fences stay the reference's pre-dedup percentiles by
-        aggregating the checkpointed relation per event_type and
-        broadcasting the tiny bounds back;
-      - the final (date, user_id) aggregate clusters on a superset of
-        user_id — partial agg, no exchange.
-    """
-    from .session import checkpoint_keeping_partitioning
-
-    df = _gappy_events(spark, sf_dir)
-    interp = cleaning.interpolate_linear(
-        df, "value", group_cols=["user_id"], order_cols=["ts", "event_id"], limit=3
-    )
-    interp = checkpoint_keeping_partitioning(interp)
-    df = interp.withColumn("__hr", F.date_trunc("hour", F.col("ts")))
-    df = cleaning.dedup_exact(
-        df, key_cols=["user_id", "event_type", "__hr"], tiebreak_cols=["event_id"]
-    )
-    df = cleaning.iqr_clip(
-        df, ["value"], group_cols=["event_type"], k=3.0, method="join",
-        bounds_over=interp,
-    )
-    df = features.with_aqi(df, "value", out_col="aqi")
-    df = features.with_quality_category(df, "aqi")
-    return df.groupBy(
-        F.to_date("ts").cast("string").alias("date"), F.col("user_id")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        r4(F.avg("value")).alias("value_mean"),
-        r4(F.avg("aqi")).alias("aqi_mean"),
-        F.sum((F.col("air_quality_category") == "Good").cast("bigint")).alias("n_good"),
-        F.sum(F.hour("ts").isin(7, 8, 9, 17, 18, 19).cast("bigint")).alias("rush_hours"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Second flagship: the LLM training-data pipeline composed end-to-end —
-# quality scoring → language ID → quality filter → exact dedup → near-dup
-# cluster resolution → per-language corpus stats, as ONE lazy plan.
-# ---------------------------------------------------------------------------
-
-_DOCS_PIPE_SQL = f"""
-WITH q AS ({text.quality_score_sql("documents", "doc_id", "text")}),
-l AS ({text.lang_id_sql("documents", "doc_id", "text")}),
-filt AS (
-  SELECT d.doc_id, d.text, l.detected_lang, q.quality_score, q.n_words,
-         md5(d.text) AS h
-  FROM documents d
-  JOIN q ON d.doc_id = q.doc_id
-  JOIN l ON d.doc_id = l.doc_id
-  WHERE q.quality_score >= 0.45
-),
-flagged AS (
-  SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
-                 THEN 1 ELSE 0 END AS is_exact
-  FROM filt
-),
-survivors AS (SELECT doc_id, text FROM flagged WHERE is_exact = 1),
-cc AS ({dedup.resolve_duplicate_clusters_sql(
-    "survivors",
-    "doc_id",
-    dedup.jaccard_pairs_sql(
-        "survivors", "doc_id", "text", n=3, threshold=0.5, max_doc_freq=128
-    ),
-)})
-SELECT f.detected_lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(f.is_exact) AS BIGINT) AS n_exact_unique,
-       CAST(SUM(COALESCE(cc.is_canonical, 0)) AS BIGINT) AS n_canonical,
-       ROUND(AVG(f.quality_score) + 1e-9, 4) AS avg_quality,
-       ROUND(AVG(CAST(f.n_words AS DOUBLE)) + 1e-9, 4) AS avg_words
-FROM flagged f LEFT JOIN cc ON f.doc_id = cc.doc_id
-GROUP BY 1
-"""
-
-
-@register("docs_full_pipeline", _DOCS_PIPE_SQL)
-def q_docs_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data flagship: quality → lang-ID → filter → exact dedup →
-    near-dup connected components → per-language corpus stats."""
-    from pyspark.sql import Window
-
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    df = text.quality_score(docs, "text")
-    df = text.lang_scores(df, "text")
-    df = df.withColumn("detected_lang", text.lang_pick())
-    filt = df.filter(F.col("quality_score") >= 0.45).select(
-        "doc_id", "text", "detected_lang", "quality_score", "n_words"
-    )
-    hashed = filt.withColumn("h", F.md5(F.encode(F.col("text"), "UTF-8")))
-    w = Window.partitionBy("h").orderBy("doc_id")
-    # persisted (not checkpointed): referenced by the pair generation,
-    # the CC vertex seed, and the final stats join — without this the
-    # quality+lang subtree (the expensive part) is evaluated three
-    # times. persist keeps the InMemoryRelation's size statistics, which
-    # the candidate-join planning needs (a checkpoint's LogicalRDD
-    # reports unknown stats and the small-side joins stop broadcasting:
-    # measured +75% on this query). The plan-size bound comes from the
-    # CC resolver checkpointing its converged labels instead
-    # (operators/dedup.py) — that is where the formatted plan ballooned.
-    flagged = hashed.withColumn(
-        "is_exact", (F.row_number().over(w) == 1).cast("int")
-    ).persist()
-    survivors = flagged.filter(F.col("is_exact") == 1).select("doc_id", "text")
-    # max_doc_freq: at corpus scale a stopword shingle shared by many docs
-    # creates a quadratic self-join island; the broadcast anti-join guard
-    # (dedup.jaccard_pairs) drops it before the pair join. Mirrored exactly
-    # in the DuckDB oracle, so parity holds at any SF.
-    pairs = dedup.jaccard_pairs(
-        survivors, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=128
-    )
-    cc = dedup.resolve_duplicate_clusters(survivors, "doc_id", pairs)
-    out = flagged.join(cc.select("doc_id", "is_canonical"), "doc_id", "left")
-    return out.groupBy("detected_lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("is_exact").cast("bigint").alias("n_exact_unique"),
-        F.sum(F.coalesce(F.col("is_canonical"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_canonical"),
-        r4(F.avg("quality_score")).alias("avg_quality"),
-        r4(F.avg(F.col("n_words").cast("double"))).alias("avg_words"),
-    )
-
-
-@register(
-    "skew_salted_join",
-    """
-    WITH dim AS (
-      SELECT event_type, ROUND(AVG(value) + 1e-9, 4) AS type_mean
-      FROM events GROUP BY 1
-    )
-    SELECT e.event_id, e.event_type,
-           ROUND(e.value - d.type_mean + 1e-9, 4) AS deviation
-    FROM events e JOIN dim d ON e.event_type = d.event_type
-    """,
-)
-def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24b — skew-safe salted join: events fan out on
-    (event_type, salt); event_type has ~5 distinct values, the worst-case
-    skew shape for a shuffle join. Result identical to the plain join."""
-    ev = load(spark, sf_dir, "events")
-    dim = ev.groupBy("event_type").agg(r4(F.avg("value")).alias("type_mean"))
-    joined = general.salted_join(ev, dim, "event_type", "event_id", num_salts=8)
-    return joined.select(
-        "event_id", "event_type", r4(F.col("value") - F.col("type_mean")).alias("deviation")
-    )
-
-
-@register(
-    "asof_join_purchases",
-    """
-    WITH u AS (
-      SELECT user_id, ts, event_id, value, 1 AS is_left, CAST(NULL AS DOUBLE) AS rv
-      FROM events WHERE event_type = 'click'
-      UNION ALL
-      SELECT user_id, ts, event_id, NULL, 0, value
-      FROM events WHERE event_type = 'purchase'
-    ), w AS (
-      SELECT *, LAST_VALUE(rv IGNORE NULLS) OVER (
-        PARTITION BY user_id ORDER BY ts, is_left, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
-      FROM u
-    )
-    SELECT event_id, user_id, ts, value, last_purchase_value
-    FROM w WHERE is_left = 1
-    """,
-)
-def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23b — as-of join: each click picks the user's most
-    recent purchase value at or before the click. Union-then-window, one
-    shuffle (no native ASOF in Spark; this is the scalable shape)."""
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    out = general.asof_join(
-        clicks,
-        purchases,
-        key_cols=["user_id"],
-        ts_col="ts",
-        value_col="value",
-        out_col="last_purchase_value",
-        tiebreak_col="event_id",
-    )
-    return out.select("event_id", "user_id", "ts", "value", "last_purchase_value")
-
-
-@register(
-    "etl_rollup_multigrain",
-    """
-    SELECT COALESCE(CAST(month AS VARCHAR), 'ALL') AS month,
-           COALESCE(CAST(d AS VARCHAR), 'ALL') AS date,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value) + 1e-9, 4) AS value_mean
-    FROM (SELECT MONTH(ts) AS month, CAST(ts AS DATE) AS d, value FROM events)
-    GROUP BY ROLLUP(month, d)
-    """,
-)
-def q_etl_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #10b — hierarchical rollup (month → date → grand total)
-    in ONE aggregation pass via GROUP BY ROLLUP, instead of three
-    separate scans for daily/monthly/total grains."""
-    ev = load(spark, sf_dir, "events").select(
-        F.month("ts").alias("month"), F.to_date("ts").alias("d"), "value"
-    )
-    out = ev.rollup("month", "d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        r4(F.avg("value")).alias("value_mean"),
-    )
-    return out.select(
-        F.coalesce(F.col("month").cast("string"), F.lit("ALL")).alias("month"),
-        F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("date"),
-        "n",
-        "value_mean",
-    )
-
-
-@register(
-    "dash_trend_slope",
-    """
-    SELECT user_id,
-           ROUND(regr_slope(value, epoch(ts)) * 86400 + 1e-9, 4) AS slope_per_day,
-           ROUND(regr_r2(value, epoch(ts)) + 1e-9, 4) AS r2,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY 1
-    """,
-)
-def q_dash_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #18b — per-station least-squares trend: slope of value
-    over time (units/day) + fit quality. Single partial-aggregating
-    groupBy; regr_* are algebraic aggregates, so map-side combine
-    applies and the shuffle carries one row per station."""
-    ev = load(spark, sf_dir, "events")
-    x = F.unix_timestamp("ts").cast("double")
-    return ev.groupBy("user_id").agg(
-        r4(F.regr_slope(F.col("value"), x) * 86400).alias("slope_per_day"),
-        r4(F.regr_r2(F.col("value"), x)).alias("r2"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-
-
-@register(
-    "etl_anomaly_flags",
-    """
-    SELECT event_id, user_id, value,
-           ROUND(z + 1e-9, 4) AS zscore,
-           CAST(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
-    FROM (
-      SELECT event_id, user_id, value,
-             (value - AVG(value) OVER (PARTITION BY user_id))
-               / (STDDEV_SAMP(value) OVER (PARTITION BY user_id)) AS z
-      FROM events
-    )
-    """,
-)
-def q_etl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #2b — per-station z-score anomaly flagging (the
-    analytic cousin of the reference's IQR clipping, dag:170-177):
-    one window shuffle on the group key, flags |z| > 3."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        r4(z).alias("zscore"),
-        (F.abs(z) > 3).cast("int").alias("is_anomaly"),
-    )
-
-
-@register(
-    "etl_upsert_merge",
-    """
-    SELECT event_id, user_id, event_type, value FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
-      FROM (
-        SELECT event_id, user_id, event_type, value, 0 AS src
-        FROM events WHERE event_id % 2 = 0
-        UNION ALL
-        SELECT event_id, user_id, event_type,
-               ROUND(value * 2 + 1e-9, 4) AS value, 1 AS src
-        FROM events WHERE event_id % 5 = 0
-      )
-    ) WHERE rn = 1
-    """,
-)
-def q_etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #3b — CDC apply: a deterministic updates slice (doubled
-    values on event_id % 5 == 0) merged over the base; updates win on
-    collision, new keys insert."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    base = ev.filter(F.col("event_id") % 2 == 0)
-    updates = ev.filter(F.col("event_id") % 5 == 0).withColumn(
-        "value", r4(F.col("value") * 2)
-    )
-    return cleaning.upsert(base, updates, key_cols=["event_id"])
-
-
-# ---------------------------------------------------------------------------
-# General analytics, batch 2: Q6/Q10 shapes, range join, funnel, exact
-# percentiles, SCD2 history build (SURVEY §2 #19b-24e).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "tpch_q6_forecast",
-    general.Q6_SQL.format(
-        date_lo="1996-01-01", date_hi="1997-01-01",
-        disc_lo=0.05, disc_hi=0.07, qty_max=24.0,
-    ),
-)
-def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #19b — TPC-H Q6-shape scan-filter-aggregate: all four
-    predicates push into the parquet scan, zero joins, one global sum."""
-    return general.q6_forecast_revenue(load(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "tpch_q10_returned",
-    general.Q10_SQL.format(date_lo="1996-01-01", date_hi="1996-04-01", topn=20),
-)
-def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #19c — TPC-H Q10-shape returned-revenue ranking: returns
-    filtered at the scan, customer broadcast, one fact shuffle."""
-    return general.q10_returned_items(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-    )
-
-
-from .operators import tpch2  # noqa: E402
-
-
-@register("tpch_q4_priority", tpch2.Q4_SQL.format(date_lo="1996-01-01", date_hi="1996-04-01"))
-def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape — EXISTS late-shipment count per priority."""
-    return tpch2.q4_priority(
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        "1996-01-01",
-        "1996-04-01",
-    )
-
-
-@register("tpch_q7_volume", tpch2.Q7_SQL.format(a="NATION_3", b="NATION_7"))
-def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape — nation-pair shipping volume by year."""
-    return tpch2.q7_volume(
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        "NATION_3",
-        "NATION_7",
-    )
-
-
-@register(
-    "tpch_q8_mktshare",
-    tpch2.Q8_SQL.format(region="ASIA", target="NATION_3", ptype="PROMO"),
-)
-def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape — one nation's market share of a region's PROMO
-    volume, per year."""
-    return tpch2.q8_market_share(
-        load(spark, sf_dir, "region"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        region_name="ASIA",
-        target_nation="NATION_3",
-        p_type="PROMO",
-    )
-
-
-@register(
-    "tpch_q12_priority_ship",
-    tpch2.Q12_SQL.format(date_lo="1997-01-01", date_hi="1998-01-01"),
-)
-def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape — high/low priority line counts per line status."""
-    return tpch2.q12_priority_by_status(
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        "1997-01-01",
-        "1998-01-01",
-    )
-
-
-@register(
-    "tpch_q14_promo",
-    tpch2.Q14_SQL.format(date_lo="1997-01-01", date_hi="1997-02-01"),
-)
-def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape — promo revenue percentage for one month."""
-    return tpch2.q14_promo_share(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        "1997-01-01",
-        "1997-02-01",
-    )
-
-
-@register(
-    "tpch_q15_top_supplier",
-    tpch2.Q15_SQL.format(date_lo="1997-01-01", date_hi="1997-04-01"),
-)
-def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape — argmax supplier by quarterly revenue
-    (scalar-max broadcast, no global window)."""
-    return tpch2.q15_top_supplier(
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "lineitem"),
-        "1997-01-01",
-        "1997-04-01",
-    )
-
-
-@register(
-    "tpch_q16_supplier_cnt",
-    tpch2.q16_sql("Brand#12", "ECONOMY", [1, 5, 10, 15, 20, 25, 30, 35]),
-)
-def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape — distinct suppliers per (brand,type,size) with
-    broadcast anti-join blocklist."""
-    return tpch2.q16_supplier_counts(
-        load(spark, sf_dir, "part"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "lineitem"),
-        brand_not="Brand#12",
-        type_not="ECONOMY",
-        sizes=[1, 5, 10, 15, 20, 25, 30, 35],
-    )
-
-
-@register("tpch_q17_small_qty", tpch2.Q17_SQL.format(brand="Brand#23"))
-def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape — below-half-average-quantity revenue (decorrelated
-    per-part AVG subquery)."""
-    return tpch2.q17_small_quantity(
-        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"), "Brand#23"
-    )
-
-
-@register("tpch_q18_large_orders", tpch2.Q18_SQL.format(min_qty=300))
-def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape — orders with total quantity > 300, with customer
-    context (HAVING subquery broadcast back)."""
-    return tpch2.q18_large_orders(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        min_qty=300,
-    )
-
-
-@register("tpch_q19_disjunctive", tpch2.Q19_SQL)
-def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape — OR-of-ANDs disjunctive predicate revenue."""
-    return tpch2.q19_disjunctive(
-        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
-    )
-
-
-@register("tpch_q22_inactive", tpch2.Q22_SQL.format(recent_date="2001-01-01"))
-def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape — wealthy customers with no recent orders, per
-    nation (scalar-subquery threshold + anti-join)."""
-    return tpch2.q22_inactive_wealthy(
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "orders"),
-        recent_date="2001-01-01",
-    )
-
-
-@register(
-    "range_join_incidents",
-    general.RANGE_JOIN_SQL.format(trigger_type="error", win_us=60 * 60 * 1_000_000),
-)
-def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23c — equi-key + time-range interval join: per error
-    event, the same user's activity in the following hour. Hash join on
-    the equi-key with the range predicate as a post-join filter."""
-    return general.range_join_incidents(
-        load(spark, sf_dir, "events"), trigger_type="error", window_minutes=60
-    )
-
-
-@register(
-    "window_funnel",
-    general.FUNNEL_SQL.format(s1="view", s2="click", s3="purchase"),
-)
-def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23d — ordered funnel view→click→purchase with strictly
-    increasing timestamps; per-user sorted-array state, one shuffle."""
-    return general.window_funnel(load(spark, sf_dir, "events"))
-
-
-@register("percentile_profile", general.percentile_sql((0.25, 0.5, 0.75, 0.95)))
-def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #15b — per-type exact percentile profile (p25/50/75/95);
-    percentile_approx is the drop-in sketch at 100 TB."""
-    return general.percentile_profile(load(spark, sf_dir, "events"))
-
-
-@register("scd2_build", general.SCD2_SQL)
-def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #3c — SCD Type-2 versioned dimension from the event
-    change log: lead() closes each validity interval, latest row flagged
-    current."""
-    return general.scd2_from_changelog(load(spark, sf_dir, "events"))
-
-
-# ---------------------------------------------------------------------------
-# Corpus-preparation operators for LLM training data (SURVEY §2 #44-49):
-# chunking, packing, PII scrub, n-gram stats, repetition filter,
-# stratified sampling.
-# ---------------------------------------------------------------------------
-
-from .operators import corpus  # noqa: E402
-
-
-@register(
-    "corpus_chunk_docs",
-    corpus.chunk_sql("documents", "doc_id", "text", chunk_size=400, overlap=50),
-)
-def q_corpus_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #44 — 400-char/50-overlap document chunking (narrow
-    posexplode; no shuffle)."""
-    docs = load(spark, sf_dir, "documents")
-    return corpus.chunk_documents(docs, "doc_id", "text", chunk_size=400, overlap=50)
-
-
-@register(
-    "corpus_pack_sequences",
-    corpus.pack_sql("documents", "doc_id", "text", budget=512, shards=32),
-)
-def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #45 — deterministic sharded greedy packing of documents
-    into 512-token context-window bins."""
-    docs = load(spark, sf_dir, "documents")
-    return corpus.pack_sequences(docs, "doc_id", "text", budget=512, shards=32)
-
-
-# the raw corpus contains no PII, so both engines inject the same
-# deterministic synthetic PII before scrubbing, one kind family per
-# modulus (doc_id 0 gets all of them): email+phone, a Luhn-VALID card
-# next to a Luhn-INVALID digit run (which must fall through to the
-# phone catch-all, not <CARD>), IP + SSN, and a compact IBAN
-_PII_DOCS_SQL = (
-    "(SELECT doc_id, text"
-    " || CASE WHEN doc_id % 10 = 0 THEN ' contact user'"
-    "         || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567'"
-    "         ELSE '' END"
-    " || CASE WHEN doc_id % 7 = 0 THEN"
-    "         ' card 4111 1111 1111 1111 bad 4111111111111112' ELSE '' END"
-    " || CASE WHEN doc_id % 13 = 0 THEN"
-    "         ' ip 10.0.42.7 ssn 123-45-6789' ELSE '' END"
-    " || CASE WHEN doc_id % 11 = 0 THEN"
-    "         ' iban DE89370400440532013000' ELSE '' END"
-    " AS text FROM documents)"
-)
-
-
-def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents", spread=True)
-    part = lambda mod, s: F.when(F.col("doc_id") % mod == 0, F.lit(s)).otherwise(
-        F.lit("")
-    )
-    return docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 10 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com or +1 555-123-4567"),
-                ),
-            ).otherwise(F.lit("")),
-            part(7, " card 4111 1111 1111 1111 bad 4111111111111112"),
-            part(13, " ip 10.0.42.7 ssn 123-45-6789"),
-            part(11, " iban DE89370400440532013000"),
-        ).alias("text"),
-    )
-
-
-@register(
-    "corpus_dup_spans",
-    corpus.dup_spans_sql("documents", "doc_id", "text", span_len=32, stride=16),
-)
-def q_corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49b — cross-document duplicated-substring profile
-    (strided exact-span hashing; the distributed stand-in for Lee et
-    al.'s suffix-array span dedup). Linear, self-join-free."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.dup_spans(docs, "doc_id", "text", span_len=32, stride=16)
-
-
-@register("corpus_pii_scrub", corpus.pii_scrub_sql(_PII_DOCS_SQL, "doc_id", "text"))
-def q_corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #46 — PII redaction with per-kind match counts: emails,
-    IPv4, IBAN, SSN-shaped ids, Luhn-VALIDATED card numbers (HOF fold,
-    no UDF), and phone-like digit runs as the catch-all (common
-    Java-regex ∩ RE2 dialect, byte-identical on both engines)."""
-    return corpus.pii_scrub(_pii_docs(spark, sf_dir), "doc_id", "text")
-
-
-@register("corpus_ngram_topk", corpus.ngram_topk_sql("documents", "text", n=3, k=50))
-def q_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #47 — corpus-wide top-50 word trigrams (explode →
-    map-side-combined count → top-k on the aggregated relation)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.ngram_topk(docs, "text", n=3, k=50)
-
-
-@register(
-    "corpus_repetition_filter",
-    corpus.repetition_sql("documents", "doc_id", "text", n=3, threshold=0.2),
-)
-def q_corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #48 — Gopher-style duplicate-trigram fraction per doc,
-    flagging repetitive documents (single let-bound n-gram evaluation)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.repetition_stats(docs, "doc_id", "text", n=3, threshold=0.2)
-
-
-@register(
-    "corpus_stratified_sample",
-    corpus.stratified_sample_sql(
-        "documents", "doc_id", "lang", {"en": 4}, default_hex=2,
-        cols="doc_id, lang, source",
-    ),
-)
-def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49 — deterministic hash-bucket stratified sampling:
-    'en' kept at 4/16, every other language at 2/16; stable under
-    reruns/retries (no RNG state)."""
-    docs = load(spark, sf_dir, "documents")
-    out = corpus.stratified_sample(docs, "doc_id", "lang", {"en": 4}, default_hex=2)
-    return out.select("doc_id", "lang", "source")
-
-
-
-# Lloyd's k-means IS oracle-able for fixed iterations: unroll the 5
-# assign/recompute rounds as chained CTEs. Distances fold sequentially
-# like the Spark aggregate(zip_with(...)); per-dimension centroid AVG
-# order differs ~1e-16, far below any assignment boundary. (Caveat
-# mirrored from the Spark side: no cluster ever empties on this data —
-# the Spark op would keep the old centroid, the twin drops it.)
-_KMEANS_SQL = """
-WITH b AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster, v AS cv
-  FROM (SELECT id, v FROM b ORDER BY id LIMIT 8)
-),
-a0 AS (
-  SELECT id, v, cluster, d FROM (
-    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
-           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
-    FROM b CROSS JOIN c0 c
-  ) WHERE rk = 1
-),
-c1 AS (
-  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
-    SELECT cluster, pos, AVG(x) AS c FROM (
-      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0
-    ) GROUP BY 1, 2
-  ) GROUP BY 1
-),
-a1 AS (
-  SELECT id, v, cluster, d FROM (
-    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
-           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
-    FROM b CROSS JOIN c1 c
-  ) WHERE rk = 1
-),
-c2 AS (
-  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
-    SELECT cluster, pos, AVG(x) AS c FROM (
-      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1
-    ) GROUP BY 1, 2
-  ) GROUP BY 1
-),
-a2 AS (
-  SELECT id, v, cluster, d FROM (
-    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
-           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
-    FROM b CROSS JOIN c2 c
-  ) WHERE rk = 1
-),
-c3 AS (
-  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
-    SELECT cluster, pos, AVG(x) AS c FROM (
-      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a2
-    ) GROUP BY 1, 2
-  ) GROUP BY 1
-),
-a3 AS (
-  SELECT id, v, cluster, d FROM (
-    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
-           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
-    FROM b CROSS JOIN c3 c
-  ) WHERE rk = 1
-),
-c4 AS (
-  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
-    SELECT cluster, pos, AVG(x) AS c FROM (
-      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a3
-    ) GROUP BY 1, 2
-  ) GROUP BY 1
-),
-a4 AS (
-  SELECT id, v, cluster, d FROM (
-    SELECT b.id, b.v, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
-           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
-    FROM b CROSS JOIN c4 c
-  ) WHERE rk = 1
-),
-c5 AS (
-  SELECT cluster, list(c ORDER BY pos) AS cv FROM (
-    SELECT cluster, pos, AVG(x) AS c FROM (
-      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a4
-    ) GROUP BY 1, 2
-  ) GROUP BY 1
-),
-final AS (
-  SELECT id, cluster, d FROM (
-    SELECT b.id, c.cluster, list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d,
-           ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY list_sum(list_transform(generate_series(1, len(b.v)), i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) ASC, c.cluster ASC) AS rk
-    FROM b CROSS JOIN c5 c
-  ) WHERE rk = 1
-)
-SELECT CAST(cluster AS INTEGER) AS cluster,
-       CAST(COUNT(*) AS BIGINT) AS n_points,
-       ROUND(AVG(d) + 1e-9, 4) AS mean_sq_dist
-FROM final GROUP BY 1
-"""
-
-
-@register("embed_kmeans", _KMEANS_SQL)
-def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31c — Lloyd's k-means over the embedding column
-    (deterministic lowest-id init, 5 iterations, k=8); verified against
-    a NumPy reference implementation in tests/test_ann.py."""
-    from .operators import ann
-
-    emb = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.kmeans_summary(emb, "vec_id", "embedding", k=8, iters=5)
-
-
-@register("embed_pca_project", None)  # eigendecomposition — no SQL twin, rows-only
-def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31e — distributed PCA projection: covariance via one
-    map-side-combined aggregate (dim² driver traffic only), numpy eigh
-    on the driver, broadcast k×dim projection as a narrow JVM map.
-    Spectral invariants pytest-asserted in tests/test_ann.py."""
-    from .operators import ann
-
-    emb = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.pca_project(emb, "vec_id", "embedding", k=4)
-
-
-@register("hll_rollup_merge", None)  # sketch bytes engine-specific — rows-only
-def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #15d — mergeable HLL distinct counting: daily
-    (date, event_type) sketches UNION-merged into month×type estimates
-    without rescanning the fact (tolerance vs exact pytest-asserted in
-    tests/test_sketches.py)."""
-    from .operators import sketches
-
-    ev = load(spark, sf_dir, "events")
-    return sketches.hll_reaggregate(ev, "ts", "event_type", "user_id", lg_k=12)
-
-
-@register("sketch_profile", None)  # sketch internals differ per engine — rows-only
-def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #15c — HLL++ distinct + approx-percentile sketch profile
-    (the 100 TB path for cardinality/quantiles; accuracy vs exact is
-    asserted in tests/test_general2.py)."""
-    return general.sketch_profile(load(spark, sf_dir, "events"))
-
-
-# ---------------------------------------------------------------------------
-# SQL API surface: the engine is reachable as plain ANSI SQL over
-# registered views, not only through the DataFrame DSL.
-# ---------------------------------------------------------------------------
-
-# One SQL text, two engines: runs verbatim on Spark AND DuckDB (the
-# ANSI-common subset), so the oracle is literally the same string.
-_SQL_INTERFACE = """
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) + 1e-9, 4) AS sum_value,
-       ROUND(MIN(value) + 1e-9, 4) AS min_value,
-       ROUND(MAX(value) + 1e-9, 4) AS max_value
-FROM events
-WHERE value > 10
-GROUP BY event_type
-"""
-
-
-@register("sql_interface", _SQL_INTERFACE)
-def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #50 — the SQL front door: register the parquet tables as
-    temp views, run ANSI SQL text through spark.sql(). Same string is the
-    DuckDB oracle — byte-identical query, hash-identical result."""
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_SQL_INTERFACE)
-
-
-# DuckDB twin of the deterministic byte chunker. Valid because the test
-# corpus is pure ASCII (asserted in tests/test_general_multimodal.py), so
-# byte offsets == char offsets and each 64-byte frame is the same bytes
-# sha256(VARCHAR) hashes; a multibyte corpus would need blob slicing,
-# which DuckDB's sha256 doesn't take — the Spark side stays byte-exact.
-_MM_FRAME_SQL = """
-WITH b AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
-), f AS (
-  SELECT doc_id, n, text,
-         unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1, 4)) AS fi
-  FROM b WHERE n > 0
-)
-SELECT doc_id,
-       CAST(fi AS INTEGER) AS frame_idx,
-       CAST(fi * 64 AS BIGINT) AS frame_offset,
-       CAST(least(64, n - fi * 64) AS BIGINT) AS frame_len,
-       sha256(substr(text, CAST(fi * 64 + 1 AS BIGINT), 64)) AS frame_sha256
-FROM f
-"""
-
-
-@register("mm_frame_sample", _MM_FRAME_SQL)
-def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #37b — video-style every-4th-frame sampling over binary
-    payloads (row-multiplying mapInPandas; chunker stands in for a real
-    container parser)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    with_bin = multimodal.with_binary_payload(docs, "text")
-    return multimodal.frame_sample(with_bin, "doc_id", frame_size=64, every_kth=4)
-
-
-@register(
-    "semi_anti_activity",
-    """
-    SELECT u.user_id, u.n_purchases, u.status FROM (
-      SELECT e.user_id,
-             CAST((SELECT COUNT(*) FROM events p
-                    WHERE p.user_id = e.user_id
-                      AND p.event_type = 'purchase') AS BIGINT) AS n_purchases,
-             CASE WHEN EXISTS (SELECT 1 FROM events x
-                                WHERE x.user_id = e.user_id
-                                  AND x.event_type = 'error')
-                  THEN 'has_errors' ELSE 'clean' END AS status
-      FROM (SELECT DISTINCT user_id FROM events) e
-    ) u
-    WHERE u.n_purchases > 0
-    """,
-)
-def q_semi_anti_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24c — semi/anti-join family: purchasers (LEFT SEMI
-    against the purchase slice) labeled by whether they also triggered
-    errors. Semi/anti joins ship only the key side through the shuffle —
-    no payload amplification, the scale-correct EXISTS/NOT EXISTS shape."""
-    ev = load(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    errors = ev.filter(F.col("event_type") == "error").select("user_id")
-    p_counts = purchases.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
-    )
-    buyers = users.join(p_counts, "user_id", "left_semi").join(p_counts, "user_id")
-    err_users = errors.distinct().withColumn("__has_err", F.lit(1))
-    return (
-        buyers.join(F.broadcast(err_users), "user_id", "left")
-        .select(
-            "user_id",
-            "n_purchases",
-            F.when(F.col("__has_err") == 1, F.lit("has_errors"))
-            .otherwise(F.lit("clean"))
-            .alias("status"),
-        )
-    )
-
-
-@register(
-    "unpivot_daily_metrics",
-    """
-    SELECT date, metric, ROUND(val + 1e-9, 4) AS val FROM (
-      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
-             ROUND(AVG(value) + 1e-9, 4) AS avg_value,
-             ROUND(MAX(value) + 1e-9, 4) AS max_value,
-             CAST(COUNT(*) AS DOUBLE) AS n_rows
-      FROM events GROUP BY 1
-    ) UNPIVOT (val FOR metric IN (avg_value, max_value, n_rows))
-    """,
-)
-def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24d — wide→long unpivot (melt) via stack(): the inverse
-    of the pivot operator, a narrow projection over the aggregated
-    relation (the reshape itself never shuffles)."""
-    ev = load(spark, sf_dir, "events")
-    wide = ev.groupBy(F.to_date("ts").cast("string").alias("date")).agg(
-        r4(F.avg("value")).alias("avg_value"),
-        r4(F.max("value")).alias("max_value"),
-        F.count(F.lit(1)).cast("double").alias("n_rows"),
-    )
-    return wide.select(
-        "date",
-        F.expr(
-            "stack(3, 'avg_value', avg_value, 'max_value', max_value, "
-            "'n_rows', n_rows) AS (metric, val)"
-        ),
-    ).select("date", "metric", r4(F.col("val")).alias("val"))
-
-
-@register(
-    "value_deciles",
-    """
-    SELECT event_type, decile,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value) + 1e-9, 4) AS avg_value,
-           ROUND(MIN(value) + 1e-9, 4) AS lo,
-           ROUND(MAX(value) + 1e-9, 4) AS hi
-    FROM (
-      SELECT event_type, value,
-             CAST(NTILE(10) OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) AS INTEGER) AS decile
-      FROM events
-    )
-    GROUP BY 1, 2
-    """,
-)
-def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #15d — per-group decile profile via ntile(): one window
-    shuffle on the group key, then a partial-agg groupBy on (group,
-    decile). Deterministic tie-break by event_id inside the ordering."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        ev.withColumn("decile", F.ntile(10).over(w).cast("int"))
-        .groupBy("event_type", "decile")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            r4(F.avg("value")).alias("avg_value"),
-            r4(F.min("value")).alias("lo"),
-            r4(F.max("value")).alias("hi"),
-        )
-    )
-
-
-# Greedy nearest-forward matching IS SQL-expressible: a per-user
-# two-pointer recursion (recursive CTE + LATERAL next-available lookup).
-# Sums accumulate in the same ascending-ts order as the pandas loop, so
-# the doubles are bit-identical before the +1e-9-nudged round.
-_COGROUP_SQL = """
-WITH l AS (
-  SELECT user_id, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-  FROM events WHERE event_type = 'click'
-), r AS (
-  SELECT user_id, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-  FROM events WHERE event_type = 'purchase'
-), lc AS (SELECT user_id, COUNT(*) AS n_left FROM l GROUP BY 1),
-rc AS (SELECT user_id, COUNT(*) AS n_right FROM r GROUP BY 1),
-users AS (SELECT user_id FROM lc UNION SELECT user_id FROM rc),
-rec AS (
-  WITH RECURSIVE walk(user_id, i, j, pairs, gap_sum) AS (
-    SELECT user_id, 1, 1, 0, CAST(0 AS DOUBLE) FROM lc
-    UNION ALL
-    SELECT w.user_id, w.i + 1,
-           CASE WHEN nxt.rn IS NULL THEN w.j ELSE nxt.rn + 1 END,
-           w.pairs + CASE WHEN nxt.rn IS NULL THEN 0 ELSE 1 END,
-           w.gap_sum + COALESCE(epoch(nxt.ts - lt.ts), 0)
-    FROM walk w
-    JOIN l lt ON lt.user_id = w.user_id AND lt.rn = w.i
-    LEFT JOIN LATERAL (
-      SELECT r.rn, r.ts FROM r
-      WHERE r.user_id = w.user_id AND r.rn >= w.j AND r.ts >= lt.ts
-      ORDER BY r.rn LIMIT 1
-    ) nxt ON TRUE
-  )
-  SELECT w.user_id, w.pairs, w.gap_sum
-  FROM walk w JOIN lc ON w.user_id = lc.user_id AND w.i = lc.n_left + 1
-)
-SELECT CAST(u.user_id AS BIGINT) AS user_id,
-       CAST(COALESCE(lc.n_left, 0) AS BIGINT) AS n_left,
-       CAST(COALESCE(rc.n_right, 0) AS BIGINT) AS n_right,
-       CASE WHEN COALESCE(rec.pairs, 0) > 0
-            THEN ROUND(rec.gap_sum / rec.pairs + 1e-9, 4) END AS mean_gap_s,
-       CAST(COALESCE(rec.pairs, 0) AS BIGINT) AS aligned_pairs
-FROM users u
-LEFT JOIN lc ON u.user_id = lc.user_id
-LEFT JOIN rc ON u.user_id = rc.user_id
-LEFT JOIN rec ON u.user_id = rec.user_id
-"""
-
-
-@register("cogroup_align_events", _COGROUP_SQL)
-def q_cogroup_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24e — cogrouped applyInPandas: per-user greedy
-    nearest-forward alignment of clicks to purchases (both sides of the
-    key materialized as Arrow frames; semantics no join expresses)."""
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
-    return multimodal.cogroup_align(clicks, buys, "user_id", "ts")
-
-
-@register(
-    "json_props_stats",
-    """
-    SELECT k_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(k) AS INTEGER) AS k_min,
-           CAST(MAX(k) AS INTEGER) AS k_max,
-           ROUND(AVG(value) + 1e-9, 4) AS avg_value
-    FROM (
-      SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
-               AS k_bucket,
-             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-             value
-      FROM events
-    )
-    GROUP BY 1
-    """,
-)
-def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #6b — semi-structured columns: parse the JSON props
-    payload with a declared schema (from_json → typed struct, not
-    per-row string probing) and aggregate on an extracted field. At
-    100 TB the declared schema matters: get_json_object re-parses per
-    access; from_json parses once into a struct Catalyst can prune."""
-    ev = load(spark, sf_dir, "events")
-    parsed = ev.select(
-        F.from_json("props", "k int").alias("p"), "value"
-    ).select(F.col("p.k").alias("k"), "value")
-    return (
-        parsed.withColumn("k_bucket", (F.col("k") % 10).cast("int"))
-        .groupBy("k_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min("k").cast("int").alias("k_min"),
-            F.max("k").cast("int").alias("k_max"),
-            r4(F.avg("value")).alias("avg_value"),
-        )
-    )
-
-
-@register(
-    "cube_type_dow",
-    """
-    SELECT COALESCE(event_type, 'ALL') AS event_type,
-           COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value) + 1e-9, 4) AS avg_value
-    FROM (SELECT event_type, ISODOW(ts) - 1 AS dow, value FROM events)
-    GROUP BY CUBE(event_type, dow)
-    """,
-)
-def q_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #10c — full CUBE over (type, day-of-week): all four
-    grouping grains in one aggregation pass (the expand operator feeds
-    one shuffle), vs four separate scans."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        (F.dayofweek("ts") + 5) % 7,  # ISO Monday=0, matching ISODOW-1
-        "value",
-    ).toDF("event_type", "dow", "value")
-    return (
-        ev.cube("event_type", "dow")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            r4(F.avg("value")).alias("avg_value"),
-        )
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
-            "n",
-            "avg_value",
-        )
-    )
-
-
-@register(
-    "etl_sensor_gaps",
-    cleaning.sensor_gaps_sql("events", "user_id", "ts", max_gap_minutes=120),
-)
-def q_etl_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #11c — per-sensor reading-gap report (islands problem:
-    one lag window per group, a single shuffle; operational
-    where-did-the-feed-go-dark companion to the validation report)."""
-    ev = load(spark, sf_dir, "events")
-    return cleaning.sensor_gaps(ev, "user_id", "ts", max_gap_minutes=120)
-
-
-@register("text_char_entropy", text.char_entropy_sql("documents", "doc_id", "text"))
-def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #33b — Shannon char-entropy quality signal (two
-    map-side-combined groupBys; shuffle bounded by per-doc alphabet)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return text.char_entropy(docs.select("doc_id", "text"), "doc_id", "text")
-
-
-@register(
-    "etl_locf_fill",
-    """
-    SELECT event_id, user_id,
-           LAST_VALUE(value IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-    FROM (SELECT event_id, ts, user_id,
-                 CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value
-          FROM events)
-    """,
-)
-def q_etl_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #1b — last-observation-carried-forward fill (the
-    step-function sibling of linear interpolation; same deterministic
-    gap injection as etl_interpolate)."""
-    out = cleaning.locf_fill(
-        _gappy_events(spark, sf_dir),
-        value_col="value",
-        group_cols=["user_id"],
-        order_cols=["ts", "event_id"],
-    )
-    return out.select("event_id", "user_id", "value")
-
-
-@register(
-    "etl_resample_15min",
-    cleaning.resample_spine_sql("events", "ts", "user_id", "value", bucket_minutes=15),
-)
-def q_etl_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #1c — 15-minute resample with gap buckets materialized
-    (distributed sequence+explode spine, bucket-keyed left join)."""
-    ev = load(spark, sf_dir, "events")
-    return cleaning.resample_spine(ev, "ts", "user_id", "value", bucket_minutes=15)
-
-
-@register(
-    "dash_rolling_median",
-    """
-    SELECT event_id, user_id,
-           ROUND(quantile_cont(value, 0.5) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_median
-    FROM events
-    """,
-)
-def q_dash_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #14b — trailing 6-row rolling MEDIAN per station (the
-    outlier-robust smoother the dashboard's rolling mean is not). Spark
-    has no windowed percentile, so the frame is collected as a ≤6-element
-    sorted array and the linearly-interpolated middle is taken JVM-side —
-    constant-bounded state per row, same single shuffle as rolling mean."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-5, Window.currentRow)
-    )
-    arr = F.sort_array(F.collect_list("value").over(w))
-    med = (
-        "CASE WHEN size(__arr) % 2 = 1 THEN __arr[cast(size(__arr) div 2 as int)] "
-        "ELSE (__arr[cast(size(__arr) div 2 as int) - 1] "
-        "      + __arr[cast(size(__arr) div 2 as int)]) / 2 END"
-    )
-    return (
-        ev.withColumn("__arr", arr)
-        .select("event_id", "user_id", r4(F.expr(med)).alias("rolling_median"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Geospatial-lite: nearest-station assignment (sensor networks are
-# spatial; the reference's 5 stations have no coordinates, so a
-# deterministic synthetic station grid stands in).
-# ---------------------------------------------------------------------------
-
-
-def _stations(n: int = 10) -> list[tuple[int, float, float, float]]:
-    """Deterministic station grid around Madrid; the cos-latitude scale
-    factor is precomputed HERE (Python) and embedded as a literal in
-    both engines — trig functions are not bit-identical across math
-    libraries, but literals are."""
-    import math
-
-    out = []
-    for s in range(n):
-        lat = 40.4 + ((s * 37) % 100) * 0.02 - 1.0
-        lon = -3.7 + ((s * 53) % 100) * 0.02 - 1.0
-        out.append((s, lat, lon, math.cos(math.radians(lat))))
-    return out
-
-
-def _user_coords_sql() -> str:
-    return (
-        "SELECT user_id, "
-        "40.4 + (user_id % 200) * 0.01 - 1.0 AS ulat, "
-        "-3.7 + ((user_id * 7) % 200) * 0.01 - 1.0 AS ulon "
-        "FROM (SELECT DISTINCT user_id FROM events)"
-    )
-
-
-def _geo_oracle() -> str:
-    vals = ", ".join(f"({s}, {la!r}, {lo!r}, {k!r})" for s, la, lo, k in _stations())
-    return f"""
-    SELECT user_id, station_id, dist_km FROM (
-      SELECT u.user_id, s.station_id,
-             ROUND(111.32 * sqrt((u.ulat - s.slat) * (u.ulat - s.slat)
-                   + ((u.ulon - s.slon) * s.k) * ((u.ulon - s.slon) * s.k)) + 1e-9, 4)
-               AS dist_km,
-             ROW_NUMBER() OVER (
-               PARTITION BY u.user_id
-               ORDER BY ROUND(111.32 * sqrt((u.ulat - s.slat) * (u.ulat - s.slat)
-                     + ((u.ulon - s.slon) * s.k) * ((u.ulon - s.slon) * s.k)) + 1e-9, 4),
-                 s.station_id) AS rn
-      FROM ({_user_coords_sql()}) u
-      CROSS JOIN (
-        SELECT station_id, CAST(slat AS DOUBLE) AS slat,
-               CAST(slon AS DOUBLE) AS slon, CAST(k AS DOUBLE) AS k
-        FROM (VALUES {vals}) v(station_id, slat, slon, k)
-      ) s
-    ) WHERE rn = 1
-    """
-
-
-@register("geo_nearest_station", _geo_oracle())
-def q_geo_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24f — nearest-station spatial assignment: tiny station
-    dim broadcast into a cross join, per-user argmin by equirectangular
-    distance (pure +,−,×,sqrt — IEEE-deterministic across engines;
-    haversine is the production drop-in, its trig precomputed into the
-    dim exactly as the cos-scale factor is here)."""
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct().select(
-        "user_id",
-        (F.lit(40.4) + (F.col("user_id") % 200) * 0.01 - 1.0).alias("ulat"),
-        (F.lit(-3.7) + ((F.col("user_id") * 7) % 200) * 0.01 - 1.0).alias("ulon"),
-    )
-    st = spark.createDataFrame(
-        _stations(), "station_id int, slat double, slon double, k double"
-    )
-    dist = r4(
-        F.lit(111.32)
-        * F.sqrt(
-            (F.col("ulat") - F.col("slat")) * (F.col("ulat") - F.col("slat"))
-            + ((F.col("ulon") - F.col("slon")) * F.col("k"))
-            * ((F.col("ulon") - F.col("slon")) * F.col("k"))
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy("dist_km", "station_id")
-    return (
-        users.crossJoin(F.broadcast(st))
-        .withColumn("dist_km", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "station_id", "dist_km")
-    )
-
-
-@register(
-    "corpus_mixture_sample",
-    corpus.mixture_sample_sql(
-        "(SELECT doc_id, source, lang FROM documents)",
-        "doc_id",
-        "source",
-        {"src0": 2.3, "src1": 0.4},
-        default_weight=1.0,
-        cols="doc_id, source, lang",
-    ),
-)
-def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49b — mixture weighting: src0 upsampled 2.3×, src1
-    downsampled to 40 %, everything else kept — the LLM corpus-mixing
-    step, hash-deterministic (no RNG), replication via sequence+explode."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    return corpus.mixture_sample(
-        docs, "doc_id", "source", {"src0": 2.3, "src1": 0.4}, default_weight=1.0
-    )
-
-
-# ---------------------------------------------------------------------------
-# Analytics widening batch: grouping sets, time-weighted avg, winsorize,
-# histogram, cumulative distinct; TF-IDF; benchmark contamination.
-# ---------------------------------------------------------------------------
-
-from .operators import analytics2  # noqa: E402
-
-
-@register("grouping_sets_profile", analytics2.GROUPING_SETS_SQL)
-def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS — (event_type) + (dow) profiles in one
-    fact pass (vs two scans for two groupBys)."""
-    return analytics2.grouping_sets_profile(load(spark, sf_dir, "events"))
-
-
-@register("time_weighted_avg", analytics2.TIME_WEIGHTED_SQL)
-def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time-weighted mean over irregular sampling intervals
-    (lead-delta weights, exact DECIMAL weighted sums)."""
-    return analytics2.time_weighted_avg(load(spark, sf_dir, "events"))
-
-
-@register("winsorize_profile", analytics2.winsorize_sql(0.05, 0.95))
-def q_winsorize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type P5/P95 winsorization: exact bounds broadcast back onto
-    the fact, clip counts + winsorized mean."""
-    return analytics2.winsorize_profile(load(spark, sf_dir, "events"), 0.05, 0.95)
-
-
-@register("value_histogram", analytics2.value_histogram_sql(0.0, 500.0, 20))
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-bin value histogram per event type — arithmetic bin ids in
-    WholeStageCodegen, shuffle carries only (type, bin) partials."""
-    return analytics2.value_histogram(load(spark, sf_dir, "events"), 0.0, 500.0, 20)
-
-
-@register("cumulative_distinct_users", analytics2.CUMULATIVE_DISTINCT_SQL)
-def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cumulative distinct users via the first-touch trick — no
-    growing-window COUNT(DISTINCT), the only window runs over ~#days rows."""
-    return analytics2.cumulative_distinct_users(load(spark, sf_dir, "events"))
-
-
-@register("text_tfidf_topk", text.tfidf_topk_sql("documents", "doc_id", "text", k=5))
-def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-5 TF-IDF terms (smoothed idf, map-side-combined
-    tf/df aggregates, scalar doc-count broadcast)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    return text.tfidf_topk(docs, "doc_id", "text", k=5)
-
-
-@register(
-    "corpus_contamination",
-    corpus.contamination_sql("documents", "doc_id", "text", n=5, bench_mod=97),
-)
-def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: training docs sharing any word 5-gram
-    with the benchmark subset (doc_id % 97 == 0), with overlap counts."""
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    return corpus.contamination_check(docs, "doc_id", "text", n=5, bench_mod=97)
-
-
-@register("ema_per_user", analytics2.ema_sql(alpha=0.3, tail_n=5))
-def q_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user exponential moving average — the inherently-sequential
-    smoother as a JVM-side array fold (one groupBy shuffle; streaming
-    stateful module is the unbounded-series path)."""
-    return analytics2.ema_per_group(load(spark, sf_dir, "events"), alpha=0.3, tail_n=5)
-
-
-from .operators import validation  # noqa: E402
-
-
-@register(
-    "expectations_report",
-    validation.expectations_sql("events", validation.DEFAULT_EVENT_RULES),
-)
-def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative expectations runner — five rule kinds (null-frac,
-    uniqueness, accepted values, range, row-count) in ONE full-scan
-    aggregate, long-form pass/fail report (dag:365-407 generalized)."""
-    return validation.expectations_report(
-        load(spark, sf_dir, "events"), validation.DEFAULT_EVENT_RULES
-    )
-
-
-@register("mode_per_user", analytics2.MODE_SQL)
-def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mode (most frequent event_type) per user — argmax window over a
-    pre-reduced |users|×|types| relation, deterministic tie-break."""
-    return analytics2.mode_per_group(load(spark, sf_dir, "events"))
-
-
-@register("psi_drift", analytics2.psi_sql("2024-01-16", 0.0, 500.0, 10, 1e-4))
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift per event_type between the two
-    halves of the month — fixed-bin groupBy arithmetic, no sort/quantile."""
-    return analytics2.psi_drift(
-        load(spark, sf_dir, "events"), "2024-01-16", 0.0, 500.0, 10, 1e-4
-    )
-
-
-@register("sample_n_per_user", analytics2.sample_n_sql(10))
-def q_sample_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-ordered 10-row sample per user (reproducible,
-    RNG-free, unbiased by time or value)."""
-    return analytics2.sample_n_per_group(load(spark, sf_dir, "events"), 10)
-
-
-from .operators import graph  # noqa: E402
-
-
-
-# PageRank IS oracle-able for a FIXED iteration count: unroll the 8
-# rounds as chained CTEs (recursive CTEs can't aggregate over the
-# recursive reference, but unrolling needs no recursion). Per-node
-# float-sum order differs between engines by ~1e-16; the 4-decimal
-# nudged round absorbs it.
-_PAGERANK_SQL = """
-WITH e AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
-           's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    UNION ALL
-    SELECT 's:' || CAST(l.l_suppkey AS VARCHAR),
-           'c:' || CAST(o.o_custkey AS VARCHAR)
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  )
-), deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
-r0 AS (SELECT src AS node, 1.0 / nn.n AS rank FROM deg, nn),
-r1 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r0.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON e.src = r0.node
-  GROUP BY e.dst
-),
-r2 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r1.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.node
-  GROUP BY e.dst
-),
-r3 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r2.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r2 ON e.src = r2.node
-  GROUP BY e.dst
-),
-r4 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r3.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r3 ON e.src = r3.node
-  GROUP BY e.dst
-),
-r5 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r4.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r4 ON e.src = r4.node
-  GROUP BY e.dst
-),
-r6 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r5.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r5 ON e.src = r5.node
-  GROUP BY e.dst
-),
-r7 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r6.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r6 ON e.src = r6.node
-  GROUP BY e.dst
-),
-r8 AS (
-  SELECT e.dst AS node,
-         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * SUM(r7.rank / deg.out_deg) AS rank
-  FROM e JOIN deg ON e.src = deg.src JOIN r7 ON e.src = r7.node
-  GROUP BY e.dst
-)
-SELECT node, ROUND(rank + 1e-9, 4) AS rank FROM r8
-ORDER BY ROUND(rank + 1e-9, 4) DESC, node ASC LIMIT 50
-"""
-
-
-@register("graph_pagerank", _PAGERANK_SQL)
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the symmetrized customer↔supplier trade graph —
-    the iterative persist/unpersist pattern (constant lineage depth,
-    one shuffle per round); top-50 nodes."""
-    edges = graph.order_graph_edges(
-        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
-    )
-    return graph.pagerank(edges, iterations=8).limit(50)
-
-
-from .operators import behavior  # noqa: E402
-
-
-@register("cohort_retention", behavior.COHORT_SQL)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention — first-touch cohorts, |cohorts|x|weeks|
-    output from two partial-agg passes over (user, week)."""
-    return behavior.cohort_retention(load(spark, sf_dir, "events"))
-
-
-@register("rfm_segments", behavior.rfm_sql("purchase"))
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quartile segmentation per user over purchase events (ntile
-    windows over the user-reduced relation; approx-quantile cut points
-    are the documented 100 TB swap)."""
-    return behavior.rfm_segments(load(spark, sf_dir, "events"), "purchase")
-
-
-@register("event_transition_matrix", behavior.TRANSITION_SQL)
-def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix between consecutive event
-    types per user (one lag window + |types|^2 bigram groupBy)."""
-    return behavior.transition_matrix(load(spark, sf_dir, "events"))
-
-
-@register(
-    "column_profile",
-    validation.column_profile_sql("events"),
-)
-def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Describe-style column profiler — numeric + string metrics in long
-    form, ONE full-scan aggregate for any column count."""
-    return validation.column_profile(load(spark, sf_dir, "events"))
-
-
-@register("hour_dow_heatmap", analytics2.HEATMAP_SQL)
-def q_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour x day-of-week activity heatmap (24x7 output, one groupBy)."""
-    return analytics2.hour_dow_heatmap(load(spark, sf_dir, "events"))
-
-
-@register("scd2_point_in_time", general.SCD2_PIT_SQL)
-def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time join of purchase facts onto the SCD2 status
-    dimension — equi-key hash join with the validity interval as a
-    post-filter (never a nested loop)."""
-    return general.scd2_point_in_time(load(spark, sf_dir, "events"))
-
-
-@register("topn_with_others", analytics2.topn_others_sql(3))
-def q_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 revenue users per event type + OTHER rollup row — the BI
-    chart relation, ranked on the pre-reduced |types|x|users| agg."""
-    return analytics2.topn_with_others(load(spark, sf_dir, "events"), 3)
-
-
-@register("share_of_total", analytics2.SHARE_SQL)
-def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percent-of-total + rank per customer nation (window ratio over
-    the |nations|-row reduced relation — global window is safe because
-    the relation is dimension-sized by construction)."""
-    return analytics2.share_of_total(
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "customer"),
-        load(spark, sf_dir, "nation"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 2 additions — keep ALL new registrations BELOW this line: the driver
-# samples registrations in order, so inserting above would shift every
-# round-over-round correctness row.
-# ---------------------------------------------------------------------------
-
-def _spearman_rank_cte(c: str) -> str:
-    return f"""r_{c} AS (
-  SELECT v, cum - cnt + (cnt + 1) / 2.0 AS r FROM (
-    SELECT {c} AS v, COUNT(*) AS cnt,
-           SUM(COUNT(*)) OVER (
-             ORDER BY {c} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum
-    FROM p WHERE {c} IS NOT NULL GROUP BY {c}
-  )
-)"""
-
-
-_SPEARMAN_COLS = ["m_purchase", "m_view", "m_click", "m_error"]
-
-_SPEARMAN_SQL = (
-    "WITH p AS ({pivot}),\n".format(pivot=_CORR_PIVOT_SQL)
-    + ",\n".join(_spearman_rank_cte(c) for c in _SPEARMAN_COLS)
-    + ",\npr AS (\n  SELECT p.*"
-    + "".join(f", r_{c}.r AS rank_{c}" for c in _SPEARMAN_COLS)
-    + "\n  FROM p"
-    + "".join(f"\n  LEFT JOIN r_{c} ON p.{c} = r_{c}.v" for c in _SPEARMAN_COLS)
-    + "\n)\nSELECT col_a, col_b, spearman FROM (\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
-        f" ROUND(CORR(rank_{a}, rank_{b}) + 1e-9, 4) AS spearman FROM pr"
-        for a, b in _CORR_PAIRS
-    )
-    + "\n)"
-)
-
-
-@register("dash_spearman_matrix", _SPEARMAN_SQL)
-def q_dash_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman (rank) correlation matrix over the same day x station
-    metric pivot as dash_corr_matrix. Ranks are average-tie and computed
-    the distributed way: value-compacted counts + a prefix-sum window over
-    |distinct values| rows, joined back by value — never a global row sort
-    (see analytics.with_avg_ranks)."""
-    ev = load(spark, sf_dir, "events")
-
-    def cavg(t: str):
-        return r4(F.avg(F.when(F.col("event_type") == t, F.col("value"))))
-
-    pivoted = ev.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(*[cavg(t).alias(f"m_{t}") for t in ["purchase", "view", "click", "error"]])
-    return analytics.spearman_matrix_long(pivoted, _SPEARMAN_COLS)
-
-
-from .operators import sketches  # noqa: E402
-
-
-@register(
-    "heavy_hitters_topk",
-    sketches.heavy_hitters_exact_sql("events", "event_type", k=5),
-)
-def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries heavy hitters over event_type. capacity=64 >> the
-    column's cardinality, so no partition ever evicts, the decrement
-    total is 0, and the sketch is provably exact — which is what lets an
-    exact groupBy-count oracle hash-match it. The evicting (approximate)
-    regime is bound-tested in tests/test_sketches.py."""
-    ev = load(spark, sf_dir, "events", spread=True)
-    return sketches.heavy_hitters(ev, "event_type", k=5, capacity=64)
-
-
-@register(
-    "corpus_weighted_sample",
-    corpus.weighted_sample_topk_sql(
-        "documents", "doc_id", "octet_length(encode(text))", k=50
-    ),
-)
-def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Priority sampling (Duffield-Lund-Thorup): deterministic
-    length-weighted sample-without-replacement of 50 docs — long docs
-    proportionally likelier, md5-derived priorities, TakeOrdered plan
-    (per-partition top-k, no global sort)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.weighted_sample_topk(
-        docs, "doc_id", F.octet_length(F.col("text")), k=50
-    )
-
-
-@register(
-    "corpus_domain_quota",
-    corpus.domain_quota_sample_sql(
-        "documents", "doc_id", "source", quota=10, cols="doc_id, source"
-    ),
-)
-def q_corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain quota: cap every source at 10 docs, kept subset chosen
-    by deterministic md5 order (crawl balancing — no hot-domain
-    dominance, no head-of-file bias, stable across reruns)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.domain_quota_sample(docs, "doc_id", "source", quota=10).select(
-        "doc_id", "source"
-    )
-
-
-@register("text_normalize", text.normalize_sql("documents", "doc_id", "text"))
-def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical text normalization (strip non-printables, lowercase,
-    collapse whitespace) + md5 of the canonical form — the pre-dedup
-    normalization pass, all JVM-side regexp_replace."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return text.normalize(docs, "doc_id", "text")
-
-
-@register("bloom_ingest_dedup", None)  # probabilistic membership — rows-only
-def q_bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter ingest dedup: 'existing table' = even doc_ids,
-    incoming batch = all docs; survivors are the (probably) new rows.
-    No false negatives by construction; fp rate bound and determinism
-    asserted in tests/test_bloom.py — sketch membership has no portable
-    SQL twin, so the row is rows-only like sketch_profile."""
-    from .operators import bloom
-
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
-    existing = docs.filter(F.col("doc_id") % 2 == 0)
-    return bloom.bloom_new_rows(existing, docs, "doc_id", fpp=0.01)
-
-
-from .operators import tpch3  # noqa: E402
-
-
-@register("tpch_q13_custdist", tpch3.Q13_SQL)
-def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 — customer order-count distribution (LEFT OUTER join
-    preserved zero-order customers, then a distribution groupBy)."""
-    return tpch3.q13_custdist(
-        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
-    )
-
-
-@register("tpch_q21_waiting", tpch3.Q21_SQL)
-def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 — sole late supplier on multi-supplier finalized
-    orders (Q4's >60-day lateness convention; see tpch3 docstring)."""
-    return tpch3.q21_waiting(
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "orders"),
-    )
-
-
-@register("tpch_q9_profit", tpch3.q9_sql("a"))
-def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 — profit by nation x year (supplycost stand-in: 60% of
-    retail price; DECIMAL fact math, dims broadcast)."""
-    return tpch3.q9_profit(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "part"),
-        name_token="a",
-    )
-
-
-@register("tpch_q11_important", tpch3.q11_sql("NATION_2", 0.001))
-def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 — parts whose supplied value from one nation exceeds a
-    scalar fraction of the total (broadcast scalar threshold)."""
-    return tpch3.q11_important_parts(
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        nation_name="NATION_2",
-        fraction=0.001,
-    )
-
-
-@register("tpch_q20_excess", tpch3.q20_sql("NATION_1", "red", 1996, 50.0))
-def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 — suppliers in a nation whose shipped volume of
-    name-prefixed parts in a year exceeds a threshold (semi-join)."""
-    return tpch3.q20_excess_suppliers(
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "part"),
-        nation_name="NATION_1",
-        prefix="red",
-        year=1996,
-        min_qty=50.0,
-    )
-
-
-@register("tpch_q2_min_cost", tpch3.q2_sql("EUROPE", 5))
-def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 — min-cost supplier per part within a region (argmin
-    window over the lineitem-derived part-supplier relation;
-    deterministic pseudo supply cost, see tpch3 docstring)."""
-    return tpch3.q2_min_cost_supplier(
-        load(spark, sf_dir, "part"),
-        load(spark, sf_dir, "supplier"),
-        load(spark, sf_dir, "nation"),
-        load(spark, sf_dir, "region"),
-        load(spark, sf_dir, "lineitem"),
-        region_name="EUROPE",
-        size_mod=5,
-    )
-
-
-@register(
-    "dedup_fuzzy_pairs",
-    dedup.fuzzy_pairs_sql("documents", "doc_id", "text", max_dist=40, prefix_len=12),
-)
-def q_dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs, banded (shared 12-char prefix +
-    length within 40) so levenshtein never runs all-pairs — the sixth
-    dedup family (character-level edits; Jaccard/MinHash are word-set
-    detectors and miss dense small edits)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.fuzzy_pairs(docs, "doc_id", "text", max_dist=40, prefix_len=12)
-
-
-@register("seasonal_anomaly", analytics2.seasonal_anomaly_sql(3.0))
-def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonality-aware outliers: |z| > 3 against the (type, dow, hour)
-    cell baseline — the reference's mean±k·sigma rule (dag:207-215),
-    cycle-adjusted; baseline broadcast, narrow z projection."""
-    return analytics2.seasonal_anomaly(load(spark, sf_dir, "events"), 3.0)
-
-
-# ---------------------------------------------------------------------------
-# Round-4 additions: readability, unigram-LM scoring, split hygiene,
-# robust outliers, CUSUM changepoints.
-# ---------------------------------------------------------------------------
-
-
-@register("text_readability", text.readability_sql("documents", "doc_id", "text"))
-def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #35e — Flesch-style readability from three regexp
-    counts; zero-shuffle narrow projection."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return text.readability(docs, "doc_id", "text")
-
-
-@register(
-    "corpus_unigram_logprob",
-    corpus.unigram_logprob_sql("documents", "doc_id", "text"),
-)
-def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49h — CCNet-style unigram-LM quality score; the
-    Zipf-head token join broadcasts (skew guard), only the long tail
-    shuffles."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.unigram_logprob(docs, "doc_id", "text")
-
-
-@register(
-    "corpus_split_decontaminated",
-    corpus.split_decontaminated_sql("documents", "doc_id", "text"),
-)
-def q_corpus_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49i — hash-deterministic train/test split with
-    verbatim n-gram leakage flags; the train side never shuffles."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.split_decontaminated(docs, "doc_id", "text")
-
-
-@register("etl_outlier_mad", analytics2.mad_outliers_sql(3.5))
-def q_etl_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #4b — robust median/MAD outliers per event type
-    (50% breakdown point vs the IQR/z rules); fact never shuffles,
-    per-type stats broadcast."""
-    return analytics2.mad_outliers(load(spark, sf_dir, "events"), 3.5)
-
-
-@register(
-    "ann_pq_topk",
-    ann.pq_topk_sql(
-        "embeddings", "vec_id", "embedding", "label", "id < 10", k=5, m_subspaces=8
-    ),
-)
-def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31f — product-quantized top-5: 8 subspace codes per
-    vector (32x less corpus bandwidth than float32), asymmetric-distance
-    scoring; codebook collected once, single window shuffle."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.pq_topk(
-        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, m_subspaces=8
-    )
-
-
-@register(
-    "ann_ivfpq_topk",
-    ann.ivfpq_topk_sql(
-        "embeddings",
-        "vec_id",
-        "embedding",
-        "label",
-        "id < 10",
-        k=5,
-        nprobe=2,
-        m_subspaces=8,
-    ),
-)
-def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31g — IVF+PQ top-5 (the FAISS billion-scale layout):
-    coarse nprobe=2 cell pruning composed with 8-subspace PQ codes, so a
-    query scans ~nprobe/|cells| of the rows AND 32x fewer bytes per row;
-    one collected codebook serves both quantizers."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.ivfpq_topk(
-        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2,
-        m_subspaces=8,
-    )
-
-
-@register("events_cusum_alarms", analytics2.cusum_alarms_sql(0.5, 5.0))
-def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #18b — one-sided CUSUM drift alarms per user via the
-    prefix-sum closed form: one window shuffle, no iteration."""
-    return analytics2.cusum_alarms(load(spark, sf_dir, "events"), 0.5, 5.0)
-
-
-@register(
-    "graph_triangles",
-    graph.triangle_count_sql(
-        dedup.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5)
-    ),
-)
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24u — triangle count over the near-dup graph via
-    degree-oriented node-iterator (Suri-Vassilvitskii): out-degree
-    bounded O(sqrt(m)) per node, no last-reducer skew."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    return graph.triangle_count(pairs)
-
-
-@register("basket_affinity", behavior.basket_affinity_sql(3, 50))
-def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24v — market-basket part-pair lift: order-keyed
-    self-join (fan-out bounded by basket size), scalar N broadcast,
-    TakeOrdered top-50."""
-    return behavior.basket_affinity(load(spark, sf_dir, "lineitem"), 3, 50)
-
-
-@register("conversion_attribution", behavior.conversion_attribution_sql())
-def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24w — first/last-touch attribution per purchase in
-    ONE window pass (conditional running min/max of an encoded touch
-    key) — no conversions×touches self-join."""
-    return behavior.conversion_attribution(load(spark, sf_dir, "events"))
-
-
-@register("cms_user_counts", None)  # probabilistic frequency — rows-only
-def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #22c — Count-Min per-user event-frequency estimates:
-    mergeable d×w partition sketches sum-merged on the driver, broadcast
-    vectorized probe; never-undercount + eps·N bounds pytest-proven
-    (tests/test_cms.py)."""
-    from .operators import cms
-
-    ev = load(spark, sf_dir, "events")
-    return cms.cms_frequency_profile(ev, "user_id", eps=0.001, delta=0.01)
-
-
-@register("ab_welch_t", analytics2.ab_welch_t_sql(2))
-def q_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23m — Welch unequal-variance t statistic per event
-    type over a deterministic md5 user split; one map-side-combined
-    stats aggregate, fact never re-shuffles."""
-    return analytics2.ab_welch_t(load(spark, sf_dir, "events"), 2)
-
-
-@register(
-    "dedup_semantic",
-    ann.semantic_dedup_sql("embeddings", "vec_id", "embedding", k=8, iters=3, tau=0.35),
-)
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #29d — SemDeDup: k-means-partitioned embedding near-dup
-    removal (cos ≥ 0.35 within a learned cluster) — catches paraphrase
-    dups every lexical family misses; quadratic term bounded per
-    cluster."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.semantic_dedup(em, "vec_id", "embedding", k=8, iters=3, tau=0.35)
-
-
-@register("decayed_counts", analytics2.decayed_counts_sql(7.0))
-def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23n — exponentially-decayed (7-day half-life) activity
-    per event type; deterministic max-ts anchor broadcast as a scalar."""
-    return analytics2.decayed_counts(load(spark, sf_dir, "events"), 7.0)
-
-
-@register("daily_percentile_bands", analytics2.daily_percentile_bands_sql())
-def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23o — exact p50/p95 daily bands per event type (tail
-    divergence = the capacity signal); one partial-aggregated pass."""
-    return analytics2.daily_percentile_bands(load(spark, sf_dir, "events"))
-
-
-@register(
-    "geo_close_pairs",
-    f"""
-    SELECT a.user_id AS id_a, b.user_id AS id_b,
-           ROUND(111.32 * sqrt((a.ulat - b.ulat) * (a.ulat - b.ulat)
-                 + (a.ulon - b.ulon) * (a.ulon - b.ulon)) + 1e-9, 4) AS dist_km
-    FROM ({_user_coords_sql()}) a JOIN ({_user_coords_sql()}) b
-      ON a.user_id < b.user_id
-    WHERE 111.32 * sqrt((a.ulat - b.ulat) * (a.ulat - b.ulat)
-                + (a.ulon - b.ulon) * (a.ulon - b.ulon)) <= 10.0
-    """,
-)
-def q_geo_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24g — user pairs within 10 km via grid-cell bucketing
-    (3×3 neighbor replication, per-cell-bounded quadratic term); the
-    oracle is the naive all-pairs theta join — identical output proves
-    the banding is exact."""
-    ev = load(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct().select(
-        "user_id",
-        (F.lit(40.4) + (F.col("user_id") % 200) * 0.01 - 1.0).alias("ulat"),
-        (F.lit(-3.7) + ((F.col("user_id") * 7) % 200) * 0.01 - 1.0).alias("ulon"),
-    )
-    return general.geo_close_pairs(users, "user_id", "ulat", "ulon", max_km=10.0)
-
-
-@register(
-    "dedup_keep_best",
-    dedup.dedup_keep_best_sql("documents", "doc_id", "text", n=3, threshold=0.5),
-)
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #26e — the dedup DECISION step: Jaccard near-dup pairs
-    → connected components → keep the highest-quality doc per cluster
-    (tie: lowest id). One quality projection + one per-cluster window on
-    top of the proven pair/CC machinery."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.dedup_keep_best(docs, "doc_id", "text", n=3, threshold=0.5)
-
-
-@register(
-    "dedup_containment",
-    dedup.containment_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.6),
-)
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #26f — sub-document duplication via shingle overlap
-    coefficient |A∩B|/min(|A|,|B|) ≥ 0.6: the short-doc-pasted-into-
-    long-doc dups symmetric Jaccard under-reports; same skew-guarded
-    pair machinery."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
-
-
-@register(
-    "quantile_rollup_merge",
-    sketches.quantile_histogram_rollup_sql("events", "ts", "event_type", "value", 256),
-)
-def q_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #22d — mergeable histogram percentiles: daily 256-bin
-    partials per event type sum-merged to month-grain p50/p95 with no
-    fact rescan (the rolling-percentile analog of hll_rollup_merge);
-    in-bin interpolation error ≤ one bin width, pytest-pinned."""
-    ev = load(spark, sf_dir, "events")
-    return sketches.quantile_histogram_rollup(ev, "ts", "event_type", "value", 256)
-
-
-@register(
-    "lang_id_eval",
-    f"""
-    WITH pred AS ({text.lang_id_sql("documents", "doc_id", "text")})
-    SELECT d.lang AS label_lang, p.detected_lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS DOUBLE)
-                 + 1e-9, 4) AS frac_of_label
-    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #32b — classifier evaluation loop: confusion matrix of
-    the stopword-profile language ID against the corpus's labeled
-    ``lang`` column, with per-label recall fractions. One narrow scoring
-    projection + one (label, pred) groupBy — the share-of-label window
-    runs over the ≤|langs|² matrix, never the corpus."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    scored = text.lang_scores(docs.select("doc_id", "lang", "text"), "text")
-    pred = scored.select("doc_id", "lang", text.lang_pick().alias("detected_lang"))
-    from pyspark.sql import Window
-
-    cell = pred.groupBy(
-        F.col("lang").alias("label_lang"), "detected_lang"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    w = Window.partitionBy("label_lang")
-    return cell.select(
-        "label_lang",
-        "detected_lang",
-        "n_docs",
-        r4(F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
-            "frac_of_label"
-        ),
-    ).orderBy("label_lang", "detected_lang")
-
-
-@register(
-    "corpus_sentence_dedup",
-    corpus.sentence_dedup_sql("documents", "doc_id", "text", max_df=3),
-)
-def q_corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49j — CCNet-style sentence-level boilerplate removal:
-    drop sentences appearing in > 3 distinct docs, reassemble documents
-    in order. Broadcast anti-join on the small boilerplate set — the
-    corpus never shuffles on sentence text."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.sentence_dedup(docs, "doc_id", "text", max_df=3)
-
-
-@register("mm_phash_dedup", None)  # fingerprint over binary payload — rows-only
-def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #37b — multimodal near-dup: 64-bit average-hash
-    fingerprints over binary payloads, 4×16-bit pigeonhole band join
-    (exact for Hamming ≤ 3), JVM-side popcount verification. Rows-only
-    (fingerprint rides a pandas UDF); banding exactness and planted-dup
-    recall are pytest-pinned (tests/test_general_multimodal.py)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    payload = multimodal.with_binary_payload(docs.select("doc_id", "text"), "text")
-    return multimodal.phash_near_dup_pairs(payload, "doc_id", max_hamming=3)
-
-
-@register("top_event_paths", behavior.top_event_paths_sql(3, 20))
-def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24x — top-20 three-step event-type journeys (sliding
-    n-grams per user): one window shuffle, map-side-combined path
-    counts, TakeOrdered top-k."""
-    return behavior.top_event_paths(load(spark, sf_dir, "events"), 3, 20)
-
-
-@register(
-    "text_bm25_topk",
-    text.bm25_topk_sql("documents", "doc_id", "text", ["hash", "join", "spark"], k=10),
-)
-def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #35f — BM25 ranked retrieval: top-10 docs for a fixed
-    query term set. Zero wide shuffles: per-doc tfs are a narrow array
-    projection, corpus stats one broadcast 1-row aggregate, top-k plans
-    as TakeOrdered."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return text.bm25_topk(docs, "doc_id", "text", ["hash", "join", "spark"], k=10)
-
-
-@register("pareto_frontier", analytics2.pareto_frontier_sql("part"))
-def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24h — 2-D Pareto frontier (skyline) of parts: best
-    price-for-size shortlist. Two-phase: Arrow-batched conservative
-    local prune (no shuffle), exact tie-correct global check over the
-    tiny survivor set. Oracle is the quadratic NOT-EXISTS definition,
-    proving the pruning drops nothing."""
-    return analytics2.pareto_frontier(
-        load(spark, sf_dir, "part"), "p_partkey", "p_retailprice", "p_size"
-    )
-
-
-@register("item_cf_cosine", behavior.item_cf_cosine_sql(min_co_users=2))
-def q_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23q — item-item collaborative-filtering cosine over
-    implicit interaction counts (Sarwar et al. WWW'01): fact reduces to
-    the rating matrix first; pair fan-out per user bounded by catalog
-    size; norms broadcast."""
-    return behavior.item_cf_cosine(load(spark, sf_dir, "events"), min_co_users=2)
-
-
-_FD_CANDIDATES = [
-    ("event_id", "user_id"),
-    ("event_id", "event_type"),
-    ("user_id", "event_type"),
-    ("event_type", "user_id"),
-]
-
-
-@register("fd_profile", validation.fd_profile_sql("events", _FD_CANDIDATES))
-def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #11e — functional-dependency profiler: key detection /
-    schema inference over candidate (lhs → rhs) pairs in ONE full-scan
-    multi-distinct aggregate (Catalyst expand), reshaped long via
-    stack."""
-    return validation.fd_profile(load(spark, sf_dir, "events"), _FD_CANDIDATES)
-
-
-_INC_ORACLE = [
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("customer", "c_custkey", "events", "user_id"),
-]
-
-
-@register("inclusion_profile", validation.inclusion_profile_sql(_INC_ORACLE))
-def q_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #11f — inclusion-dependency (FK) discovery: each
-    candidate's child reduces to distinct keys first, LEFT ANTI join
-    against the parent's keys counts orphans (the last candidate is a
-    deliberately-wrong FK, proving violations are reported)."""
-    t = {n: load(spark, sf_dir, n) for n in ["lineitem", "orders", "part", "customer", "events"]}
-    return validation.inclusion_profile(
-        [
-            ("lineitem", t["lineitem"], "l_orderkey", "orders", t["orders"], "o_orderkey"),
-            ("lineitem", t["lineitem"], "l_partkey", "part", t["part"], "p_partkey"),
-            ("orders", t["orders"], "o_custkey", "customer", t["customer"], "c_custkey"),
-            ("customer", t["customer"], "c_custkey", "events", t["events"], "user_id"),
-        ]
-    )
-
-
-@register("text_hash_features", text.hash_features_sql("documents", "doc_id", "text", k=16))
-def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #35g — feature hashing (Weinberger ICML'09): 16-dim
-    hashed bag-of-words count vectors, one narrow zero-shuffle
-    projection; integer counts → exact parity."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return text.hash_features(docs, "doc_id", "text", k=16)
-
-
-@register("user_feature_matrix", analytics2.user_feature_matrix_sql())
-def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23r — point-in-time per-user ML feature matrix
-    (recency / frequency@7d,30d / monetary / breadth / lifetime) in ONE
-    conditional-aggregate fact pass against a deterministic max-ts
-    anchor."""
-    return analytics2.user_feature_matrix(load(spark, sf_dir, "events"))
-
-
-@register(
-    "session_stats",
-    general.SESSION_STATS_SQL.format(
-        sessionize=general.SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000)
-    ),
-)
-def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #23s — per-user session distribution profile (counts,
-    events/session, duration, bounce rate) layered on sessionize; AQE
-    keeps it at one fact shuffle."""
-    return general.session_stats(load(spark, sf_dir, "events"), gap_minutes=30)
-
-
-@register(
-    "dedup_minhash_eval",
-    dedup.minhash_eval_sql("documents", "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5),
-)
-def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #27c — MinHash+LSH candidate quality vs exact-Jaccard
-    ground truth: precision/recall in one row (the num_hashes×bands
-    tuning evidence); both sides are the proven banded pair machinery."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return dedup.minhash_eval(docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5)
-
-
-@register("scd2_apply_incremental", general.SCD2_SQL)
-def q_scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #3e — incremental SCD2 apply: history built from
-    events before 2024-01-24, then the remaining days applied as a
-    change batch. The oracle is the FULL REBUILD over all events —
-    hash-parity proves apply∘build ≡ rebuild, closed rows never
-    reprocessed (untouched keys stream through an anti-join)."""
-    ev = load(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-24").cast("timestamp")
-    before = ev.filter(F.col("ts") < cutoff)
-    after = ev.filter(F.col("ts") >= cutoff)
-    return general.scd2_apply(general.scd2_from_changelog(before), after)
-
-
-@register(
-    "ann_recall_eval",
-    ann.recall_eval_sql(
-        "embeddings", "vec_id", "embedding", "label",
-        "q.vec_id < 10", "id < 10", k=5, nprobe=2,
-    ),
-)
-def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31h — recall@5 of the IVF index vs the exact
-    brute-force ranking, per query — the |cells|×nprobe tuning evidence;
-    joins two proven relations on (query, neighbor) pairs."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.recall_eval(
-        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2
-    )
-
-
-@register(
-    "embed_cluster_purity",
-    ann.cluster_purity_sql("embeddings", "vec_id", "embedding", "label", k=8, iters=3),
-)
-def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31i — per-cluster majority-label purity of the k-means
-    partition against the labeled column: the
-    does-the-space-separate-classes check before trusting clusters for
-    SemDeDup/IVF; oracle = unrolled-k-means CTE + purity arithmetic."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.cluster_purity(em, "vec_id", "embedding", "label", k=8, iters=3)
-
-
-@register("etl_calendar_dim", features.CALENDAR_DIM_SQL)
-def q_etl_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #6c — calendar dimension spanning the fact's date
-    range (dag:220-226 materialized as a dimension): 1-row min/max
-    anchor + distributed sequence explode, no fact rescan; gap-free
-    even over event-less dates."""
-    return features.calendar_dim(load(spark, sf_dir, "events"))
-
-
-@register("holt_trend_forecast", analytics2.holt_sql(alpha=0.5, beta=0.3, horizon=3))
-def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #22f — per-user Holt double exponential smoothing
-    (level + linear trend) with a 3-step-ahead forecast: the short-
-    horizon sensor projection one notch past ema_per_user's flat EMA.
-    Same fold discipline: one groupBy shuffle into a sorted array, the
-    two-state recurrence as a JVM-side higher-order aggregate."""
-    return analytics2.holt_per_group(
-        load(spark, sf_dir, "events"), alpha=0.5, beta=0.3, horizon=3
-    )
-
-
-@register(
-    "quality_auc_eval",
-    f"""
-    WITH scored AS ({text.quality_score_sql("documents", "doc_id", "text")}),
-    j AS (
-      SELECT s.quality_score, d.lang
-      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-    )
-    {text.score_auc_sql("j", "quality_score", "lang = 'en'")}
-    """,
-)
-def q_quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #33g — ROC-AUC of the heuristic quality score against
-    the English weak label (Mann-Whitney with tie-averaged ranks): the
-    calibration readout for the corpus quality filter, in the same
-    eval family as lang_id_eval / ann_recall_eval. Scale-safe: ranks
-    come from a distinct-score cumulative window (4-decimal scores cap
-    that relation at ~10^4 rows at any corpus size)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    scored = text.quality_score(docs, "text")
-    return text.score_auc(scored, "quality_score", F.col("lang") == "en")
-
-
-@register(
-    "er_blocked_match",
-    general.blocked_fuzzy_match_sql(
-        "customer", "supplier",
-        ["c_nationkey"], ["s_nationkey"],
-        "c_custkey", "s_suppkey", "c_name", "s_name",
-        max_dist=12,
-    ),
-)
-def q_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #24b — blocked fuzzy entity matching (record linkage):
-    customers linked to same-nation suppliers by Levenshtein distance,
-    best match per customer. Candidate pairs exist only inside the
-    blocking-key equi-join — the operator never cross-joins, and the
-    block key is the caller's cardinality contract (see
-    operators/general.py:blocked_fuzzy_match)."""
-    # spread=True: the probe side fans out |block| candidates per row
-    # through the Levenshtein scorer — a 1-file scan would run the whole
-    # candidate stream in ONE task (measured 3.8 s; 32-way ~1.1 s)
-    cust = load(spark, sf_dir, "customer", spread=True).withColumnRenamed(
-        "c_nationkey", "__nk"
-    )
-    supp = load(spark, sf_dir, "supplier").withColumnRenamed("s_nationkey", "__nk")
-    return general.blocked_fuzzy_match(
-        cust, supp, ["__nk"],
-        "c_custkey", "s_suppkey", "c_name", "s_name", max_dist=12,
-    )
-
-
-@register(
-    "corpus_dsir_weights",
-    corpus.dsir_weights_sql(
-        "documents", "doc_id", "text",
-        "source IN ('src0','src1','src2','src3')",
-        head_size=1024,
-    ),
-)
-def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49c — DSIR importance weights (Xie et al. 2023): score
-    every document by log p_target / p_background under two Zipf-head
-    bag-of-words LMs, target = the trusted source set; resampling by
-    exp(weight) shifts the corpus mixture toward the target domain
-    without training a classifier. One explode pass + one head
-    aggregate; the LM ratio table broadcasts (operators/corpus.py:
-    dsir_weights)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.dsir_weights(
-        docs, "doc_id", "text",
-        F.col("source").isin("src0", "src1", "src2", "src3"),
-        head_size=1024,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-7 additions: CDC snapshot diff, shuffle-key skew profiler,
-# Zipf corpus-health fit, open-order backlog series.
-# ---------------------------------------------------------------------------
-
-from .operators import incremental  # noqa: E402
-
-# Two deterministic "versions" of orders derived from the same table so
-# the diff has all three change classes: v_old drops orderkey%17==3
-# (those become `added`), v_new drops %19==5 (`deleted`) and reprices
-# %7==0 rows by +5 % (`changed`).
-_SNAP_OLD_SQL = (
-    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 17 <> 3"
-)
-_SNAP_NEW_SQL = (
-    "SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 "
-    "THEN ROUND(o_totalprice * 1.05 + 1e-9, 2) ELSE o_totalprice END "
-    "AS o_totalprice FROM orders WHERE o_orderkey % 19 <> 5"
-)
-
-
-@register(
-    "snapshot_diff_orders",
-    incremental.snapshot_diff_sql(
-        _SNAP_OLD_SQL, _SNAP_NEW_SQL, ["o_orderkey"], ["o_totalprice"]
-    ),
-)
-def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #14c — keyed snapshot diff (CDC reconciliation): which
-    rows were added / deleted / changed between two versions of the
-    orders table (operators/incremental.py:snapshot_diff). One full
-    outer sort-merge join; both derived snapshots share the scan and
-    Catalyst reuses the exchange."""
-    orders = load(spark, sf_dir, "orders")
-    v_old = orders.where(F.col("o_orderkey") % 17 != 3).select(
-        "o_orderkey", "o_totalprice"
-    )
-    v_new = orders.where(F.col("o_orderkey") % 19 != 5).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 7 == 0,
-            F.round(F.col("o_totalprice") * 1.05 + F.lit(1e-9), 2),
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    )
-    return incremental.snapshot_diff(
-        v_old, v_new, ["o_orderkey"], ["o_totalprice"]
-    )
-
-
-@register(
-    "data_skew_report",
-    validation.skew_report_sql("lineitem", "l_partkey", top_n=20),
-)
-def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #11g — shuffle/join-key skew profiler: top-20 heavy
-    keys of lineitem.l_partkey with table share and multiple-of-mean
-    (operators/validation.py:skew_report) — the pre-flight readout for
-    salting / AQE-skew-join decisions."""
-    li = load(spark, sf_dir, "lineitem")
-    return validation.skew_report(li, "l_partkey", top_n=20)
-
-
-@register(
-    "text_zipf_fit",
-    text.zipf_fit_sql("documents", "source", "text", top_terms=1000),
-)
-def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #33h — per-source Zipf-law fit (OLS of log freq vs log
-    rank over the top-1000 terms): corpus-health slope per slice
-    (operators/text.py:zipf_fit). One (source, token) groupBy; the rank
-    window runs on the vocabulary relation only."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return text.zipf_fit(docs, "source", "text", top_terms=1000)
-
-
-@register("open_order_backlog", analytics2.open_order_backlog_sql())
-def q_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31j — open-order backlog series (cumulative opens −
-    closes by day, close = last line shipment): the event-sourcing fold
-    at calendar grain (operators/analytics2.py:open_order_backlog)."""
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    return analytics2.open_order_backlog(orders, li)
-
-
-# ---------------------------------------------------------------------------
-# Round-7 batch 2: Benford screen, Gini concentration, seasonal
-# decomposition, Gopher quality rules, CCNet perplexity buckets.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "benford_price_test",
-    validation.benford_test_sql("lineitem", "l_extendedprice"),
-)
-def q_benford_price_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #11h — Benford first-digit screen over
-    lineitem.l_extendedprice: per-digit observed vs expected share and
-    χ² contribution (operators/validation.py:benford_test) — the
-    fraud / synthetic-data / unit-mixup detector. One 9-group
-    map-side-combined aggregate; scan-bound at any SF."""
-    li = load(spark, sf_dir, "lineitem")
-    return validation.benford_test(li, "l_extendedprice")
-
-
-@register(
-    "revenue_gini_by_nation",
-    analytics2.gini_by_group_sql(
-        "(SELECT n_name, o.o_custkey AS cust, o.o_totalprice AS amt "
-        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
-        " JOIN nation n ON c.c_nationkey = n.n_nationkey)",
-        "n_name", "cust", "amt",
-    ),
-)
-def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31k — Gini concentration of customer revenue within
-    each nation (operators/analytics2.py:gini_by_group): how unequal is
-    spend across customers per market. Fact aggregate is map-side
-    combined; nation dims broadcast; the exact rank window per nation is
-    the oracle contract (the 100 TB path swaps it for a Lorenz
-    histogram, see docstring)."""
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select(
-            F.col("n_name"),
-            F.col("o_custkey").alias("cust"),
-            F.col("o_totalprice").alias("amt"),
-        )
-    )
-    return analytics2.gini_by_group(joined, "n_name", "cust", "amt")
-
-
-@register("seasonal_decompose", analytics2.seasonal_decompose_sql())
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #20b — classical additive trend/seasonal/residual
-    decomposition of the per-type hourly series
-    (operators/analytics2.py:seasonal_decompose); the profile behind
-    seasonal_anomaly. One table-sized aggregate to hourly grain; all
-    windows after it are calendar-bounded."""
-    ev = load(spark, sf_dir, "events")
-    return analytics2.seasonal_decompose(ev)
-
-
-@register(
-    "corpus_gopher_rules",
-    corpus.gopher_rules_sql("documents", "text", "source"),
-)
-def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49l — Gopher document-quality rules (Rae et al. 2021)
-    with per-source pass rates and per-rule fail counts
-    (operators/corpus.py:gopher_rules). All seven rules are JVM
-    higher-order-function expressions over the split arrays — no UDF,
-    no text shuffle; the one exchange carries a row per source."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.gopher_rules(docs, "text", "source")
-
-
-@register(
-    "corpus_perplexity_buckets",
-    corpus.perplexity_buckets_sql("documents", "doc_id", "text", "lang"),
-)
-def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49m — CCNet head/middle/tail perplexity buckets per
-    language (Wenzek et al. 2020): tercile documents within each lang
-    by unigram mean log-probability and report bucket sizes and score
-    ranges (operators/corpus.py:perplexity_buckets). Rides
-    unigram_logprob's broadcast-head/shuffled-tail token join."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.perplexity_buckets(docs, "doc_id", "text", "lang")
-
-
-@register(
-    "revenue_gini_by_nation_hist",
-    analytics2.gini_by_group_hist_sql(
-        "(SELECT n_name, o.o_custkey AS cust, o.o_totalprice AS amt "
-        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
-        " JOIN nation n ON c.c_nationkey = n.n_nationkey)",
-        "n_name", "cust", "amt",
-    ),
-)
-def q_revenue_gini_by_nation_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31k (scale variant) — Lorenz-histogram Gini of
-    customer revenue per nation (operators/analytics2.py:
-    gini_by_group_hist): the 100 TB path revenue_gini_by_nation's
-    docstring promises, as a registered query. 256 fixed-width bins per
-    nation replace the exact per-nation rank window over customer-grain
-    rows — every table-sized step is a map-side-combined aggregate; the
-    only window runs over <= 256 bin rows per nation. Deterministic, so
-    the DuckDB twin hash-matches; a tolerance pytest pins it within
-    0.01 of the exact Gini."""
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    joined = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select(
-            F.col("n_name"),
-            F.col("o_custkey").alias("cust"),
-            F.col("o_totalprice").alias("amt"),
-        )
-    )
-    return analytics2.gini_by_group_hist(joined, "n_name", "cust", "amt")
-
-
-@register(
-    "corpus_perplexity_buckets_approx",
-    corpus.perplexity_buckets_approx_sql("documents", "doc_id", "text", "lang"),
-)
-def q_corpus_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49m (scale variant) — histogram-cut head/middle/tail
-    perplexity split (operators/corpus.py:perplexity_buckets_approx):
-    the 100 TB path corpus_perplexity_buckets' docstring promises, as a
-    registered query. 512 fixed-width score bins per language replace
-    the exact per-language NTILE over doc-grain rows — after the
-    unigram score, the whole plan is an aggregate tree (per-bin
-    histogram, a <= 512-row window, a 3-row rollup); no doc-grain sort
-    or re-join. Deterministic, so the DuckDB twin hash-matches; a
-    tolerance pytest pins bucket sizes within bin-straddle of exact
-    terciles."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.perplexity_buckets_approx(docs, "doc_id", "text", "lang")
-
-
-@register(
-    "corpus_dup_spans_exact",
-    corpus.dup_spans_exact_sql("documents", "doc_id", "text", span_len=32),
-)
-def q_corpus_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49b (full-coverage variant) — duplicated-substring
-    profile at stride 1 (operators/corpus.py:dup_spans_exact): the
-    exact span-level signal of Lee et al. 2022, catching duplicates the
-    strided corpus_dup_spans misses when occurrences start at different
-    offsets modulo the stride. Double polynomial Horner hash per
-    position, all-JVM higher-order expressions, linear in corpus bytes,
-    self-join-free."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.dup_spans_exact(docs, "doc_id", "text", span_len=32)
-
-
-from .operators import ann_graph  # noqa: E402
-
-
-@register("ann_graph_topk", None)  # iterative fixpoint — rows-only by design
-def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31j — graph ANN: NN-Descent k-NN graph (Dong et al.
-    2011) + hub-seeded beam search (operators/ann_graph.py), the
-    distributable counterpart of the HNSW/SW-graph family. Build is
-    iterated local joins hash-partitioned on node id (O(N k^2 d) per
-    round); search touches <= beam*k rows per query per hop. Rows-only
-    by design (the NN-Descent fixpoint is not single-query SQL);
-    recall@5 vs brute force, determinism, and degree invariants are
-    pinned in tests/test_ann_graph.py."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann_graph.graph_beam_topk(
-        em, "vec_id", "embedding", lambda c: c < 10, k=5
-    )
-
-
-@register("ann_graph_insert", None)  # iterative fixpoint — rows-only by design
-def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31j2 — incremental graph-ANN maintenance
-    (operators/ann_graph.py:nndescent_insert): a 20% arrival batch is
-    inserted into the standing NN-Descent index by batched beam-search
-    placement (new->old), back-link merge into only the touched old
-    nodes, and one bounded new<->new local join — the standing index is
-    never re-scored, the graph-ANN sibling of dedup_incremental_minhash.
-    Rows-only by design; coverage/quality/locality invariants pinned in
-    tests/test_ann_graph.py."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann_graph.nndescent_insert(
-        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8
-    )
-
-
-@register(
-    "ann_graph_recall_eval",
-    ann_graph.graph_recall_eval_sql(
-        "embeddings", "vec_id", "embedding", "q.vec_id < 10", "id < 10", k=5
-    ),
-)
-def q_ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31j3 — recall@5 of the NN-Descent beam search vs the
-    exact brute-force ranking, per query (VERDICT r9 #3): closes the
-    graph-ANN verification gap. The graph BUILD stays rows-only, but
-    every decision in it is deterministic (md5-ordered hubs, r4-rounded
-    tie-breaks), so the oracle twin replays the IDENTICAL build+search
-    as unrolled CTEs (the embed_kmeans discipline) — the pair's output
-    quality is now hash-checkable, not just pytest-pinned."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann_graph.graph_recall_eval(
-        em, "vec_id", "embedding", lambda c: c < 10, k=5
-    )
-
-
-@register(
-    "ann_range_search",
-    ann.range_search_sql("embeddings", "vec_id", "embedding", "q.vec_id < 10", 0.30),
-)
-def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #30b — cosine RANGE search (all neighbors with rounded
-    cosine >= 0.30 per query, FAISS range_search semantics): the
-    unknown-result-count companion to top-k. Broadcast query set, one
-    shuffle-free corpus scan, threshold applied to the r4-rounded score
-    so the boundary is engine-stable."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.range_search(em, "vec_id", "embedding", lambda c: c < 10, 0.30)
-
-
-@register(
-    "embed_matryoshka_recall",
-    ann.matryoshka_recall_sql(
-        "embeddings", "vec_id", "embedding", "q.vec_id < 10", k=5, dims=(4, 8, 16)
-    ),
-)
-def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #31h2 — Matryoshka truncation recall (Kusupati et al.
-    2022): recall@5 of prefix-dimension cosine search (dims 4/8/16) vs
-    the full-dim exact top-5. One broadcast of the query set and ONE
-    corpus scan scores every truncation side by side (stack unpivot);
-    per-dim top-k windows run over the tiny scored relation."""
-    em = load(spark, sf_dir, "embeddings", spread=True)
-    return ann.matryoshka_recall(
-        em, "vec_id", "embedding", lambda c: c < 10, k=5, dims=(4, 8, 16)
-    )
-
-
-@register(
-    "corpus_bpe_pair_counts",
-    corpus.bpe_pair_counts_sql("documents", "text", k=50),
-)
-def q_corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #47b — BPE merge-step pair statistics (Sennrich et al.
-    2016): corpus-wide adjacent character-pair frequencies (with
-    end-of-word marker), weighted by word frequency — the first-merge
-    decision of a distributed tokenizer trainer. Tokens collapse to the
-    Heaps'-bounded distinct-word relation before any pair explosion."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.bpe_pair_counts(docs, "text", k=50)
-
-
-@register(
-    "corpus_span_dedup_emit",
-    corpus.span_dedup_emit_sql("documents", "doc_id", "text", span_len=32, drop_frac=0.3),
-)
-def q_corpus_span_dedup_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #49g3 — the REMOVAL step of Lee et al. 2022 span dedup
-    (VERDICT r9 #7): per-doc duplicated-CHAR fraction (interval union of
-    the stride-1 duplicated spans — tighter than the span fraction) and
-    the emit action (drop > 0.3, clip if any dup chars, else keep) — the
-    decision analog of dedup_keep_best, built on the proven
-    corpus_dup_spans_exact machinery. All-integer interval arithmetic,
-    so both engines agree exactly; planted-doc pytest in
-    tests/test_round10_ops.py."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.span_dedup_emit(docs, "doc_id", "text", span_len=32, drop_frac=0.3)
-
-
-@register(
-    "corpus_bpe_merges",
-    corpus.bpe_merges_sql("documents", "text", n_merges=6),
-)
-def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #47d — the BPE trainer LOOP (Sennrich et al. 2016;
-    VERDICT r9 #6): 6 iterated merge decisions over the Heaps'-bounded
-    distinct-word relation, extending corpus_bpe_pair_counts (the first
-    decision) into the merge-table artifact a tokenizer ships with.
-    Per step: combiner-backed pair count over the vocab relation, ONE
-    argmax row to the driver (codebook discipline), literal-replace
-    broadcast back. Oracle = the loop unrolled into per-step CTEs;
-    pytest pins the loop against a reference BPE on a toy corpus."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.bpe_merges(docs, "text", n_merges=6)
-
-
-@register(
-    "corpus_vocab_coverage",
-    corpus.vocab_coverage_sql("documents", "text", top_ns=(10, 50, 200)),
-)
-def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #47c — top-N vocabulary token coverage / OOV-rate curve
-    (tokenizer vocab sizing): combiner-backed word count, TakeOrdered
-    top-max(N) (no full vocabulary sort), all remaining math on <= 200
-    rows with the corpus total riding a 1-row broadcast."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    return corpus.vocab_coverage(docs, "text", top_ns=(10, 50, 200))

@@ -215,7 +215,11 @@ def test_flagship_jaccard_hot_shingle_cap_present(spark):
     )
     # the registered callable is wrapped, so inspect the module source:
     # the cap must appear on BOTH the Spark call and the SQL twin
-    src = inspect.getsource(registry)
+    # (the flagship lives in queries/q06_docs_pipeline since the r10
+    # registry split)
+    from calidad_del_aire_etl_spark.queries import q06_docs_pipeline
+
+    src = inspect.getsource(q06_docs_pipeline)
     assert src.count("max_doc_freq=128") >= 2, (
         "flagship no longer passes the hot-key cap on both engines"
     )
