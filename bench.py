@@ -158,6 +158,8 @@ HEADLINE = [
     "ann_graph_recall_eval",
     "corpus_bpe_merges",
     "corpus_span_dedup_emit",
+    "dash_rolling_mean_centered",
+    "corpus_bpe_encode",
 ]
 
 

@@ -1938,3 +1938,124 @@ def span_dedup_emit_sql(
            END AS action
     FROM tot t LEFT JOIN dc ON t.id = dc.id
     """
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """The ENCODER side of :func:`bpe_merges` — apply the trained merge
+    table to every document and report per-doc token statistics
+    ``(id, n_words, n_tokens, n_chars, tokens_per_word,
+    compression_ratio)``: the pre-training readout that tells you what a
+    vocab actually buys in sequence length (chars/token) before you
+    commit to it. Completes the tokenizer-prep family: pair stats →
+    trainer loop → encoding cost.
+
+    Scale shape: the trainer runs once (vocab-bounded, codebook-
+    discipline collects); ENCODING is then a single projection over the
+    corpus — the k learned merges become k chained literal `replace`
+    calls on the sentinel-wrapped symbolization (all-JVM, no UDF, no
+    shuffle beyond the per-doc aggregate), exactly how the trainer
+    itself applied them, so encoder and trainer can never disagree on
+    greedy scan order. Token count = surviving symbol count, read off
+    the string as (#open-sentinels) without materializing the array."""
+    merges = [
+        (r["pair_left"], r["pair_right"])
+        for r in bpe_merges(df, text_col, n_merges=n_merges).collect()
+    ]
+    toks = _TOKS.format(t=text_col)
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(toks)).alias("w"),
+    ).filter(F.col("w") != "")
+    wrapped = F.expr(
+        f"concat(regexp_replace(w, '(.)', '{_BPE_S1}$1{_BPE_S2}'),"
+        f" '{_BPE_S1}|{_BPE_S2}')"
+    )
+    enc = words.select("id", F.char_length("w").alias("n_chars"), wrapped.alias("s"))
+    for a, b in merges:
+        pat = f"{_BPE_S1}{a}{_BPE_S2}{_BPE_S1}{b}{_BPE_S2}"
+        rep = f"{_BPE_S1}{a}{b}{_BPE_S2}"
+        enc = enc.withColumn("s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
+    # token count = number of symbols = count of open sentinels
+    n_tok = (
+        F.char_length("s")
+        - F.char_length(F.replace(F.col("s"), F.lit(_BPE_S1), F.lit("")))
+    ).cast("bigint")
+    per_word = enc.select("id", "n_chars", n_tok.alias("n_tokens"))
+    return (
+        per_word.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            r4(F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias("tokens_per_word"),
+            r4(F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias("chars_per_token"),
+        )
+    )
+
+
+def bpe_encode_stats_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 6,
+) -> str:
+    """DuckDB twin: the trainer CTE chain (re-used verbatim from
+    :func:`bpe_merges_sql`) feeds k chained replace() applications —
+    the merge table is a relation here instead of collected literals,
+    applied in step order via ordered aggregation into a list that the
+    per-word encode folds over with list_reduce... DuckDB's lambda
+    support for that is awkward, so the twin UNROLLS the k replaces
+    exactly like the Spark side: one scalar subquery per step."""
+    toks = _TOKS_SQL.format(t=text_col)
+    s1, s2 = _BPE_S1, _BPE_S2
+    trainer = bpe_merges_sql(table, text_col, n_merges=n_merges)
+    # per-step scalar subqueries against the trainer output
+    reps = "s"
+    for i in range(1, n_merges + 1):
+        pat = (f"'{s1}' || m{i}.pair_left || '{s2}{s1}' || m{i}.pair_right || '{s2}'")
+        rep = f"'{s1}' || m{i}.merged || '{s2}'"
+        reps = f"replace({reps}, {pat}, {rep})"
+    froms = ", ".join(
+        f"(SELECT pair_left, pair_right, merged FROM merges WHERE step = {i}) m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH merges AS ({trainer}),
+    words AS (
+      SELECT {id_col} AS id, w, LENGTH(w) AS n_chars
+      FROM (SELECT {id_col}, unnest({toks}) AS w FROM {table})
+      WHERE w <> ''
+    ),
+    wrapped AS (
+      SELECT id, n_chars,
+             regexp_replace(w, '(.)', '{s1}\\1{s2}', 'g') || '{s1}|{s2}' AS s
+      FROM words
+    ),
+    encoded AS (
+      SELECT id, n_chars, {reps} AS s
+      FROM wrapped, {froms}
+    ),
+    per_word AS (
+      SELECT id, n_chars,
+             LENGTH(s) - LENGTH(replace(s, '{s1}', '')) AS n_tokens
+      FROM encoded
+    )
+    SELECT id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(SUM(n_tokens) * 1.0 / COUNT(*) + 1e-9, 4) AS tokens_per_word,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_tokens) + 1e-9, 4) AS chars_per_token
+    FROM per_word GROUP BY 1
+    """

@@ -954,3 +954,96 @@ def delete_versioned_parquet(
     raise CommitConflictError(
         f"delete_versioned_parquet: lost {max_retries + 1} commit races at {path}"
     )
+
+
+# Spark SQL simpleString -> DDL type, per dialect. The reference DAG
+# provisions its PostgreSQL tables with explicit CREATE TABLE statements
+# (dags/airflow_dag_calidad_aire.py:287-359 PostgresOperator path);
+# write_jdbc covers the to_sql data plane, this covers the DDL
+# bootstrap. Derby is the integration-test dialect (embedded in Spark's
+# own jars — the same substitution tests/test_jdbc.py already makes).
+_JDBC_TYPE_MAP: dict[str, dict[str, str]] = {
+    "postgresql": {
+        "string": "TEXT", "int": "INTEGER", "bigint": "BIGINT",
+        "smallint": "SMALLINT", "double": "DOUBLE PRECISION",
+        "float": "REAL", "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP", "date": "DATE", "binary": "BYTEA",
+    },
+    "derby": {
+        "string": "VARCHAR(32672)", "int": "INTEGER", "bigint": "BIGINT",
+        "smallint": "SMALLINT", "double": "DOUBLE", "float": "REAL",
+        "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP", "date": "DATE",
+        "binary": "BLOB",
+    },
+}
+
+
+def jdbc_create_table_sql(
+    schema,
+    table: str,
+    dialect: str = "postgresql",
+    primary_key: list[str] | None = None,
+    if_not_exists: bool = True,
+) -> str:
+    """CREATE TABLE DDL for a Spark schema (``df.schema``) — the
+    reference's PostgresOperator table bootstrap (dag:287-359) as a
+    deterministic generator. decimal(p,s) maps to NUMERIC(p,s); nested
+    types are rejected loudly (a relational DDL has no honest mapping
+    for them — explode or to_json upstream instead). Derby has no
+    IF NOT EXISTS, so that dialect always emits the plain form and
+    :func:`ensure_jdbc_table` treats the already-exists SQLState as
+    success."""
+    tmap = _JDBC_TYPE_MAP[dialect]
+    cols = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("decimal("):
+            ddl_t = "NUMERIC" + s[len("decimal"):]
+        elif s in tmap:
+            ddl_t = tmap[s]
+        else:
+            raise ValueError(
+                f"column {f.name!r}: no {dialect} DDL mapping for Spark type "
+                f"{s!r} (nested/array types: explode or to_json upstream)"
+            )
+        cols.append(f'"{f.name}" {ddl_t}' + ("" if f.nullable else " NOT NULL"))
+    if primary_key:
+        quoted = ", ".join(f'"{c}"' for c in primary_key)
+        cols.append(f"PRIMARY KEY ({quoted})")
+    ine = "IF NOT EXISTS " if if_not_exists and dialect != "derby" else ""
+    return f'CREATE TABLE {ine}"{table}" (\n  ' + ",\n  ".join(cols) + "\n)"
+
+
+def ensure_jdbc_table(
+    spark,
+    url: str,
+    table: str,
+    schema,
+    dialect: str = "postgresql",
+    primary_key: list[str] | None = None,
+) -> bool:
+    """Execute the bootstrap DDL over a raw JDBC connection
+    (java.sql.DriverManager through the running JVM — the same driver
+    jar write_jdbc needs). Returns True if the table was created, False
+    if it already existed. Idempotent: the already-exists error
+    (Derby SQLState X0Y32 / PostgreSQL 42P07) is success, any other
+    SQLException propagates."""
+    ddl = jdbc_create_table_sql(
+        schema, table, dialect=dialect, primary_key=primary_key
+    )
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute(ddl)
+            return True
+        except Exception as e:
+            if "X0Y32" in str(e) or "42P07" in str(e) or "already exists" in str(e):
+                return False
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
