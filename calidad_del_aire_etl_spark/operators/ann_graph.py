@@ -450,10 +450,10 @@ def graph_beam_topk_sql(
         ) WHERE rank <= {kk}"""
 
     parts = [
-        f"base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
-        f"""hubs AS (SELECT id AS hid, v AS hv FROM base
+        f"base AS MATERIALIZED (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
+        f"""hubs AS MATERIALIZED (SELECT id AS hid, v AS hv FROM base
             ORDER BY md5(CAST(id AS VARCHAR)), id ASC LIMIT {n_hubs})""",
-        "g0 AS ("
+        "g0 AS MATERIALIZED ("
         + topk_nodes(
             f"""SELECT b.id AS id, h.hid AS nb, {cos('b.v', 'h.hv')} AS cosine
                 FROM base b CROSS JOIN hubs h WHERE b.id != h.hid""",
@@ -464,22 +464,22 @@ def graph_beam_topk_sql(
     prev = "g0"
     for r in range(1, iters + 1):
         parts += [
-            f"s{r} AS (SELECT id, nb FROM {prev} WHERE rank <= {sample_k})",
-            f"rev{r} AS ("
+            f"s{r} AS MATERIALIZED (SELECT id, nb FROM {prev} WHERE rank <= {sample_k})",
+            f"rev{r} AS MATERIALIZED ("
             + topk_nodes(
                 f"SELECT nb AS id, id AS nb, cosine FROM {prev}",
                 sample_k, "id", "nb",
             )
             + ")",
-            f"""e{r} AS (SELECT id, nb FROM s{r}
+            f"""e{r} AS MATERIALIZED (SELECT id, nb FROM s{r}
                  UNION SELECT id, nb FROM rev{r})""",
-            f"""cand{r} AS (SELECT DISTINCT e1.id AS id, e2.nb AS nb
+            f"""cand{r} AS MATERIALIZED (SELECT DISTINCT e1.id AS id, e2.nb AS nb
                  FROM e{r} e1 JOIN e{r} e2 ON e1.nb = e2.id
                  WHERE e1.id != e2.nb)""",
-            f"""sc{r} AS (SELECT c.id, c.nb, {cos('bi.v', 'bn.v')} AS cosine
+            f"""sc{r} AS MATERIALIZED (SELECT c.id, c.nb, {cos('bi.v', 'bn.v')} AS cosine
                  FROM cand{r} c JOIN base bi ON c.id = bi.id
                  JOIN base bn ON c.nb = bn.id)""",
-            f"g{r} AS ("
+            f"g{r} AS MATERIALIZED ("
             + topk_nodes(
                 f"""SELECT id, nb, cosine FROM {prev}
                     UNION ALL SELECT id, nb, cosine FROM sc{r}""",
@@ -489,11 +489,11 @@ def graph_beam_topk_sql(
         ]
         prev = f"g{r}"
     parts += [
-        f"""edges AS (SELECT id, nb FROM {prev}
+        f"""edges AS MATERIALIZED (SELECT id, nb FROM {prev}
              UNION SELECT nb AS id, id AS nb FROM {prev})""",
-        f"q AS (SELECT id AS qid, v AS qv FROM base WHERE {query_pred_sql})",
+        f"q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM base WHERE {query_pred_sql})",
         # beam seed: queries x hubs, NO self-filter (matches _beam_states)
-        "st0 AS ("
+        "st0 AS MATERIALIZED ("
         + topk_nodes(
             f"""SELECT q.qid AS qid, h.hid AS node, {cos('q.qv', 'h.hv')} AS cosine
                 FROM q CROSS JOIN hubs h""",
@@ -504,12 +504,12 @@ def graph_beam_topk_sql(
     sprev = "st0"
     for h in range(1, hops + 1):
         parts += [
-            f"""fr{h} AS (SELECT DISTINCT s.qid, e.nb AS node
+            f"""fr{h} AS MATERIALIZED (SELECT DISTINCT s.qid, e.nb AS node
                  FROM {sprev} s JOIN edges e ON s.node = e.id)""",
-            f"""ssc{h} AS (SELECT f.qid, f.node, {cos('q.qv', 'b.v')} AS cosine
+            f"""ssc{h} AS MATERIALIZED (SELECT f.qid, f.node, {cos('q.qv', 'b.v')} AS cosine
                  FROM fr{h} f JOIN base b ON f.node = b.id
                  JOIN q ON f.qid = q.qid)""",
-            f"st{h} AS ("
+            f"st{h} AS MATERIALIZED ("
             + topk_nodes(
                 f"""SELECT qid, node, cosine FROM {sprev}
                     UNION ALL SELECT qid, node, cosine FROM ssc{h}""",

@@ -1750,12 +1750,12 @@ def bpe_merges_sql(table: str, text_col: str, n_merges: int = 6) -> str:
     toks = _TOKS_SQL.format(t=text_col)
     s1, s2 = _BPE_S1, _BPE_S2
     parts = [
-        f"""wc AS (
+        f"""wc AS MATERIALIZED (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
           FROM (SELECT unnest({toks}) AS w FROM {table})
           WHERE w <> '' GROUP BY w
         )""",
-        f"""v0 AS (
+        f"""v0 AS MATERIALIZED (
           SELECT regexp_replace(w, '(.)', '{s1}\\1{s2}', 'g')
                  || '{s1}|{s2}' AS s, wf
           FROM wc
@@ -1763,7 +1763,7 @@ def bpe_merges_sql(table: str, text_col: str, n_merges: int = 6) -> str:
     ]
     for i in range(1, n_merges + 1):
         parts += [
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
               SELECT sy[j] AS a, sy[j + 1] AS b, wf FROM (
                 SELECT string_split(substr(s, 2, length(s) - 2),
                                     '{s2}{s1}') AS sy,
@@ -1771,12 +1771,12 @@ def bpe_merges_sql(table: str, text_col: str, n_merges: int = 6) -> str:
                          substr(s, 2, length(s) - 2), '{s2}{s1}')))) AS j
                 FROM v{i - 1})
             )""",
-            f"""b{i} AS (
+            f"""b{i} AS MATERIALIZED (
               SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count
               FROM p{i} GROUP BY 1, 2
               ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
             )""",
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
               SELECT replace(v.s, '{s1}' || b.a || '{s2}{s1}' || b.b || '{s2}',
                              '{s1}' || b.a || b.b || '{s2}') AS s, v.wf
               FROM v{i - 1} v, b{i} b
@@ -2031,7 +2031,7 @@ def bpe_encode_stats_sql(
         for i in range(1, n_merges + 1)
     )
     return f"""
-    WITH merges AS ({trainer}),
+    WITH merges AS MATERIALIZED ({trainer}),
     words AS (
       SELECT {id_col} AS id, w, LENGTH(w) AS n_chars
       FROM (SELECT {id_col}, unnest({toks}) AS w FROM {table})
