@@ -1954,14 +1954,16 @@ def bpe_encode_stats(
     commit to it. Completes the tokenizer-prep family: pair stats →
     trainer loop → encoding cost.
 
-    Scale shape: the trainer runs once (vocab-bounded, codebook-
-    discipline collects); ENCODING is then a single projection over the
-    corpus — the k learned merges become k chained literal `replace`
-    calls on the sentinel-wrapped symbolization (all-JVM, no UDF, no
-    shuffle beyond the per-doc aggregate), exactly how the trainer
-    itself applied them, so encoder and trainer can never disagree on
-    greedy scan order. Token count = surviving symbol count, read off
-    the string as (#open-sentinels) without materializing the array."""
+    Scale shape: identical words encode identically, so the expensive
+    part — wrap + k chained literal `replace` calls (the trainer's own
+    greedy scan, all-JVM) — runs over the DISTINCT-WORD relation only
+    (Heaps'-law bounded, like the trainer), never per word instance.
+    Instances collapse map-side to (doc, word, count), join the tiny
+    per-word token-count relation on the word key, and the per-doc
+    stats are weighted sums. Two combiner-backed shuffles on aggregated
+    relations; per-token wire traffic never happens. Token count per
+    word = surviving symbol count, read off the encoded string as
+    (#open-sentinels) without materializing the array."""
     merges = [
         (r["pair_left"], r["pair_right"])
         for r in bpe_merges(df, text_col, n_merges=n_merges).collect()
@@ -1971,11 +1973,18 @@ def bpe_encode_stats(
         F.col(id_col).alias("id"),
         F.explode(F.expr(toks)).alias("w"),
     ).filter(F.col("w") != "")
+    # map-side-combined instance collapse: (doc, word) -> count; pinned
+    # because BOTH the vocab distinct and the stats join consume it —
+    # unpinned, the corpus explode+groupBy would run twice
+    doc_wc = words.groupBy("id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)
+    vocab = doc_wc.select("w").distinct()
     wrapped = F.expr(
         f"concat(regexp_replace(w, '(.)', '{_BPE_S1}$1{_BPE_S2}'),"
         f" '{_BPE_S1}|{_BPE_S2}')"
     )
-    enc = words.select("id", F.char_length("w").alias("n_chars"), wrapped.alias("s"))
+    enc = vocab.select("w", F.char_length("w").alias("wlen"), wrapped.alias("s"))
     for a, b in merges:
         pat = f"{_BPE_S1}{a}{_BPE_S2}{_BPE_S1}{b}{_BPE_S2}"
         rep = f"{_BPE_S1}{a}{b}{_BPE_S2}"
@@ -1985,13 +1994,14 @@ def bpe_encode_stats(
         F.char_length("s")
         - F.char_length(F.replace(F.col("s"), F.lit(_BPE_S1), F.lit("")))
     ).cast("bigint")
-    per_word = enc.select("id", "n_chars", n_tok.alias("n_tokens"))
+    vocab_enc = enc.select("w", "wlen", n_tok.alias("wtok"))
+    per_word = doc_wc.join(vocab_enc, "w")
     return (
         per_word.groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("wtok")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("wlen")).cast("bigint").alias("n_chars"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -2032,30 +2042,28 @@ def bpe_encode_stats_sql(
     )
     return f"""
     WITH merges AS MATERIALIZED ({trainer}),
-    words AS (
-      SELECT {id_col} AS id, w, LENGTH(w) AS n_chars
-      FROM (SELECT {id_col}, unnest({toks}) AS w FROM {table})
-      WHERE w <> ''
+    doc_wc AS MATERIALIZED (
+      SELECT id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT {id_col} AS id, unnest({toks}) AS w FROM {table})
+      WHERE w <> '' GROUP BY id, w
     ),
     wrapped AS (
-      SELECT id, n_chars,
+      SELECT w, LENGTH(w) AS wlen,
              regexp_replace(w, '(.)', '{s1}\\1{s2}', 'g') || '{s1}|{s2}' AS s
-      FROM words
+      FROM (SELECT DISTINCT w FROM doc_wc)
     ),
-    encoded AS (
-      SELECT id, n_chars, {reps} AS s
-      FROM wrapped, {froms}
-    ),
-    per_word AS (
-      SELECT id, n_chars,
-             LENGTH(s) - LENGTH(replace(s, '{s1}', '')) AS n_tokens
-      FROM encoded
+    vocab_enc AS MATERIALIZED (
+      SELECT w, wlen,
+             LENGTH(s2) - LENGTH(replace(s2, '{s1}', '')) AS wtok
+      FROM (SELECT w, wlen, {reps} AS s2
+            FROM (SELECT w, wlen, s FROM wrapped), {froms})
     )
-    SELECT id AS {id_col},
-           CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           ROUND(SUM(n_tokens) * 1.0 / COUNT(*) + 1e-9, 4) AS tokens_per_word,
-           ROUND(SUM(n_chars) * 1.0 / SUM(n_tokens) + 1e-9, 4) AS chars_per_token
-    FROM per_word GROUP BY 1
+    SELECT d.id AS {id_col},
+           CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(d.cnt * v.wtok) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.cnt * v.wlen) AS BIGINT) AS n_chars,
+           ROUND(SUM(d.cnt * v.wtok) * 1.0 / SUM(d.cnt) + 1e-9, 4) AS tokens_per_word,
+           ROUND(SUM(d.cnt * v.wlen) * 1.0 / SUM(d.cnt * v.wtok) + 1e-9, 4) AS chars_per_token
+    FROM doc_wc d JOIN vocab_enc v USING (w)
+    GROUP BY d.id
     """
