@@ -1073,6 +1073,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 5,
     tau: float = 0.7,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-partition the embedding
     space, then drop any vector with a LOWER-id near-duplicate
@@ -1093,10 +1094,26 @@ def semantic_dedup(
     at sf0.1: 3.25 s → see bench). Memory per task is |cluster|² floats,
     which is the k-vs-cluster-size dial SemDeDup already requires.
     Output: (id, cluster, is_kept) for every input row.
+
+    A FIXED k does NOT scale: cluster sizes grow linearly with N, so
+    the per-cluster n² pass grows quadratically — at sf10 (200 k
+    vectors, k=8) one cluster's pass ran 20+ minutes single-task where
+    sf1 took seconds (measured r10). ``target_cluster_size`` is the
+    100 TB dial: k is raised to ceil(N / target) so per-cluster work
+    stays ~target² regardless of corpus size — exactly how SemDeDup is
+    run in practice (the paper's k ≈ N/1000 on LAION). Finer
+    partitions trade a little cross-cluster recall for bounded work;
+    the registered oracle query keeps the fixed k, so results are
+    unchanged where the twin checks them.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
+    if target_cluster_size is not None:
+        n_total = df.count()
+        k = max(k, math.ceil(n_total / target_cluster_size))
     assigned = kmeans_fit_np(df, id_col, vec_col, k=k, iters=iters)
 
     def _mark(pdf: "pd.DataFrame") -> "pd.DataFrame":

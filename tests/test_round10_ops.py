@@ -286,3 +286,38 @@ def test_jdbc_ddl_generator_and_derby_bootstrap(spark):
         spark.read.format("jdbc").option("url", url).option("dbtable", "boot").load()
     )
     assert back.count() == 1
+
+
+def test_semantic_dedup_adaptive_k_bounds_cluster_size(spark):
+    """The 100 TB dial (r10): target_cluster_size raises k with N so the
+    per-cluster quadratic pass stays bounded (fixed k=8 at sf10 ran one
+    20-minute single-task cluster). Adaptive run must still drop a
+    planted near-duplicate pair and keep every cluster under ~2x the
+    target (k-means clusters aren't perfectly even)."""
+    from calidad_del_aire_etl_spark.operators import ann
+
+    pin_oracle_compat(spark)
+    em = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = em.count()
+    out = ann.semantic_dedup(
+        em, "vec_id", "embedding", k=8, iters=2, tau=0.999,
+        target_cluster_size=100,
+    )
+    sizes = out.groupBy("cluster").count().collect()
+    assert len(sizes) >= n // 100  # k actually scaled up from 8
+    # bounded per-cluster work: no cluster is corpus-sized
+    assert max(r["count"] for r in sizes) < 20 * 100
+    # exact self-duplicates (tau ~ 1) still detected within clusters:
+    # plant one by duplicating a vector under a new id
+    import pyspark.sql.functions as F
+
+    dup = em.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "embedding", "label",
+    )
+    out2 = ann.semantic_dedup(
+        em.unionByName(dup), "vec_id", "embedding", k=8, iters=2,
+        tau=0.999, target_cluster_size=100,
+    )
+    planted = out2.filter(F.col("vec_id") >= 10_000_000).collect()
+    assert len(planted) == 1 and planted[0]["is_kept"] == 0
