@@ -160,6 +160,9 @@ HEADLINE = [
     "corpus_span_dedup_emit",
     "dash_rolling_mean_centered",
     "corpus_bpe_encode",
+    "dedup_lsh_tuning",
+    "ann_hybrid_rrf",
+    "quality_calibration_eval",
 ]
 
 

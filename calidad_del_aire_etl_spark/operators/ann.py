@@ -1603,3 +1603,120 @@ def matryoshka_recall_sql(
     FROM dims d LEFT JOIN hits h ON d.dim = h.dim CROSS JOIN possible p
     ORDER BY dim
     """
+
+
+# --- #30c hybrid sparse+dense retrieval (reciprocal rank fusion) -----------
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_terms: list[str],
+    query_vec_id: int,
+    n: int = 20,
+    k: int = 10,
+    rrf_c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: a BM25 keyword ranking over the document text
+    and an exact dense cosine ranking over the aligned embedding table,
+    fused with Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+    SIGIR'09): rrf(d) = Σ_lists 1/(c + rank_list(d)), missing-from-list
+    contributes 0. This is the retrieval shape RAG/eval pipelines run
+    against a curated corpus — lexical recall where embeddings miss
+    exact terms, semantic recall where keywords miss paraphrase.
+
+    Plan shape: the two candidate lists are each the proven one-scan
+    machinery (`text.bm25_topk`: narrow tf projection + one broadcast
+    1-row stats relation + TakeOrdered top-n; `bruteforce_topk`: the
+    broadcast-query streaming scan). Each list is ≤ n rows, so the
+    fusion FULL OUTER join and the final top-k window run on a ≤ 2n-row
+    relation — the corpus is scanned once per modality and nothing else
+    shuffles, at any corpus size. The ranks being fused are integers,
+    so 1/(c+rank) is bit-identical in both engines; ties on the rounded
+    fused score break by doc id.
+
+    Output: (doc_id, rrf_score, sparse_rank, dense_rank, fused_rank),
+    ranks NULL where the doc appears in only one list.
+    """
+    from .text import bm25_topk
+
+    sparse = bm25_topk(docs, doc_id_col, text_col, query_terms, k=n).select(
+        F.col(doc_id_col).alias("doc_id"), F.col("rank").alias("sparse_rank")
+    )
+    dense = bruteforce_topk(
+        emb, vec_id_col, vec_col, lambda c: c == F.lit(query_vec_id), k=n
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "sparse_rank",
+        "dense_rank",
+        r4(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_c)) + F.col("sparse_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_c)) + F.col("dense_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= k)
+        .select("doc_id", "rrf_score", "sparse_rank", "dense_rank", "fused_rank")
+    )
+
+
+def hybrid_rrf_topk_sql(
+    doc_table: str,
+    emb_table: str,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_terms: list[str],
+    query_vec_id: int,
+    n: int = 20,
+    k: int = 10,
+    rrf_c: int = 60,
+) -> str:
+    from .text import bm25_topk_sql
+
+    bm25 = bm25_topk_sql(doc_table, doc_id_col, text_col, query_terms, k=n)
+    dense = bruteforce_topk_sql(
+        emb_table,
+        vec_id_col,
+        vec_col,
+        f"q.{vec_id_col} = {int(query_vec_id)}",
+        k=n,
+    )
+    c = float(rrf_c)
+    return f"""
+    WITH sparse AS (
+      SELECT {doc_id_col} AS doc_id, rank AS sparse_rank FROM ({bm25})
+    ),
+    dense AS (
+      SELECT neighbor_id AS doc_id, rank AS dense_rank FROM ({dense})
+    ),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.sparse_rank, d.dense_rank,
+             ROUND(COALESCE(1.0 / ({c} + s.sparse_rank), 0.0)
+                   + COALESCE(1.0 / ({c} + d.dense_rank), 0.0) + 1e-9, 4)
+               AS rrf_score
+      FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, rrf_score, sparse_rank, dense_rank, fused_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {k}
+    """

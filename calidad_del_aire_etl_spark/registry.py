@@ -316,4 +316,5 @@ from .queries import (  # noqa: E402,F401
     q13_widen_r4,
     q14_widen_r7a,
     q15_widen_r7b,
+    q16_widen_r10,
 )

@@ -1,0 +1,181 @@
+"""Round-10 widening batch: LSH parameter sweep, hybrid RRF retrieval,
+quality-score calibration — each pinned against a hand-computed
+reference on a toy corpus (the SURVEY §5 oracle-or-reference
+discipline). Cross-engine hashes are covered by the oracle sweep; these
+tests pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from calidad_del_aire_etl_spark.operators import ann, dedup, text
+from calidad_del_aire_etl_spark.session import pin_oracle_compat
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_lsh_tuning_matches_closed_form_on_single_pair(spark):
+    pin_oracle_compat(spark)
+    # two identical docs -> exactly one candidate pair with jaccard 1.0;
+    # P(candidate | s=1) = 1 for every config, so exp_tp = 1, exp_fp = 0.
+    df = _docs(
+        spark,
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "alpha beta gamma delta epsilon")],
+    )
+    out = {
+        (r["num_hashes"], r["bands"]): r
+        for r in dedup.lsh_tuning(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert set(out) == set(dedup.LSH_TUNING_CONFIGS)
+    for (h, b), r in out.items():
+        assert r["rows_per_band"] == h // b
+        assert r["n_true"] == 1
+        assert abs(r["exp_tp"] - 1.0) < 1e-9
+        assert abs(r["exp_fp"]) < 1e-9
+        assert abs(r["exp_recall"] - 1.0) < 1e-9
+
+
+def test_lsh_tuning_scurve_value_and_band_monotonicity(spark):
+    pin_oracle_compat(spark)
+    # one overlapping pair with a mid similarity: 3-gram shingles of the
+    # two docs overlap partially; whatever s is, the sweep's exp_fp (or
+    # exp_tp) must equal the closed form 1-(1-s^r)^b within quantization.
+    df = _docs(
+        spark,
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8"),
+         (1, "w1 w2 w3 w4 w5 x6 x7 x8")],
+    )
+    s = dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    assert len(s) == 1
+    sim = s[0]["jaccard"]
+    rows_out = dedup.lsh_tuning(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r["num_hashes"], r["bands"]): r for r in rows_out}
+    for (h, b), r in got.items():
+        rr = h // b
+        p = 1.0 - (1.0 - sim**rr) ** b
+        expected = math.floor(p * 10000.0 + 0.5) / 10000.0
+        mass = r["exp_tp"] if sim >= 0.5 else r["exp_fp"]
+        assert abs(mass - expected) < 1e-9, (h, b, mass, expected)
+    # same signature width, more bands (shorter rows) -> collision prob
+    # can only go up: the classic S-curve shift toward recall.
+    for h in (8, 16, 32):
+        cfgs = sorted((bb for hh, bb in got if hh == h))
+        masses = [
+            got[(h, bb)]["exp_tp"] + got[(h, bb)]["exp_fp"] for bb in cfgs
+        ]
+        assert masses == sorted(masses)
+
+
+def test_lsh_tuning_empty_corpus_yields_zero_masses(spark):
+    pin_oracle_compat(spark)
+    df = _docs(spark, [(0, "only one document here nothing overlaps")])
+    out = dedup.lsh_tuning(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(out) == len(dedup.LSH_TUNING_CONFIGS)
+    for r in out:
+        assert r["n_true"] == 0
+        assert r["exp_tp"] == 0.0 and r["exp_fp"] == 0.0
+        assert r["exp_recall"] is None
+
+
+def test_hybrid_rrf_hand_computed_fusion(spark):
+    pin_oracle_compat(spark)
+    # doc 1: rank 1 sparse only; doc 2: rank 1 dense only; doc 3: rank 2
+    # in BOTH lists -> rrf(3) = 2/62 > rrf(1) = rrf(2) = 1/61; tie between
+    # 1 and 2 breaks by doc_id.
+    docs = _docs(
+        spark,
+        [(0, "query doc about nothing relevant"),
+         (1, "spark spark spark spark spark"),
+         (2, "plain filler words only here"),
+         (3, "spark mentioned once in passing")],
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = ann.hybrid_rrf_topk(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        ["spark"], query_vec_id=0, n=2, k=4,
+    ).collect()
+    by_rank = {r["fused_rank"]: r for r in out}
+    assert by_rank[1]["doc_id"] == 3
+    assert abs(by_rank[1]["rrf_score"] - round(2 / 62, 4)) < 1e-9
+    assert by_rank[1]["sparse_rank"] == 2 and by_rank[1]["dense_rank"] == 2
+    assert by_rank[2]["doc_id"] == 1 and by_rank[2]["dense_rank"] is None
+    assert by_rank[3]["doc_id"] == 2 and by_rank[3]["sparse_rank"] is None
+    assert abs(by_rank[2]["rrf_score"] - round(1 / 61, 4)) < 1e-9
+
+
+def test_hybrid_rrf_respects_k_and_orders_deterministically(spark, sf_dir):
+    pin_oracle_compat(spark)
+    from calidad_del_aire_etl_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    out = ann.hybrid_rrf_topk(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        ["hash", "join", "spark"], query_vec_id=0, n=20, k=10,
+    ).collect()
+    assert len(out) == 10
+    assert [r["fused_rank"] for r in out] == list(range(1, 11))
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # every fused row came from at least one list
+    assert all(
+        r["sparse_rank"] is not None or r["dense_rank"] is not None for r in out
+    )
+
+
+def test_calibration_eval_hand_computed_bins(spark):
+    pin_oracle_compat(spark)
+    # Scores are data-derived, so pin the INVARIANTS: bins partition the
+    # corpus, rates match a direct recount, w_gap = n/N * abs_gap.
+    docs = spark.createDataFrame(
+        [
+            (0, "the and is to of a in it short", "en"),
+            (1, "x" * 400, "zh"),
+            (2, "the quick brown fox jumps over the lazy dog again", "en"),
+            (3, "!!!! ???? ;;;; @@@@ ####", "zh"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = text.calibration_eval(docs, "text", F.col("lang") == "en").collect()
+    assert sum(r["n"] for r in out) == 4
+    scored = text.quality_score(docs, "text").collect()
+    n_bins = 10
+    for r in out:
+        members = [
+            s for s in scored
+            if min(int(s["quality_score"] * n_bins), n_bins - 1) == r["bin"]
+        ]
+        assert len(members) == r["n"]
+        rate = sum(1 for s in members if s["lang"] == "en") / len(members)
+        assert abs(r["pos_rate"] - round(rate, 4)) < 1e-9
+        assert abs(r["w_gap"] - round(r["n"] / 4 * abs(
+            sum(s["quality_score"] for s in members) / len(members) - rate
+        ), 4)) < 2e-4  # avg_score is re-rounded; allow quantization slack
+    # ECE = sum of w_gap contributions is a valid probability gap
+    ece = sum(r["w_gap"] for r in out)
+    assert 0.0 <= ece <= 1.0
+
+
+def test_calibration_eval_perfectly_calibrated_score_has_zero_gap(spark):
+    pin_oracle_compat(spark)
+    # All-positive corpus whose scores sit in one bin: pos_rate = 1 and
+    # the gap equals |avg_score - 1|, w_gap sums to the same.
+    docs = spark.createDataFrame(
+        [(i, "the and is to of a in it was he for on are as with", "en")
+         for i in range(6)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = text.calibration_eval(docs, "text", F.col("lang") == "en").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 6 and r["pos_rate"] == 1.0
+    assert abs(r["abs_gap"] - round(abs(r["avg_score"] - 1.0), 4)) < 2e-4
+    assert abs(r["w_gap"] - r["abs_gap"]) < 1e-9

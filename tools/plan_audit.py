@@ -82,7 +82,11 @@ def main() -> None:
         "\nBNLJ between two unbounded multi-row relations is a bug"
         "\n(the r9 vocab_coverage rk<=top_n join was exactly that and was"
         "\nreplaced by a running-sum equi-join). SMJ only where both sides"
-        "\nare fact-sized; mapInPandas queries show 0 codegen spans by"
+        "\nare fact-sized, plus one unavoidable case: FULL OUTER joins"
+        "\ncannot broadcast in Spark, so a full-outer fusion of two"
+        "\nalready-top-k-bounded lists (ann_hybrid_rrf, the eval joins)"
+        "\nplans as an SMJ over ≤ 2k rows — bounded, not fact-sized."
+        "\nmapInPandas queries show 0 codegen spans by"
         "\nconstruction (Python stage); pushed filters apply only to"
         "\nqueries whose scan has a selective predicate."
     )
