@@ -163,6 +163,7 @@ HEADLINE = [
     "dedup_lsh_tuning",
     "ann_hybrid_rrf",
     "quality_calibration_eval",
+    "corpus_kn_bigram_logprob",
 ]
 
 

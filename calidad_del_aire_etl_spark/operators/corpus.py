@@ -2067,3 +2067,143 @@ def bpe_encode_stats_sql(
     FROM doc_wc d JOIN vocab_enc v USING (w)
     GROUP BY d.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM scoring (#49n)
+# ---------------------------------------------------------------------------
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    head_size: int = 4096,
+) -> DataFrame:
+    """Per-document mean log2 probability under an interpolated
+    Kneser-Ney BIGRAM LM trained on the corpus itself (Kneser & Ney
+    1995; Chen & Goodman 1999 interpolated form) — the step up from
+    `unigram_logprob`'s CCNet-style filter: a unigram LM cannot see
+    scrambled word ORDER, shuffled boilerplate, or template spam built
+    from common words; a bigram LM with continuation-count smoothing
+    can.
+
+        P(w2|w1) = (c(w1w2) − d)/c(w1·)
+                   + d · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    (every observed bigram has c ≥ 1 > d, so the max(·,0) clip is
+    implicit; scoring corpus = training corpus, so no OOV path).
+
+    Scale shape — the same Zipf-skew discipline as unigram_logprob:
+    the bigram stream is built map-side with ZERO joins (two shifted
+    array slices zipped and exploded — no positional self-join), the
+    model relation collapses to distinct-bigram size (Heaps-bounded),
+    and the score join broadcasts the ``head_size`` most frequent
+    bigrams — the entire fan-out skew — so only the long tail (tiny
+    per-key fan-out by construction) takes a shuffle join. Counts are
+    exact integers; the smoothed probability is one fixed-shape double
+    expression, identical in the DuckDB twin.
+
+    Output: (id_col, n_bigrams bigint, mean_log2_prob double) for every
+    document with ≥ 2 tokens."""
+    tk = F.expr(_TOKS.format(t=text_col))
+    base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    zipped = base.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(tk, 1, size(tk) - 1)"),
+                F.expr("slice(tk, 2, size(tk) - 1)"),
+            )
+        ).alias("bg"),
+    )
+    bg = zipped.select(
+        "id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+    ).localCheckpoint(eager=False)  # feeds model counts AND the score join
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=False)  # feeds c1/n1f, n1b, T, and the model
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    right = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = c12.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    d = F.lit(float(discount))
+    model = (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12") - d) / F.col("c1")
+                + d * F.col("n1f") / F.col("c1") * (F.col("n1b") / F.col("tt"))
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=False)  # feeds head pick AND both join paths
+    )
+    # Zipf guard: the most frequent bigrams carry essentially all join
+    # fan-out; broadcast them, shuffle only the tail. Probabilities are
+    # identical on both paths, so the twin needs no notion of the split.
+    head = (
+        model.join(c12, ["w1", "w2"])
+        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(head_size)
+        .select("w1", "w2", "p")
+    )
+    hit_head = bg.join(F.broadcast(head), ["w1", "w2"])
+    tail_model = model.join(
+        F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    )
+    hit_tail = bg.join(
+        F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    ).join(tail_model, ["w1", "w2"])
+    scored = hit_head.unionByName(hit_tail)
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            r4(F.avg(F.log2("p"))).alias("mean_log2_prob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "mean_log2_prob")
+    )
+
+
+def kn_bigram_logprob_sql(
+    table: str, id_col: str, text_col: str, discount: float = 0.75
+) -> str:
+    toks = _TOKS_SQL.format(t=text_col)
+    d = float(discount)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {toks} AS tk FROM {table}
+      WHERE len({toks}) >= 2
+    ), bg AS (
+      SELECT id,
+             unnest(tk[1:len(tk) - 1]) AS w1,
+             unnest(tk[2:len(tk)]) AS w2
+      FROM base
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), lft AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM c12 GROUP BY 1
+    ), rgt AS (
+      SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1
+    ), types AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM c12
+    ), model AS (
+      SELECT c12.w1, c12.w2,
+             (c12.c12 - {d}) / lft.c1
+             + {d} * lft.n1f / lft.c1 * (rgt.n1b / types.tt) AS p
+      FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN types
+    )
+    SELECT bg.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(log2(p)) + 1e-9, 4) AS mean_log2_prob
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY bg.id
+    """

@@ -27,35 +27,54 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataF
     Catalyst plan: parquet scan with the shipdate filter pushed down →
     partial HashAggregate (map-side) → single shuffle on the 6-value
     grouping key → final HashAggregate. Nothing here grows with data
-    size except the scan."""
-    disc_price = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
-        "decimal(28,6)"
-    )
-    charge = (
-        _d("l_extendedprice")
-        * (F.lit(1).cast(DEC) - _d("l_discount"))
-        * (F.lit(1).cast(DEC) + _d("l_tax"))
-    ).cast("decimal(28,8)")
+    size except the scan.
+
+    Fact math in bigint cents, not DECIMAL (the q9_profit discipline,
+    tpch3.py:161 — Spark's Decimal multiply/sum is the interpreted slow
+    path). Units: qty/price sums in 10⁻² (cents), disc_price in 10⁻⁴,
+    charge in 10⁻⁶ dollars — every per-row product of ≤ 2-decimal
+    inputs is EXACT in int64, and group sums stay exact up to
+    |sum_charge| < 9.2e12 dollars per (flag, status) group. Unlike q9's
+    ~175 groups, this shape has ~6, so a group's 10⁻⁶-unit sum passes
+    2⁵³ already at sf1 — dividing the unit out in DOUBLE would
+    double-round differently from the twin's DECIMAL → double cast.
+    The unit division therefore runs in DECIMAL on the ≤ 6 output rows
+    only (exact, then ONE deterministic round-to-nearest double cast —
+    the same single rounding the twin performs), keeping the 60 M-row
+    hot path pure codegen'd long arithmetic."""
+    # floor(x·100+0.5) = HALF_UP for non-negative money, and stays in
+    # codegen'd double math (F.round on double allocates a BigDecimal
+    # per element — measured GC-bound at sf10 with 4 casts per row)
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    disc_price4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    charge6 = disc_price4 * (100 + cents("l_tax"))
     out = (
         lineitem.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_d("l_quantity")).alias("__sq"),
-            F.sum(_d("l_extendedprice")).alias("__sbp"),
-            F.sum(disc_price).alias("__sdp"),
-            F.sum(charge).alias("__sc"),
+            F.sum(cents("l_quantity")).alias("__sq"),
+            F.sum(cents("l_extendedprice")).alias("__sbp"),
+            F.sum(disc_price4).alias("__sdp"),
+            F.sum(charge6).alias("__sc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+    def undec(col: str, unit: int):
+        # exact decimal re-scale of the int64 sum, then one double cast
+        return (F.col(col).cast("decimal(38,6)") / F.lit(unit)).cast("double")
+
+    sq_d = undec("__sq", 100)
+    sbp_d = undec("__sbp", 100)
     return out.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("__sq").cast("double").alias("sum_qty"),
-        F.col("__sbp").cast("double").alias("sum_base_price"),
-        r4(F.col("__sdp").cast("double")).alias("sum_disc_price"),
-        r4(F.col("__sc").cast("double")).alias("sum_charge"),
-        r4(F.col("__sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-        r4(F.col("__sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        sq_d.alias("sum_qty"),
+        sbp_d.alias("sum_base_price"),
+        r4(undec("__sdp", 10000)).alias("sum_disc_price"),
+        r4(undec("__sc", 1000000)).alias("sum_charge"),
+        r4(sq_d / F.col("count_order")).alias("avg_qty"),
+        r4(sbp_d / F.col("count_order")).alias("avg_price"),
         "count_order",
     )
 

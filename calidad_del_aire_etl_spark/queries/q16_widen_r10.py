@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, dedup, text
+from ..operators import ann, corpus, dedup, text
 from ..registry import load, register
 
 
@@ -83,3 +83,21 @@ def q_quality_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + one map-side-combined aggregate to ≤ 10 rows."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return text.calibration_eval(docs, "text", F.col("lang") == "en")
+
+
+@register(
+    "corpus_kn_bigram_logprob",
+    corpus.kn_bigram_logprob_sql("documents", "doc_id", "text"),
+)
+def q_corpus_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #49n — per-document mean log2 probability under an
+    interpolated Kneser-Ney BIGRAM LM trained on the corpus itself
+    (operators/corpus.py:kn_bigram_logprob): the word-ORDER-aware step
+    up from unigram_logprob's CCNet filter (scrambled/template spam
+    built from common words scores low here, not there). Bigrams are
+    built map-side from two shifted array slices (no positional
+    self-join); the model is the Heaps-bounded distinct-bigram
+    relation; the score join broadcasts the 4096-bigram Zipf head so
+    only the tiny-fan-out tail shuffles."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus.kn_bigram_logprob(docs, "doc_id", "text")

@@ -179,3 +179,48 @@ def test_calibration_eval_perfectly_calibrated_score_has_zero_gap(spark):
     assert r["n"] == 6 and r["pos_rate"] == 1.0
     assert abs(r["abs_gap"] - round(abs(r["avg_score"] - 1.0), 4)) < 2e-4
     assert abs(r["w_gap"] - r["abs_gap"]) < 1e-9
+
+
+def test_kn_bigram_logprob_hand_computed_model(spark):
+    pin_oracle_compat(spark)
+    from calidad_del_aire_etl_spark.operators import corpus
+
+    docs = _docs(spark, [(0, "a b a b"), (1, "a b c"), (2, "solo")])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.kn_bigram_logprob(docs, "doc_id", "text").collect()
+    }
+    # model: c(a,b)=3 c(b,a)=1 c(b,c)=1; c1(a)=3 n1f(a)=1; c1(b)=2
+    # n1f(b)=2; n1b(a)=n1b(b)=n1b(c)=1; T=3; d=0.75
+    d, T = 0.75, 3.0
+    p_ab = (3 - d) / 3 + d * 1 / 3 * (1 / T)
+    p_ba = (1 - d) / 2 + d * 2 / 2 * (1 / T)
+    p_bc = p_ba
+    exp0 = (2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    exp1 = (math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert 2 not in out  # single-token doc has no bigrams
+    assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 2
+    assert abs(out[0]["mean_log2_prob"] - round(exp0, 4)) < 1e-9
+    assert abs(out[1]["mean_log2_prob"] - round(exp1, 4)) < 1e-9
+
+
+def test_kn_bigram_penalizes_scrambled_word_order(spark):
+    pin_oracle_compat(spark)
+    from calidad_del_aire_etl_spark.operators import corpus
+
+    # 20 natural docs sharing a fixed phrase + 1 doc using the SAME
+    # unigrams in an order never seen elsewhere: the unigram LM cannot
+    # tell them apart, the bigram LM must score the scrambled doc lower.
+    natural = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    scrambled = [(99, "dog the lazy over jumps fox brown quick the")]
+    docs = _docs(spark, natural + scrambled)
+    kn = {
+        r["doc_id"]: r["mean_log2_prob"]
+        for r in corpus.kn_bigram_logprob(docs, "doc_id", "text").collect()
+    }
+    uni = {
+        r["doc_id"]: r["mean_log2_prob"]
+        for r in corpus.unigram_logprob(docs, "doc_id", "text").collect()
+    }
+    assert kn[99] < kn[0] - 1.0  # bigram LM: decisively less probable
+    assert abs(uni[99] - uni[0]) < 0.2  # unigram LM: nearly blind to it
