@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_hybrid_rrf",
     "quality_calibration_eval",
     "corpus_kn_bigram_logprob",
+    "embed_ivf_balance",
 ]
 
 

@@ -135,6 +135,44 @@ def ivf_topk(
     Scan fraction per query ≈ nprobe / |cells|. Ties on the rounded
     cosine break by cell/neighbor id so both engines agree exactly.
     """
+    withcells, _ = _ivf_withcells(df, id_col, vec_col, cell_col)
+    assign = withcells.select("id", "v", F.expr("rk[0].cell").alias("cell"))
+    probes = withcells.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.expr(f"transform(slice(rk, 1, {nprobe}), s -> s.cell)")
+        ).alias("cell"),
+    )
+    cos = r4(F.expr(COSINE_SPARK.format(a="qv", b="v")))
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rank")
+    )
+
+
+def _seq_sum_sq(xs: list[float]) -> float:
+    """Left-to-right sum of squares — matches the SQL ``aggregate`` fold
+    order exactly (no pairwise/Kahan reordering)."""
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc
+
+
+def _ivf_withcells(df: DataFrame, id_col: str, vec_col: str, cell_col: str):
+    """Shared IVF assignment block (ivf_topk / ivf_balance): collect the
+    |cells|×dim codebook (the only driver traffic, bounded by codebook
+    size), then rank every vector's centroids in ONE narrow projection
+    over the literal codebook. Returns (withcells(id, v, rk), codebook);
+    ``rk[0].cell`` is the nearest-centroid assignment."""
     import math
 
     cents = ivf_centroids(df, vec_col, cell_col).collect()
@@ -166,35 +204,84 @@ def ivf_topk(
     withcells = base.select(
         "id", "v", F.expr(nv).alias("nv")
     ).select("id", "v", F.expr(ranked_expr).alias("rk"))
-    assign = withcells.select("id", "v", F.expr("rk[0].cell").alias("cell"))
-    probes = withcells.filter(query_ids_pred(F.col("id"))).select(
-        F.col("id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.explode(
-            F.expr(f"transform(slice(rk, 1, {nprobe}), s -> s.cell)")
-        ).alias("cell"),
-    )
-    cos = r4(F.expr(COSINE_SPARK.format(a="qv", b="v")))
-    scored = (
-        assign.join(F.broadcast(probes), "cell")
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rank")
-    )
+    return withcells, codebook
 
 
-def _seq_sum_sq(xs: list[float]) -> float:
-    """Left-to-right sum of squares — matches the SQL ``aggregate`` fold
-    order exactly (no pairwise/Kahan reordering)."""
-    acc = 0.0
-    for x in xs:
-        acc += x * x
-    return acc
+def ivf_balance(
+    df: DataFrame, id_col: str, vec_col: str, cell_col: str
+) -> DataFrame:
+    """IVF index-health readout: per-cell population after
+    nearest-centroid assignment, each cell's share of the corpus, and
+    the FAISS-style imbalance factor |C|·Σ(n_c/N)² — 1.0 for perfectly
+    uniform lists, grows as cells skew; expected probe cost is
+    proportional to it. The tuning evidence an IVF deployment ships
+    BEFORE choosing nlist/nprobe (same eval family as ann_recall_eval:
+    that measures quality, this measures the cost side).
+
+    Plan: the shared literal-codebook assignment projection (zero
+    joins, zero shuffles) + ONE map-side-combined |cells|-row
+    aggregate; the N/imbalance scalars come from a window over that
+    ≤ |cells|-row relation.
+
+    Output: (cell, n_vectors, share, imbalance), ordered by cell."""
+    withcells, codebook = _ivf_withcells(df, id_col, vec_col, cell_col)
+    assign = withcells.select(F.expr("rk[0].cell").alias("cell"))
+    per = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    w = Window.partitionBy()
+    n_total = F.sum("n_vectors").over(w).cast("double")
+    imb = (
+        F.lit(float(len(codebook)))
+        * F.sum(F.col("n_vectors").cast("double") * F.col("n_vectors").cast("double")).over(w)
+        / (n_total * n_total)
+    )
+    return per.select(
+        "cell",
+        "n_vectors",
+        r4(F.col("n_vectors").cast("double") / n_total).alias("share"),
+        r4(imb).alias("imbalance"),
+    ).orderBy("cell")
+
+
+def ivf_balance_sql(
+    table: str, id_col: str, vec_col: str, cell_col: str
+) -> str:
+    from .dedup import COSINE_DUCK
+
+    ccos = COSINE_DUCK.format(a="b.v", b="c.cv")
+    return f"""
+    WITH ex AS (
+      SELECT {cell_col} AS cell,
+             generate_subscripts({vec_col}, 1) - 1 AS pos,
+             unnest({vec_col}) AS x
+      FROM {table}
+    ), cent AS (
+      SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
+    ), cvec AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), ncells AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM cvec
+    ), b AS (
+      SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    ), ranked AS (
+      SELECT b.id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.id
+               ORDER BY ROUND({ccos} + 1e-9, 4) DESC, c.cell ASC) AS crank
+      FROM b CROSS JOIN cvec c
+    ), per AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM ranked WHERE crank = 1 GROUP BY 1
+    )
+    SELECT cell, n_vectors,
+           ROUND(n_vectors / SUM(n_vectors) OVER () + 1e-9, 4) AS share,
+           ROUND(ncells.k * SUM(CAST(n_vectors AS DOUBLE) * n_vectors) OVER ()
+                 / (SUM(n_vectors) OVER () * SUM(n_vectors) OVER ()) + 1e-9, 4)
+             AS imbalance
+    FROM per CROSS JOIN ncells
+    ORDER BY cell
+    """
 
 
 def ivf_topk_sql(

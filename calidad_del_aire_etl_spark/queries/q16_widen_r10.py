@@ -101,3 +101,19 @@ def q_corpus_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the tiny-fan-out tail shuffles."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return corpus.kn_bigram_logprob(docs, "doc_id", "text")
+
+
+@register(
+    "embed_ivf_balance",
+    ann.ivf_balance_sql("embeddings", "vec_id", "embedding", "label"),
+)
+def q_embed_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31l — IVF index-health readout
+    (operators/ann.py:ivf_balance): per-cell population after
+    nearest-centroid assignment, corpus share, and the FAISS-style
+    imbalance factor |C|·Σ(n_c/N)² that prices expected probe cost —
+    the COST-side tuning evidence pairing ann_recall_eval's quality
+    side. Literal-codebook assignment projection (zero joins/shuffles
+    on the corpus) + one |cells|-row aggregate."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.ivf_balance(em, "vec_id", "embedding", "label")

@@ -224,3 +224,32 @@ def test_kn_bigram_penalizes_scrambled_word_order(spark):
     }
     assert kn[99] < kn[0] - 1.0  # bigram LM: decisively less probable
     assert abs(uni[99] - uni[0]) < 0.2  # unigram LM: nearly blind to it
+
+
+def test_ivf_balance_partitions_corpus_and_prices_skew(spark):
+    pin_oracle_compat(spark)
+    # two tight clusters, one 3x the other: cells must partition the
+    # corpus and the imbalance factor must match the closed form
+    # |C| * sum(share^2).
+    rows = [(i, [10.0, 0.0], 0) for i in range(6)] + [
+        (i, [0.0, 10.0], 1) for i in range(6, 8)
+    ]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = ann.ivf_balance(em, "vec_id", "embedding", "label").collect()
+    assert sum(r["n_vectors"] for r in out) == 8
+    shares = {r["cell"]: r["share"] for r in out}
+    assert abs(shares[0] - 0.75) < 1e-9 and abs(shares[1] - 0.25) < 1e-9
+    expected_imb = 2 * (0.75**2 + 0.25**2)
+    for r in out:
+        assert abs(r["imbalance"] - round(expected_imb, 4)) < 1e-9
+
+
+def test_ivf_balance_uniform_cells_have_unit_imbalance(spark):
+    pin_oracle_compat(spark)
+    rows = [(i, [10.0, 0.0], 0) for i in range(4)] + [
+        (i, [0.0, 10.0], 1) for i in range(4, 8)
+    ]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = ann.ivf_balance(em, "vec_id", "embedding", "label").collect()
+    for r in out:
+        assert r["imbalance"] == 1.0 and r["share"] == 0.5
