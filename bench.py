@@ -165,6 +165,7 @@ HEADLINE = [
     "quality_calibration_eval",
     "corpus_kn_bigram_logprob",
     "embed_ivf_balance",
+    "ann_pq_recall_eval",
 ]
 
 

@@ -1807,3 +1807,140 @@ def hybrid_rrf_topk_sql(
       FROM fused
     ) WHERE fused_rank <= {k}
     """
+
+
+# --- #31m PQ recall eval (exact-L2 truth vs ADC ranking) -------------------
+
+# Squared L2 via the dot-product identity ||a-b||^2 = a.a + b.b - 2 a.b,
+# built from the SAME fold expressions as COSINE_SPARK/COSINE_DUCK so the
+# float32-product / float64-accumulate convention (and therefore hash
+# parity) carries over unchanged.
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), "
+    "(acc, x) -> acc + x)"
+)
+L2SQ_SPARK = (
+    "(" + _DOT_SPARK.format(a="{a}", b="{a}") + " + "
+    + _DOT_SPARK.format(a="{b}", b="{b}") + " - 2 * "
+    + _DOT_SPARK.format(a="{a}", b="{b}") + ")"
+)
+L2SQ_DUCK = (
+    "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+    " - 2 * list_dot_product({a}, {b}))"
+)
+
+
+def l2_bruteforce_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_pred,
+    k: int = 5,
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth for the L2-metric
+    index family (PQ/IVFPQ score in L2; evaluating them against the
+    cosine truth would measure metric mismatch, not quantization
+    loss). Same broadcast-query single-scan shape as
+    :func:`bruteforce_topk`; ties break on (rounded distance,
+    neighbor id) ascending."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    queries = base.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = r4(F.expr(L2SQ_SPARK.format(a="qv", b="v")))
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("neighbor_id"), d2.alias("l2_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "l2_dist", "rank")
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_ids_pred,
+    k: int = 5,
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """Recall@k of the PQ asymmetric-distance ranking against the EXACT
+    squared-L2 ranking, one row per query — the code-budget tuning
+    evidence (m_subspaces × recall) completing the eval family:
+    ann_recall_eval covers IVF's nprobe dial, embed_matryoshka_recall
+    the truncation dial, this the quantization dial. Both relations are
+    the proven single-scan operators; the join runs on 2·|queries|·k
+    rows."""
+    exact = l2_bruteforce_topk(df, id_col, vec_col, query_ids_pred, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__e")
+    )
+    approx = pq_topk(
+        df, id_col, vec_col, cell_col, query_ids_pred, k=k, m_subspaces=m_subspaces
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__a"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    per_q = j.groupBy("query_id").agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum(F.col("__e") * F.col("__a")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        F.when(F.col("n_exact") > 0, r4(F.col("n_hits") / F.col("n_exact"))).alias(
+            "recall_at_k"
+        ),
+    ).orderBy("query_id")
+
+
+def pq_recall_eval_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    bf_pred_sql: str,
+    pq_pred_sql: str,
+    k: int = 5,
+    m_subspaces: int = 8,
+    dim: int = 64,
+) -> str:
+    l2 = L2SQ_DUCK.format(a=f"q.{vec_col}", b=f"c.{vec_col}")
+    exact = f"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.{id_col}
+               ORDER BY ROUND({l2} + 1e-9, 4) ASC, c.{id_col} ASC) AS INTEGER) AS rank
+      FROM {table} q JOIN {table} c ON q.{id_col} != c.{id_col}
+      WHERE {bf_pred_sql}
+    ) WHERE rank <= {k}"""
+    approx = pq_topk_sql(
+        table, id_col, vec_col, cell_col, pq_pred_sql,
+        k=k, m_subspaces=m_subspaces, dim=dim,
+    )
+    return f"""
+    WITH exact AS ({exact}), approx AS ({approx}),
+    j AS (
+      SELECT COALESCE(e.query_id, a.query_id) AS query_id,
+             CASE WHEN e.query_id IS NOT NULL THEN 1 END AS e,
+             CASE WHEN a.query_id IS NOT NULL THEN 1 END AS a
+      FROM exact e FULL OUTER JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COALESCE(SUM(e), 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(e * a), 0) AS BIGINT) AS n_hits,
+           CASE WHEN COALESCE(SUM(e), 0) > 0
+                THEN ROUND(COALESCE(SUM(e * a), 0) * 1.0 / SUM(e) + 1e-9, 4)
+           END AS recall_at_k
+    FROM j GROUP BY query_id ORDER BY query_id
+    """

@@ -117,3 +117,25 @@ def q_embed_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the corpus) + one |cells|-row aggregate."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann.ivf_balance(em, "vec_id", "embedding", "label")
+
+
+@register(
+    "ann_pq_recall_eval",
+    ann.pq_recall_eval_sql(
+        "embeddings", "vec_id", "embedding", "label",
+        "q.vec_id < 10", "id < 10", k=5, m_subspaces=8,
+    ),
+)
+def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31m — recall@5 of the PQ asymmetric-distance ranking
+    vs the EXACT squared-L2 ranking (operators/ann.py:pq_recall_eval):
+    the quantization-dial tuning evidence completing the eval family
+    (ann_recall_eval = nprobe dial, embed_matryoshka_recall =
+    truncation dial, this = code budget). The L2 truth is evaluated in
+    PQ's own metric so the readout measures quantization loss, not
+    metric mismatch; both relations are single-scan plans and the join
+    carries 2·|queries|·k rows."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.pq_recall_eval(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, m_subspaces=8
+    )

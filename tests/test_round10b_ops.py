@@ -253,3 +253,31 @@ def test_ivf_balance_uniform_cells_have_unit_imbalance(spark):
     out = ann.ivf_balance(em, "vec_id", "embedding", "label").collect()
     for r in out:
         assert r["imbalance"] == 1.0 and r["share"] == 0.5
+
+
+def test_pq_recall_eval_perfect_on_separated_clusters(spark):
+    pin_oracle_compat(spark)
+    # vectors split into two tight clusters far apart: with one centroid
+    # per cluster the PQ codes preserve the coarse geometry, so the PQ
+    # top-1 within a 4-point corpus must recover the exact-L2 top-1.
+    rows = [
+        (0, [10.0, 0.0, 10.0, 0.0], 0), (1, [10.1, 0.0, 10.1, 0.0], 0),
+        (2, [0.0, 10.0, 0.0, 10.0], 1), (3, [0.0, 10.1, 0.0, 10.1], 1),
+    ]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = ann.pq_recall_eval(
+        em, "vec_id", "embedding", "label", lambda c: c < 2, k=1, m_subspaces=2
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_exact"] == 1 and r["recall_at_k"] == 1.0
+
+
+def test_l2_bruteforce_matches_manual_distances(spark):
+    pin_oracle_compat(spark)
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [1.0, 0.0])]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["neighbor_id"]: r for r in ann.l2_bruteforce_topk(
+        em, "vec_id", "embedding", lambda c: c == 0, k=2).collect()}
+    assert out[2]["l2_dist"] == 1.0 and out[2]["rank"] == 1
+    assert out[1]["l2_dist"] == 25.0 and out[1]["rank"] == 2
