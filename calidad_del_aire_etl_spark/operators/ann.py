@@ -1811,23 +1811,26 @@ def hybrid_rrf_topk_sql(
 
 # --- #31m PQ recall eval (exact-L2 truth vs ADC ranking) -------------------
 
-# Squared L2 via the dot-product identity ||a-b||^2 = a.a + b.b - 2 a.b,
-# built from the SAME fold expressions as COSINE_SPARK/COSINE_DUCK so the
-# float32-product / float64-accumulate convention (and therefore hash
-# parity) carries over unchanged.
-_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), "
-    "(acc, x) -> acc + x)"
-)
+# Squared L2 as an ELEMENTWISE (x−y)² fold with per-element double
+# casts — the same convention as pq_topk's subspace distances. The
+# dot-product identity a·a + b·b − 2a·b was tried first and REJECTED:
+# for near-identical vectors it cancels catastrophically, amplifying a
+# 1-ulp accumulator difference between engines above the 1e-9 nudge
+# (one flipped rank surfaced at sf1 where sf0.01 passed).
 L2SQ_SPARK = (
-    "(" + _DOT_SPARK.format(a="{a}", b="{a}") + " + "
-    + _DOT_SPARK.format(a="{b}", b="{b}") + " - 2 * "
-    + _DOT_SPARK.format(a="{a}", b="{b}") + ")"
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), "
+    "cast(0 as double), (acc, x) -> acc + x)"
 )
-L2SQ_DUCK = (
-    "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
-    " - 2 * list_dot_product({a}, {b}))"
-)
+
+
+def l2sq_duck(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
 
 
 def l2_bruteforce_topk(
@@ -1913,7 +1916,7 @@ def pq_recall_eval_sql(
     m_subspaces: int = 8,
     dim: int = 64,
 ) -> str:
-    l2 = L2SQ_DUCK.format(a=f"q.{vec_col}", b=f"c.{vec_col}")
+    l2 = l2sq_duck(f"q.{vec_col}", f"c.{vec_col}", dim)
     exact = f"""
     SELECT query_id, neighbor_id FROM (
       SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
