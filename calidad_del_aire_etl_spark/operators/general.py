@@ -21,6 +21,28 @@ def _d(col: str):
     return F.col(col).cast(DEC)
 
 
+def _cents(col: str):
+    """Double dollars → bigint cents; floor(x·100+0.5) = HALF_UP for
+    non-negative money and stays in codegen'd double math (the q1/q9
+    BigDecimal finding — F.round on double allocates per element and
+    DECIMAL aggregation runs interpreted)."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+
+def _rev4():
+    """extendedprice·(1−discount) in EXACT int64 10⁻⁴-dollar units —
+    the shared revenue expression for the Q3/Q5/Q6/Q10 shapes."""
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+def _undec(col: str, unit: int):
+    """Exact decimal re-scale of an int64 unit sum, then ONE
+    round-to-nearest double cast — the same single rounding the
+    DECIMAL twin performs (see q1_pricing_summary). Run it on the
+    final few-row relation only."""
+    return (F.col(col).cast("decimal(38,6)") / F.lit(unit)).cast("double")
+
+
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
     """TPC-H Q1 shape: one partial-aggregating scan, eight aggregates.
 
@@ -113,10 +135,11 @@ def q3_shipping(
 
     customer (filtered) is broadcast; orders joins it without a shuffle;
     lineitem↔orders is the one real shuffle (AQE handles skew). Top-N
-    runs on the already-aggregated relation."""
-    revenue = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
-        "decimal(28,6)"
-    )
+    runs on the already-aggregated relation. Revenue rides as exact
+    int64 10⁻⁴-dollar units through the join/agg/sort (per-order sums
+    ≤ 7 lines, always < 2⁵³); the decimal re-scale runs on the topn
+    rows only."""
+    revenue = _rev4()
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.filter(F.col("o_orderdate") < cutoff).select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -135,7 +158,7 @@ def q3_shipping(
         .select(
             "o_orderkey",
             F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
-            r4(F.col("__r").cast("double")).alias("revenue"),
+            r4(_undec("__r", 10000)).alias("revenue"),
         )
     )
 
@@ -176,10 +199,19 @@ def q5_local_supplier(
 
     region→nation→{customer, supplier} are all tiny: the physical plan
     is lineitem⋈orders (one shuffle) with four BroadcastHashJoins
-    layered on — the canonical 100 TB star-join shape."""
-    revenue = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
-        "decimal(28,6)"
-    )
+    layered on — the canonical 100 TB star-join shape. The fact-fact
+    join is hinted SHUFFLE_HASH with the date-filtered orders as build
+    side (the q9 discipline: both sides still shuffle on the key —
+    scale-safe — but no 60 M-row sort); revenue rides as exact int64
+    10⁻⁴-dollar units (per-nation sums < 2⁵³ through sf10) and the
+    decimal re-scale runs on the ~|nations| output rows.
+
+    Strategy measured at sf10 (warm, best-of-2) before keeping the
+    hint: SHUFFLE_HASH 3.78 s, unhinted SMJ 5.87 s, broadcasting the
+    date-filtered orders 3.07 s. The broadcast wins only ~0.7 s here
+    (the scan dominates, not the thin 3-column shuffle) and is
+    scale-UNSAFE — one year of orders at 100 TB is not driver-sized —
+    so the shuffle-hash plan stays."""
     nat = nation.join(
         F.broadcast(region.filter(F.col("r_name") == region_name)),
         nation.n_regionkey == F.col("r_regionkey"),
@@ -188,8 +220,8 @@ def q5_local_supplier(
         (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
     ).select("o_orderkey", "o_custkey")
     joined = (
-        lineitem.select("l_orderkey", "l_suppkey", revenue.alias("__rev"))
-        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        lineitem.select("l_orderkey", "l_suppkey", _rev4().alias("__rev"))
+        .join(ords.hint("SHUFFLE_HASH"), F.col("l_orderkey") == ords.o_orderkey)
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
@@ -200,7 +232,7 @@ def q5_local_supplier(
     return (
         joined.groupBy("n_name")
         .agg(F.sum("__rev").alias("__r"))
-        .select("n_name", r4(F.col("__r").cast("double")).alias("revenue"))
+        .select("n_name", r4(_undec("__r", 10000)).alias("revenue"))
     )
 
 
@@ -343,7 +375,10 @@ def q6_forecast_revenue(
     product folds in the projection, and a single partial+final sum
     crosses the wire as one row per task. The canonical 'is pushdown
     working' probe."""
-    rev = (_d("l_extendedprice") * _d("l_discount")).cast("decimal(28,4)")
+    # exact int64 10⁻⁴-dollar units (ext_c·disc_c); the one-group sum
+    # passes 2⁵³ around sf10, so the unit division runs in DECIMAL on
+    # the single output row (q1's discipline)
+    rev = _cents("l_extendedprice") * _cents("l_discount")
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= date_lo)
@@ -354,7 +389,7 @@ def q6_forecast_revenue(
         )
         .agg(F.sum(rev).alias("__r"), F.count(F.lit(1)).alias("n_items"))
         .select(
-            r4(F.col("__r").cast("double")).alias("revenue"),
+            r4(_undec("__r", 10000)).alias("revenue"),
             F.col("n_items").cast("bigint").alias("n_items"),
         )
     )
@@ -388,11 +423,8 @@ def q10_returned_items(
     broadcast so the only shuffle is lineitem⋈orders on orderkey, then
     one partial-agg groupBy on custkey. Top-N happens on the aggregated
     (small) relation."""
-    rev = (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
-        "decimal(28,6)"
-    )
     li = lineitem.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", rev.alias("__rev")
+        "l_orderkey", _rev4().alias("__rev")
     )
     ords = orders.filter(
         (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
@@ -412,7 +444,7 @@ def q10_returned_items(
         .select(
             "c_custkey",
             "c_name",
-            r4(F.col("__r").cast("double")).alias("revenue"),
+            r4(_undec("__r", 10000)).alias("revenue"),
             r4(F.col("c_acctbal")).alias("c_acctbal"),
         )
     )

@@ -34,9 +34,22 @@ def _d(col: str):
 
 
 def _rev():
-    return (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
-        "decimal(28,6)"
-    )
+    """extendedprice·(1−discount) in EXACT int64 10⁻⁴-dollar units —
+    the q1/q9 BigDecimal finding applied family-wide: DECIMAL
+    multiply/sum runs interpreted, floor-cents stays in codegen'd
+    long arithmetic with identical values (HALF_UP for non-negative
+    money). Final projections re-scale via _undec (one decimal
+    division + double cast on the few output rows, matching the
+    twins' single DECIMAL → double rounding)."""
+    from .general import _rev4
+
+    return _rev4()
+
+
+def _undec(col: str, unit: int = 10000):
+    from .general import _undec as _u
+
+    return _u(col, unit)
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +141,13 @@ def q7_volume(
     )
     return (
         joined.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(r4(F.sum("__rev").cast("double")).alias("revenue"))
+        .agg(F.sum("__rev").alias("__r"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            r4(_undec("__r")).alias("revenue"),
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -202,14 +221,16 @@ def q8_market_share(
     ).join(cust, F.col("o_custkey") == cust.c_custkey)
     joined = li.join(ords, li.l_orderkey == ords.o_orderkey)
     target = F.when(F.col("supp_nation") == target_nation, F.col("__rev")).otherwise(
-        F.lit(0).cast("decimal(28,6)")
+        F.lit(0).cast("bigint")
     )
     agg = joined.groupBy("o_year").agg(
         F.sum(target).alias("__t"), F.sum("__rev").alias("__a")
     )
+    # _undec on BOTH operands replicates the twin's exact
+    # DECIMAL-sum → double conversions before the one double division
     return agg.select(
         "o_year",
-        r4(F.col("__t").cast("double") / F.col("__a").cast("double")).alias("mkt_share"),
+        r4(_undec("__t") / _undec("__a")).alias("mkt_share"),
     ).orderBy("o_year")
 
 
@@ -299,11 +320,11 @@ def q14_promo_share(
     pt = part.select("p_partkey", "p_type")
     joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
     promo = F.when(F.col("p_type") == "PROMO", F.col("__rev")).otherwise(
-        F.lit(0).cast("decimal(28,6)")
+        F.lit(0).cast("bigint")
     )
     agg = joined.agg(F.sum(promo).alias("__p"), F.sum("__rev").alias("__a"))
     return agg.select(
-        r4(F.lit(100.0) * F.col("__p").cast("double") / F.col("__a").cast("double")).alias(
+        r4(F.lit(100.0) * _undec("__p") / _undec("__a")).alias(
             "promo_revenue_pct"
         )
     )
@@ -342,8 +363,10 @@ def q15_top_supplier(
     ).select("l_suppkey", _rev().alias("__rev"))
     rev = li.groupBy("l_suppkey").agg(F.sum("__rev").alias("__total"))
     mx = rev.agg(F.max("__total").alias("__mx"))
+    # bigint max-equality is exact (the DECIMAL form compared decimals;
+    # int64 units make the scalar-max argmax tie semantics trivially so)
     top = rev.join(F.broadcast(mx), rev.__total == mx.__mx).select(
-        "l_suppkey", r4(F.col("__total").cast("double")).alias("total_revenue")
+        "l_suppkey", r4(_undec("__total")).alias("total_revenue")
     )
     s = supplier.select("s_suppkey", "s_name")
     return (

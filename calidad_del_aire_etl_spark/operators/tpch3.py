@@ -42,9 +42,11 @@ def _d(col: str):
 
 
 def _rev():
-    return (_d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))).cast(
-        "decimal(28,6)"
-    )
+    """Revenue in exact int64 10⁻⁴-dollar units (see general._rev4 —
+    the q1/q9 BigDecimal finding applied family-wide)."""
+    from .general import _rev4
+
+    return _rev4()
 
 
 # --- Q13: customer order-count distribution --------------------------------
@@ -272,9 +274,13 @@ def q11_important_parts(
         .select("s_suppkey")
     )
     li = lineitem.join(F.broadcast(nat_supp), lineitem.l_suppkey == nat_supp.s_suppkey)
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(_rev()).alias("value_dec")
-    )
+    # fact-side sum in exact int64 10⁻⁴-dollar units (the q1/q9
+    # BigDecimal finding); the DECIMAL re-scale and the exact
+    # threshold comparison run on the ~|parts|-row aggregate only,
+    # value-identical to the twin's all-DECIMAL pipeline
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("__v4"))
+    vdec = (F.col("__v4").cast("decimal(38,6)") / F.lit(10000)).alias("value_dec")
+    per_part = per_part.select("l_partkey", vdec)
     total = per_part.agg(
         (F.sum("value_dec") * F.lit(fraction).cast("decimal(18,6)")).alias("thresh")
     )
