@@ -2,9 +2,15 @@
 
 Engine-completeness demonstrations: multi-agg scans, star joins with
 broadcast dimensions, window top-k, sessionization, pivot. Money math
-runs in DECIMAL so sums are exact and order-independent — the only way
-a distributed sum can hash-match a single-threaded oracle bit-for-bit
-(double sums differ by summation order at 10⁵+ rows).
+must be exact and order-independent — the only way a distributed sum
+can hash-match a single-threaded oracle bit-for-bit (double sums
+differ by summation order at 10⁵+ rows). It rides as EXACT int64
+10⁻²/10⁻⁴/10⁻⁶-dollar units through every fact-side scan/join/agg
+(_cents/_rev4 — Spark's DECIMAL multiply/sum runs interpreted and
+F.round-on-double allocates per element, the round-10 BigDecimal
+finding), with the DECIMAL re-scale confined to the few-row final
+projection (_undec — one decimal division + ONE double cast, the
+same single rounding the DECIMAL twins perform).
 """
 
 from __future__ import annotations

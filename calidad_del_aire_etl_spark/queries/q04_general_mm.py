@@ -36,7 +36,8 @@ from ..operators import general, multimodal  # noqa: E402
 
 @register("tpch_q1_pricing", general.Q1_SQL.format(cutoff="2001-09-01"))
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #19 — TPC-H Q1-shape pricing summary (exact decimal sums)."""
+    """SURVEY §2 #19 — TPC-H Q1-shape pricing summary (exact int64
+    cents-unit sums, DECIMAL re-scale on the 6 output rows)."""
     return general.q1_pricing_summary(load(spark, sf_dir, "lineitem"), "2001-09-01")
 
 

@@ -35,12 +35,17 @@ def plan(spark, name: str) -> str:
     )
 
 
-def test_q5_star_join_all_broadcast(spark):
+def test_q5_star_join_shape(spark):
+    # r10 shape: every dimension still broadcasts, and the one
+    # fact-fact join (lineitem x date-filtered orders) is a hinted
+    # ShuffledHashJoin — keyed exchanges on both fact sides, NO sort
+    # (the q9 discipline; strategy measured at sf10 in the docstring).
     p = plan(spark, "tpch_q5_local_supplier")
-    assert p.count("BroadcastHashJoin") >= 10  # 5 joins × 2 mentions
+    assert p.count("BroadcastHashJoin") >= 8  # 4 dim joins × 2 mentions
+    assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
-    # exactly one shuffle: the final aggregation
-    assert p.count("Exchange hashpartitioning") <= 2
+    # three shuffles total: two fact sides + the final aggregation
+    assert p.count("Exchange hashpartitioning") <= 6
 
 
 def test_q1_filter_pushdown_and_codegen(spark):

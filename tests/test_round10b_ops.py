@@ -281,3 +281,27 @@ def test_l2_bruteforce_matches_manual_distances(spark):
         em, "vec_id", "embedding", lambda c: c == 0, k=2).collect()}
     assert out[2]["l2_dist"] == 1.0 and out[2]["rank"] == 1
     assert out[1]["l2_dist"] == 25.0 and out[1]["rank"] == 2
+
+
+def test_cents_equals_decimal_cast_property():
+    # Pure-Python property pin for the family-wide cents discipline:
+    # floor(x*100 + 0.5) on the double representation of any 2-decimal
+    # money value equals the DECIMAL(18,2) cast's HALF_UP cents — the
+    # exact equivalence every TPC-H twin relies on.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**7 * 100))
+    def check(cents_true):
+        x = cents_true / 100.0  # the double the generator writes
+        got = math.floor(x * 100 + 0.5)
+        want = int(
+            (Decimal(repr(x)) * 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        assert got == want == cents_true
+
+    check()
