@@ -166,6 +166,7 @@ HEADLINE = [
     "corpus_kn_bigram_logprob",
     "embed_ivf_balance",
     "ann_pq_recall_eval",
+    "ann_nprobe_sweep",
 ]
 
 

@@ -1947,3 +1947,180 @@ def pq_recall_eval_sql(
            END AS recall_at_k
     FROM j GROUP BY query_id ORDER BY query_id
     """
+
+
+# --- #31n IVF nprobe sweep (recall for every probe depth in one pass) ------
+
+
+def ivf_nprobe_sweep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_ids_pred,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Recall@k of the IVF index at EVERY candidate probe depth in one
+    pass — `ann_recall_eval` prices one nprobe by running it;
+    this prices the whole dial (the `dedup_lsh_tuning` discipline
+    applied to IVF): because probe-candidate sets nest (the cells a
+    query probes at depth p are a prefix of depth p+1's), the corpus
+    is scanned ONCE for the deepest setting and each shallower
+    setting's top-k is recovered with a conditional running-count
+    window — rank among depth-p candidates = running count of
+    cell_rank ≤ p rows in cosine order.
+
+    Plan: the shared literal-codebook assignment projection, one
+    broadcast of the (query, probed-cell, cell_rank) relation, one
+    scan-side candidate join, then |nprobes| window columns over the
+    per-query candidate lists (≤ |queries|·|corpus-in-probed-cells|
+    rows — the same relation ivf_topk already windows) and a final
+    |nprobes|-row aggregate against the broadcast exact top-k.
+
+    Output: (nprobe int, n_exact bigint, n_hits bigint, recall double),
+    ordered by nprobe."""
+    max_p = max(nprobes)
+    withcells, _ = _ivf_withcells(df, id_col, vec_col, cell_col)
+    assign = withcells.select("id", "v", F.expr("rk[0].cell").alias("cell"))
+    probes = withcells.filter(query_ids_pred(F.col("id"))).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.posexplode(
+            F.expr(f"transform(slice(rk, 1, {max_p}), s -> s.cell)")
+        ).alias("pos", "cell"),
+    ).select("qid", "qv", "cell", (F.col("pos") + 1).alias("cell_rank"))
+    cos = r4(F.expr(COSINE_SPARK.format(a="qv", b="v")))
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("id").alias("neighbor_id"),
+            cos.alias("cosine"),
+            "cell_rank",
+        )
+    )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rank_cols = [
+        F.sum(F.when(F.col("cell_rank") <= p, 1)).over(w).alias(f"__rk{p}")
+        for p in nprobes
+    ]
+    ranked = cand.select("qid", "neighbor_id", "cell_rank", *rank_cols)
+    # |queries|·k rows, consumed twice (hit join + denominator) — pin it
+    exact = (
+        bruteforce_topk(df, id_col, vec_col, query_ids_pred, k=k)
+        .select(F.col("query_id").alias("qid"), "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    n_exact_df = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    joined = ranked.join(F.broadcast(exact), ["qid", "neighbor_id"])
+    hit_aggs = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("cell_rank") <= p) & (F.col(f"__rk{p}") <= k), 1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"__h{p}")
+        for p in nprobes
+    ]
+    wide = joined.agg(*hit_aggs).crossJoin(F.broadcast(n_exact_df))
+    stack_args = ", ".join(f"{p}, __h{p}" for p in nprobes)
+    long = wide.selectExpr(
+        "n_exact",
+        f"stack({len(nprobes)}, {stack_args}) AS (nprobe, n_hits)",
+    )
+    return long.select(
+        F.col("nprobe").cast("int").alias("nprobe"),
+        F.col("n_exact"),
+        F.col("n_hits"),
+        F.when(
+            F.col("n_exact") > 0,
+            r4(F.col("n_hits") / F.col("n_exact").cast("double")),
+        ).alias("recall"),
+    ).orderBy("nprobe")
+
+
+def ivf_nprobe_sweep_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    bf_pred_sql: str,
+    ivf_pred_sql: str,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 3, 4),
+) -> str:
+    from .dedup import COSINE_DUCK
+
+    max_p = max(nprobes)
+    ccos = COSINE_DUCK.format(a="b.v", b="c.cv")
+    cos = COSINE_DUCK.format(a="p.qv", b="a.v")
+    bf = bruteforce_topk_sql(table, id_col, vec_col, bf_pred_sql, k=k)
+    rank_cols = ", ".join(
+        f"SUM(CASE WHEN cell_rank <= {p} THEN 1 END) OVER ("
+        " PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC"
+        f" ROWS UNBOUNDED PRECEDING) AS rk{p}"
+        for p in nprobes
+    )
+    hit_cols = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN cell_rank <= {p} AND rk{p} <= {k}"
+        f" THEN 1 END), 0) AS BIGINT) AS h{p}"
+        for p in nprobes
+    )
+    per_p = "\n    UNION ALL ".join(
+        f"""SELECT CAST({p} AS INTEGER) AS nprobe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           h{p} AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+                THEN ROUND(h{p} * 1.0 / (SELECT COUNT(*) FROM exact) + 1e-9, 4)
+           END AS recall
+    FROM wide"""
+        for p in nprobes
+    )
+    return f"""
+    WITH ex AS (
+      SELECT {cell_col} AS cell,
+             generate_subscripts({vec_col}, 1) - 1 AS pos,
+             unnest({vec_col}) AS x
+      FROM {table}
+    ), cent AS (
+      SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
+    ), cvec AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), b AS (
+      SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    ), ranked0 AS (
+      SELECT b.id, b.v, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.id
+               ORDER BY ROUND({ccos} + 1e-9, 4) DESC, c.cell ASC) AS crank
+      FROM b CROSS JOIN cvec c
+    ), assign AS (
+      SELECT id, v, cell FROM ranked0 WHERE crank = 1
+    ), probes AS (
+      SELECT id AS qid, v AS qv, cell, crank AS cell_rank FROM ranked0
+      WHERE ({ivf_pred_sql}) AND crank <= {max_p}
+    ), cand AS (
+      SELECT p.qid, a.id AS neighbor_id,
+             ROUND({cos} + 1e-9, 4) AS cosine, p.cell_rank
+      FROM assign a JOIN probes p ON a.cell = p.cell AND a.id != p.qid
+    ), exact AS (
+      SELECT query_id AS qid, neighbor_id FROM ({bf})
+    ), rkd AS (
+      SELECT qid, neighbor_id, cell_rank, {rank_cols} FROM cand
+    ), wide AS (
+      SELECT {hit_cols}
+      FROM rkd JOIN exact USING (qid, neighbor_id)
+    )
+    {per_p}
+    ORDER BY nprobe
+    """

@@ -139,3 +139,26 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_recall_eval(
         em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, m_subspaces=8
     )
+
+
+@register(
+    "ann_nprobe_sweep",
+    ann.ivf_nprobe_sweep_sql(
+        "embeddings", "vec_id", "embedding", "label",
+        "q.vec_id < 10", "id < 10", k=5, nprobes=(1, 2, 3, 4),
+    ),
+)
+def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31n — IVF recall@5 at EVERY probe depth 1..4 in one
+    pass (operators/ann.py:ivf_nprobe_sweep): probe-candidate sets
+    nest, so the corpus is scanned once at the deepest setting and
+    each shallower depth's top-k is recovered with a conditional
+    running-count window — the dedup_lsh_tuning discipline (price all
+    dial settings without re-running the index) applied to IVF.
+    ann_recall_eval stays as the single-setting driver-verified
+    baseline; this is how the nprobe is actually chosen."""
+    em = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.ivf_nprobe_sweep(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5,
+        nprobes=(1, 2, 3, 4),
+    )

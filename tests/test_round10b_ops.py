@@ -305,3 +305,43 @@ def test_cents_equals_decimal_cast_property():
         assert got == want == cents_true
 
     check()
+
+
+def test_ivf_nprobe_sweep_monotone_and_consistent_with_recall_eval(spark, sf_dir):
+    pin_oracle_compat(spark)
+    from calidad_del_aire_etl_spark.registry import load
+
+    em = load(spark, sf_dir, "embeddings")
+    sweep = {
+        r["nprobe"]: r
+        for r in ann.ivf_nprobe_sweep(
+            em, "vec_id", "embedding", "label", lambda c: c < 10, k=5,
+            nprobes=(1, 2, 3, 4),
+        ).collect()
+    }
+    # recall is monotone non-decreasing in probe depth (candidate sets nest)
+    recalls = [sweep[p]["recall"] for p in (1, 2, 3, 4)]
+    assert recalls == sorted(recalls)
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    # the sweep's depth-2 point must agree with the independently
+    # implemented single-setting recall_eval aggregated over queries
+    per_q = ann.recall_eval(
+        em, "vec_id", "embedding", "label", lambda c: c < 10, k=5, nprobe=2
+    ).collect()
+    hits = sum(r["n_hits"] for r in per_q)
+    n_exact = sum(r["n_exact"] for r in per_q)
+    assert sweep[2]["n_hits"] == hits and sweep[2]["n_exact"] == n_exact
+
+
+def test_ivf_nprobe_sweep_full_depth_reaches_bruteforce_recall(spark):
+    pin_oracle_compat(spark)
+    # probing EVERY cell = exact search over the whole corpus, so
+    # recall at nprobe = |cells| must be 1.0
+    rows = [(i, [float(i % 3 == 0) * 10 + i * 0.01, float(i % 3 == 1) * 10,
+                 float(i % 3 == 2) * 10, 1.0], i % 3) for i in range(12)]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r["nprobe"]: r for r in ann.ivf_nprobe_sweep(
+        em, "vec_id", "embedding", "label", lambda c: c < 4, k=3,
+        nprobes=(1, 3),
+    ).collect()}
+    assert out[3]["recall"] == 1.0
