@@ -167,6 +167,7 @@ HEADLINE = [
     "embed_ivf_balance",
     "ann_pq_recall_eval",
     "ann_nprobe_sweep",
+    "dash_downsample_ltob",
 ]
 
 

@@ -261,3 +261,106 @@ def spearman_matrix_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, spearman)"
     )
+
+
+# --- #14g LTOB downsampling (dashboard rendering reduction) ----------------
+
+
+def downsample_ltob(events: DataFrame, bucket_size: int = 100) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013): per
+    series, split the time-ordered stream into fixed-size buckets and
+    keep from each the point whose triangle with its immediate
+    neighbors has the largest area — the standard reduction a
+    dashboard applies before plotting millions of points as a
+    ~thousand-point line that preserves visual extremes (the
+    reference's matplotlib dashboard plots full series,
+    dashboard_calidad_aire.py:96-140; at 100 TB the full series cannot
+    leave the cluster, the LTOB reduction can).
+
+    LTOB (not LTTB): the bucket selections are INDEPENDENT — the
+    triangle anchors are the immediate raw neighbors, not the
+    previously selected point — so the whole reduction is two window
+    passes with zero sequential dependency, distributable over any
+    number of series × buckets. One shuffle on the series key.
+
+    Parity: timestamps travel as EXACT int64 microseconds end-to-end
+    (epoch SECONDS at 1e9 magnitude would defeat the 1e-9 rounding
+    nudge — the double's ULP there is 2.4e-7); the triangle area is
+    computed DELTA-FIRST, (x1−x3)(y2−y1) − (x1−x2)(y3−y1), with the
+    time deltas as exact integer differences — the naive symmetric
+    form Σ xᵢ(yⱼ−yₖ) multiplies 1e15-scale epochs and cancels
+    catastrophically (the same failure class the sf1 sweep caught in
+    the PQ-recall L2 identity). Area rounds to 4 decimals BEFORE the
+    per-bucket argmax; ties break by (ts, event_id); stream edges (no
+    neighbor) carry NULL area and sort last, so they are selected only
+    from an otherwise-empty tail bucket — identically in both engines.
+
+    Output: (event_type, bucket, ts_us, value, area), one row per
+    (series, bucket), ordered by (event_type, bucket)."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+        .withColumn("xu", F.unix_micros("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("x1u", F.lag("xu").over(w))
+        .withColumn("y1", F.lag("value").over(w))
+        .withColumn("x3u", F.lead("xu").over(w))
+        .withColumn("y3", F.lead("value").over(w))
+    )
+    dx13 = (F.col("x1u") - F.col("x3u")).cast("double")
+    dx12 = (F.col("x1u") - F.col("xu")).cast("double")
+    two_a = dx13 * (F.col("value") - F.col("y1")) - dx12 * (
+        F.col("y3") - F.col("y1")
+    )
+    scored = base.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.col("xu").alias("ts_us"),
+        F.floor((F.col("rn") - 1) / bucket_size).cast("bigint").alias("bucket"),
+        r4(F.abs(two_a) / F.lit(2000000.0)).alias("area"),
+    )
+    pick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("area").desc_nulls_last(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        scored.withColumn("__pk", F.row_number().over(pick))
+        .filter(F.col("__pk") == 1)
+        .select("event_type", "bucket", "ts_us", "value", "area")
+        .orderBy("event_type", "bucket")
+    )
+
+
+def downsample_ltob_sql(table: str = "events", bucket_size: int = 100) -> str:
+    return f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id, value,
+             epoch_us(ts) AS xu,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(epoch_us(ts)) OVER w AS x1u,
+             LAG(value) OVER w AS y1,
+             LEAD(epoch_us(ts)) OVER w AS x3u,
+             LEAD(value) OVER w AS y3
+      FROM {table}
+      WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), scored AS (
+      SELECT event_type, ts, event_id, value,
+             CAST(xu AS BIGINT) AS ts_us,
+             CAST(FLOOR((rn - 1) / {bucket_size}) AS BIGINT) AS bucket,
+             ROUND(ABS(CAST(x1u - x3u AS DOUBLE) * (value - y1)
+                       - CAST(x1u - xu AS DOUBLE) * (y3 - y1))
+                   / 2000000.0 + 1e-9, 4) AS area
+      FROM s
+    ), picked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type, bucket
+        ORDER BY area DESC NULLS LAST, ts ASC, event_id ASC) AS pk
+      FROM scored
+    )
+    SELECT event_type, bucket, ts_us, value, area
+    FROM picked WHERE pk = 1
+    ORDER BY event_type, bucket
+    """

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, corpus, dedup, text
+from ..operators import analytics, ann, corpus, dedup, text
 from ..registry import load, register
 
 
@@ -162,3 +162,20 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         em, "vec_id", "embedding", "label", lambda c: c < 10, k=5,
         nprobes=(1, 2, 3, 4),
     )
+
+
+@register(
+    "dash_downsample_ltob",
+    analytics.downsample_ltob_sql("events", bucket_size=100),
+)
+def q_dash_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #14g — Largest-Triangle-One-Bucket plot downsampling
+    (operators/analytics.py:downsample_ltob): per series keep the
+    visually-extreme point of every 100-row bucket — the reduction a
+    dashboard applies before a million-point series leaves the
+    cluster (the reference plots full series; at 100 TB only the
+    reduction can travel). Bucket selections are independent (LTOB,
+    not the sequential LTTB), so the whole pass is two windows on one
+    series-key shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return analytics.downsample_ltob(ev, bucket_size=100)

@@ -345,3 +345,40 @@ def test_ivf_nprobe_sweep_full_depth_reaches_bruteforce_recall(spark):
         nprobes=(1, 3),
     ).collect()}
     assert out[3]["recall"] == 1.0
+
+
+def test_downsample_ltob_keeps_the_spike(spark):
+    pin_oracle_compat(spark)
+    import datetime as dt
+
+    from calidad_del_aire_etl_spark.operators import analytics
+
+    t0 = dt.datetime(2026, 1, 1)
+    # flat series with one spike at position 4: bucket 0 (rows 1-3) is
+    # flat, bucket 1 (rows 4-6) must select the spike, not its neighbors
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate([1.0, 1.0, 1.0, 1.0, 9.0, 1.0, 1.0])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id bigint, value double"
+    )
+    out = analytics.downsample_ltob(ev, bucket_size=3).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2]
+    spike_row = [r for r in out if r["bucket"] == 1][0]
+    assert spike_row["value"] == 9.0
+    # the tail bucket holds only the edge point (NULL area) - still kept
+    tail = [r for r in out if r["bucket"] == 2][0]
+    assert tail["area"] is None and tail["value"] == 1.0
+
+
+def test_downsample_ltob_reduces_to_one_row_per_bucket(spark, sf_dir):
+    pin_oracle_compat(spark)
+    from calidad_del_aire_etl_spark.operators import analytics
+    from calidad_del_aire_etl_spark.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    out = analytics.downsample_ltob(ev, bucket_size=100)
+    n_series_rows = ev.filter(F.col("value").isNotNull()).groupBy("event_type").count().collect()
+    expected = sum((r["count"] + 99) // 100 for r in n_series_rows)
+    assert out.count() == expected
