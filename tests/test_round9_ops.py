@@ -27,6 +27,55 @@ def test_range_search_agrees_with_bruteforce(spark, sf_dir):
             assert got[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+def test_range_search_set_equality_vs_unranked_rescore(spark, sf_dir):
+    """COMPLETENESS, not just containment (ADVICE r10): the returned
+    pair SET must equal an independent unranked rescore of every
+    (query, corpus) pair — nothing above the threshold may be missing
+    at any rank, and nothing below it may leak in. The rescore
+    replicates Spark's fold order (sequential left-to-right sum) and
+    r4's HALF_UP-with-nudge rounding so the comparison is exact."""
+    import math
+
+    pin_oracle_compat(spark)
+    em = load(spark, sf_dir, "embeddings")
+    thr = 0.30
+    rs = ann.range_search(em, "vec_id", "embedding", lambda c: c < 5, thr)
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in rs.collect()}
+
+    vecs = {r["vec_id"]: r["embedding"] for r in em.collect()}
+
+    def _r4(v: float) -> float:
+        v = v + 1e-9
+        s = -1.0 if v < 0 else 1.0
+        return s * math.floor(abs(v) * 1e4 + 0.5) / 1e4
+
+    def _cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    want = {}
+    for qid, qv in vecs.items():
+        if qid >= 5:
+            continue
+        for nid, nv in vecs.items():
+            if nid == qid:
+                continue
+            c = _r4(_cos(qv, nv))
+            if c >= thr:
+                want[(qid, nid)] = c
+
+    assert set(got) == set(want)
+    assert got == want
+
+
 def test_range_search_excludes_self_and_below_threshold(spark, sf_dir):
     pin_oracle_compat(spark)
     em = load(spark, sf_dir, "embeddings")
