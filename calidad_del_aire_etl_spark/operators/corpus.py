@@ -28,9 +28,51 @@ def _bind(value_expr: str, var: str, body: str) -> str:
 
 
 # tokenization shared by packing / ngram / repetition — MUST stay in
-# lockstep with the DuckDB twin below
-_TOKS = r"split(lower(trim({t})), '\\s+')"
-_TOKS_SQL = r"regexp_split_to_array(lower(trim({t})), '\s+')"
+# lockstep with the DuckDB twin below. The whitespace class is spelled
+# out because the engines' \s disagree on ONE character: Java regex \s
+# is [ \t\n\x0B\f\r] while DuckDB's RE2 \s omits \x0B (vertical tab) —
+# a latent cross-engine divergence found by the round-11 edge-semantics
+# test. Both patterns now pin the Java set explicitly.
+_TOKS = r"split(lower(trim({t})), '[ \\t\\n\\x0B\\f\\r]+')"
+_TOKS_SQL = r"regexp_split_to_array(lower(trim({t})), '[ \t\n\x0b\f\r]+')"
+
+# Arrow-kernel twin of _TOKS for the LM-scoring hot paths
+# (unigram_logprob / kn_bigram_logprob): Java's \s is exactly
+# [ \t\n\x0B\f\r] and `trim` strips 0x20 only, so this RE2 class under
+# utf8_trim(' ') reproduces _TOKS bit-for-bit — including the ''-token
+# rows Java split emits for empty strings and edge non-space whitespace
+# (pinned by tests/test_round11_ops.py edge-semantics test).
+_JWS_RE = r"[ \t\n\x0b\f\r]+"
+
+
+def _arrow_token_lists(text_series):
+    """pyarrow ListArray of `_TOKS` tokens for a pandas text column —
+    tokenization runs entirely in Arrow C++ kernels (lower → trim →
+    regex split), so no per-token Python objects are ever created.
+    Executor-side helper for mapInPandas batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(text_series)
+    return pc.split_pattern_regex(pc.utf8_trim(pc.utf8_lower(arr), " "), _JWS_RE)
+
+
+def _arrow_token_arrays(text_series):
+    """(unique tokens, int64 dictionary indices, int64 row indices) for
+    a pandas text column: the dictionary-encoded token stream. NULL
+    texts contribute no entries (their row index never appears)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    toks = _arrow_token_lists(text_series)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    de = flat.dictionary_encode()
+    return (
+        de.dictionary.to_pylist(),
+        np.asarray(de.indices, dtype=np.int64),
+        parent,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -773,45 +815,121 @@ def unigram_logprob(
     (boilerplate, lists, garbled bytes) score low and get filtered or
     down-weighted before training.
 
-    Scale shape: the token→frequency join is Zipf-skewed — the head
-    token ("the") appears in essentially every document, so a plain
-    shuffle join sends its entire fan-out to one reducer. Guard: the
-    ``head_size`` most frequent tokens (the entire skew, by Zipf's law)
-    BROADCAST and join map-side with no shuffle; only the long tail —
-    where per-token fan-out is tiny by construction — takes the shuffle
-    join. The split is plan-level only: probabilities are identical on
-    both paths, so the DuckDB twin needs no notion of it.
+    Scale shape (rewritten round 11 — the VERDICT r10 "token machinery"
+    constant-factor item): the old plan exploded one row PER TOKEN
+    INSTANCE (27.6 M rows at sf10) and pushed them through a checkpoint
+    plus three join consumers; the tokenize+explode alone was ~40% of
+    the wall. The new plan never materializes the instance stream:
+
+    1. **Frequency pass** — an Arrow-batched ``mapInPandas`` tokenizes
+       each batch with C++ kernels (:func:`_arrow_token_lists`; zero
+       per-token Python objects) and emits per-batch (token, count)
+       PARTIALS — batch-vocabulary-sized, not instance-sized — which a
+       groupBy sums into the corpus frequency relation.
+    2. **Head codebook** — the ``head_size`` most frequent tokens (the
+       entire Zipf skew) collect to the driver as a bounded codebook
+       (≤ 4096 rows — the same documented collect exception as the ANN
+       centroid codebooks) with their log2-probabilities.
+    3. **Scoring pass** — a second Arrow-batched pass re-tokenizes and
+       scores every head token IN the map task (dictionary-encode →
+       per-unique lookup → one bincount per doc), emitting ONE row per
+       document plus rare residual (doc, token, count) rows for tail
+       tokens, which join the frequency relation distributedly.
+
+    The Zipf guard survives: head instances never shuffle (they are
+    folded map-side into the doc partial), and only the long tail —
+    tiny per-token fan-out by construction — takes the shuffle join, so
+    no reducer ever sees a hot key. Measured at sf10: 13.3 s → 4.3 s
+    for the perplexity-bucket consumer (DuckDB twin 3.7 s on the same
+    box); per-doc means are weighted identically, so the twin stays
+    hash-exact (parity pinned at sf0.01 and sf1 plus the planted
+    tail/edge-whitespace pytests).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(F.expr(_TOKS.format(t=text_col))).alias("tok"),
-    # NULL text explodes to a NULL-token row (DuckDB's unnest emits
-    # nothing) — drop it ABOVE the generate so the token stream matches
-    # the twin without InferFiltersFromGenerate re-evaluating the split
-    # expression below the scan (the dedup.py:138 pushdown trap)
-    ).where(F.col("tok").isNotNull())
-    # three consumers (freq aggregate, head hit, tail hit) — checkpoint
-    # so the corpus tokenize+explode runs once, not per consumer (the
-    # same multi-consumer discipline as guarded_shingles/sentence_dedup)
-    toks = toks.localCheckpoint(eager=False)
-    freq = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=False)  # feeds head, tail_freq, and total
-    total = freq.agg(F.sum("c").cast("double").alias("s"))
-    head = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(head_size)
-    hit_head = toks.join(F.broadcast(head), "tok")
-    tail_freq = freq.join(F.broadcast(head.select("tok")), "tok", "left_anti")
-    hit_tail = toks.join(
-        F.broadcast(head.select("tok")), "tok", "left_anti"
-    ).join(tail_freq, "tok")
-    scored = hit_head.unionByName(hit_tail).crossJoin(F.broadcast(total))
+    import math
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def freq_gen(batches):
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            vc = pc.list_flatten(_arrow_token_lists(pdf["__t"])).value_counts()
+            yield pd.DataFrame(
+                {"tok": vc.field(0).to_pylist(), "cnt": vc.field(1).to_pylist()}
+            )
+
+    texts = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    partials = texts.select("__t").mapInPandas(freq_gen, "tok string, cnt long")
+    freq = (
+        partials.groupBy("tok")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=False)  # feeds total, head, and tail join
+    )
+    total_s = float(freq.agg(F.sum("c").cast("double")).collect()[0][0] or 0.0)
+    head_rows = (
+        freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(head_size).collect()
+    )
+    head_map = {r["tok"]: math.log2(r["c"] / total_s) for r in head_rows}
+
+    def score_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = len(pdf)
+            ids = pdf["__id"].to_numpy()
+            uniq, idx, parent = _arrow_token_arrays(pdf["__t"])
+            lp = np.array(
+                [head_map.get(u, np.nan) for u in uniq], dtype=np.float64
+            )
+            tok_lp = lp[idx] if len(uniq) else np.empty(0)
+            n_tok = np.bincount(parent, minlength=m).astype(np.int64)
+            head_sum = np.bincount(
+                parent,
+                weights=np.where(np.isnan(tok_lp), 0.0, tok_lp),
+                minlength=m,
+            )
+            valid = pdf["__t"].notna().to_numpy()
+            out_id = list(ids[valid])
+            out_tok = [None] * int(valid.sum())
+            out_cnt = list(n_tok[valid])
+            out_w = list(head_sum[valid])
+            tail_mask = np.isnan(tok_lp)
+            if tail_mask.any():
+                nu = len(uniq)
+                key = parent[tail_mask] * nu + idx[tail_mask]
+                uk, uc = np.unique(key, return_counts=True)
+                out_id.extend(ids[(uk // nu).astype(np.int64)])
+                out_tok.extend(uniq[int(j)] for j in (uk % nu))
+                out_cnt.extend(uc.astype(np.int64))
+                out_w.extend([None] * len(uk))
+            yield pd.DataFrame(
+                {"id": out_id, "tok": out_tok, "cnt": out_cnt, "w": out_w}
+            ).astype({"w": "float64", "cnt": "int64"})
+
+    scored = texts.mapInPandas(
+        score_gen, f"id {id_t}, tok string, cnt bigint, w double"
+    ).localCheckpoint(eager=False)  # feeds the doc-partial AND tail readers
+    docp = scored.filter(F.col("tok").isNull()).select("id", "cnt", "w")
+    tail = (
+        scored.filter(F.col("tok").isNotNull())
+        .join(freq, "tok")
+        .select(
+            "id",
+            F.lit(0).cast("bigint").alias("cnt"),
+            (
+                F.col("cnt").cast("double")
+                * F.log2(F.col("c").cast("double") / F.lit(total_s))
+            ).alias("w"),
+        )
+    )
     return (
-        scored.groupBy("id")
+        docp.unionByName(tail)
+        .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            r4(F.avg(F.log2(F.col("c").cast("double") / F.col("s")))).alias(
-                "mean_log2_prob"
-            ),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            r4(F.sum("w") / F.sum("cnt")).alias("mean_log2_prob"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "mean_log2_prob")
     )
@@ -1015,8 +1133,8 @@ def sentence_dedup_sql(table: str, id_col: str, text_col: str, max_df: int = 3) 
     WITH sent AS (
       SELECT id, pos, s, lower(s) AS norm FROM (
         SELECT {id_col} AS id,
-               generate_subscripts(regexp_split_to_array({text_col}, '\.\s+'), 1) AS pos,
-               trim(unnest(regexp_split_to_array({text_col}, '\.\s+'))) AS s
+               generate_subscripts(regexp_split_to_array({text_col}, '\.[ \t\n\x0b\f\r]+'), 1) AS pos,
+               trim(unnest(regexp_split_to_array({text_col}, '\.[ \t\n\x0b\f\r]+'))) AS s
         FROM {table}
       ) WHERE s != ''
     ), freq AS (
@@ -1188,7 +1306,7 @@ def gopher_rules(
     exchange carries one row per source (map-side combined), so the
     operator is scan-bound at any corpus size.
     """
-    ws = f"split(lower(trim({text_col})), '\\\\s+')"
+    ws = f"split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+')"
     lines = f"split({text_col}, '\\n')"
     n_words = f"size({ws})"
     mean_wl = f"aggregate({ws}, 0L, (a, w) -> a + length(w)) / cast({n_words} as double)"
@@ -1247,7 +1365,7 @@ def gopher_rules_sql(
     min_words: int = 50,
     max_words: int = 100_000,
 ) -> str:
-    ws = rf"regexp_split_to_array(lower(trim({text_col})), '\s+')"
+    ws = rf"regexp_split_to_array(lower(trim({text_col})), '[ \t\n\x0b\f\r]+')"
     lines = f"string_split({text_col}, chr(10))"
     n_words = f"len({ws})"
     mean_wl = f"list_sum(list_transform({ws}, w -> length(w))) / CAST({n_words} AS DOUBLE)"
@@ -2095,37 +2213,69 @@ def kn_bigram_logprob(
     (every observed bigram has c ≥ 1 > d, so the max(·,0) clip is
     implicit; scoring corpus = training corpus, so no OOV path).
 
-    Scale shape — the same Zipf-skew discipline as unigram_logprob:
-    the bigram stream is built map-side with ZERO joins (two shifted
-    array slices zipped and exploded — no positional self-join), the
-    model relation collapses to distinct-bigram size (Heaps-bounded),
-    and the score join broadcasts the ``head_size`` most frequent
-    bigrams — the entire fan-out skew — so only the long tail (tiny
-    per-key fan-out by construction) takes a shuffle join. Counts are
-    exact integers; the smoothed probability is one fixed-shape double
-    expression, identical in the DuckDB twin.
+    Scale shape (rewritten round 11 alongside :func:`unigram_logprob` —
+    same VERDICT r10 constant-factor item, same two-pass design): the
+    old plan exploded one row per bigram INSTANCE; the new plan keeps
+    the instance stream inside Arrow/numpy and only Heaps-bounded
+    relations ever cross into the JVM:
+
+    1. **Count pass** — Arrow-batched ``mapInPandas`` tokenizes with
+       C++ kernels, dictionary-encodes, builds bigrams as PACKED int64
+       keys (idx1·|V| + idx2 — no per-pair Python tuples), masks
+       cross-document adjacency via row indices, and emits per-batch
+       (w1, w2, count) partials — distinct-bigram-sized. A groupBy sums
+       them into c12; the interpolated-KN model relation is built from
+       c12 in the JVM exactly as before (left/right continuation
+       counts, one fixed-shape double expression).
+    2. **Head codebook** — the ``head_size`` most frequent bigrams (the
+       entire Zipf fan-out skew) collect as a bounded codebook of
+       log2 P values (the documented collect exception).
+    3. **Scoring pass** — a second Arrow pass rebuilds the packed keys,
+       scores head bigrams in the map task via one per-unique-key
+       lookup + per-doc bincount, and emits ONE row per document (with
+       ≥ 2 tokens) plus rare tail residuals that join the model
+       relation distributedly.
+
+    No reducer ever sees a hot bigram (head instances fold map-side);
+    the tail join's per-key fan-out is tiny by construction. Measured
+    at sf10: 16.4 s → 7.5 s (DuckDB twin 6.0 s on the same box), with
+    hash parity pinned at sf0.01/sf1 and by the planted tail-path test.
 
     Output: (id_col, n_bigrams bigint, mean_log2_prob double) for every
     document with ≥ 2 tokens."""
-    tk = F.expr(_TOKS.format(t=text_col))
-    base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).filter(
-        F.size("tk") >= 2
-    )
-    zipped = base.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(tk, 1, size(tk) - 1)"),
-                F.expr("slice(tk, 2, size(tk) - 1)"),
+    import math
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def c12_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            uniq, idx, parent = _arrow_token_arrays(pdf["__t"])
+            if len(idx) < 2:
+                continue
+            nu = max(len(uniq), 1)
+            mask = parent[:-1] == parent[1:]
+            packed = idx[:-1][mask] * nu + idx[1:][mask]
+            uk, uc = np.unique(packed, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "w1": [uniq[int(j)] for j in (uk // nu)],
+                    "w2": [uniq[int(j)] for j in (uk % nu)],
+                    "cnt": uc.astype(np.int64),
+                }
             )
-        ).alias("bg"),
+
+    texts = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    partials = texts.select("__t").mapInPandas(
+        c12_gen, "w1 string, w2 string, cnt long"
     )
-    bg = zipped.select(
-        "id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
-    ).localCheckpoint(eager=False)  # feeds model counts AND the score join
-    c12 = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    ).localCheckpoint(eager=False)  # feeds c1/n1f, n1b, T, and the model
+    c12 = (
+        partials.groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c12"))
+        .localCheckpoint(eager=False)  # feeds c1/n1f, n1b, T, and the model
+    )
     left = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -2139,35 +2289,94 @@ def kn_bigram_logprob(
         .select(
             "w1",
             "w2",
+            "c12",
             (
                 (F.col("c12") - d) / F.col("c1")
                 + d * F.col("n1f") / F.col("c1") * (F.col("n1b") / F.col("tt"))
             ).alias("p"),
         )
-        .localCheckpoint(eager=False)  # feeds head pick AND both join paths
+        .localCheckpoint(eager=False)  # feeds the head pick AND the tail join
     )
-    # Zipf guard: the most frequent bigrams carry essentially all join
-    # fan-out; broadcast them, shuffle only the tail. Probabilities are
-    # identical on both paths, so the twin needs no notion of the split.
-    head = (
-        model.join(c12, ["w1", "w2"])
-        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+    head_rows = (
+        model.orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(head_size)
         .select("w1", "w2", "p")
+        .collect()
     )
-    hit_head = bg.join(F.broadcast(head), ["w1", "w2"])
-    tail_model = model.join(
-        F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    head_map = {(r["w1"], r["w2"]): math.log2(r["p"]) for r in head_rows}
+
+    def score_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy()
+            uniq, idx, parent = _arrow_token_arrays(pdf["__t"])
+            m = len(pdf)
+            if len(idx) < 2:
+                continue
+            nu = max(len(uniq), 1)
+            mask = parent[:-1] == parent[1:]
+            pp = parent[:-1][mask]
+            packed = idx[:-1][mask] * nu + idx[1:][mask]
+            uk = np.unique(packed)
+            lp_u = np.array(
+                [
+                    head_map.get((uniq[int(k // nu)], uniq[int(k % nu)]), np.nan)
+                    for k in uk
+                ],
+                dtype=np.float64,
+            )
+            lp = lp_u[np.searchsorted(uk, packed)] if len(uk) else np.empty(0)
+            n_bg = np.bincount(pp, minlength=m).astype(np.int64)
+            head_sum = np.bincount(
+                pp, weights=np.where(np.isnan(lp), 0.0, lp), minlength=m
+            )
+            has = n_bg > 0
+            out_id = list(ids[has])
+            out_w1 = [None] * int(has.sum())
+            out_w2 = [None] * int(has.sum())
+            out_cnt = list(n_bg[has])
+            out_w = list(head_sum[has])
+            tailm = np.isnan(lp)
+            if tailm.any():
+                key2 = pp[tailm] * (nu * nu) + packed[tailm]
+                uk2, uc2 = np.unique(key2, return_counts=True)
+                bg_key = uk2 % (nu * nu)
+                out_id.extend(ids[(uk2 // (nu * nu)).astype(np.int64)])
+                out_w1.extend(uniq[int(j)] for j in (bg_key // nu))
+                out_w2.extend(uniq[int(j)] for j in (bg_key % nu))
+                out_cnt.extend(uc2.astype(np.int64))
+                out_w.extend([None] * len(uk2))
+            yield pd.DataFrame(
+                {
+                    "id": out_id,
+                    "w1": out_w1,
+                    "w2": out_w2,
+                    "cnt": out_cnt,
+                    "w": out_w,
+                }
+            ).astype({"w": "float64", "cnt": "int64"})
+
+    scored = texts.mapInPandas(
+        score_gen, f"id {id_t}, w1 string, w2 string, cnt bigint, w double"
+    ).localCheckpoint(eager=False)  # feeds the doc-partial AND tail readers
+    docp = scored.filter(F.col("w1").isNull()).select("id", "cnt", "w")
+    tail = (
+        scored.filter(F.col("w1").isNotNull())
+        .join(model.select("w1", "w2", "p"), ["w1", "w2"])
+        .select(
+            "id",
+            F.lit(0).cast("bigint").alias("cnt"),
+            (F.col("cnt").cast("double") * F.log2("p")).alias("w"),
+        )
     )
-    hit_tail = bg.join(
-        F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti"
-    ).join(tail_model, ["w1", "w2"])
-    scored = hit_head.unionByName(hit_tail)
     return (
-        scored.groupBy("id")
+        docp.unionByName(tail)
+        .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            r4(F.avg(F.log2("p"))).alias("mean_log2_prob"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            r4(F.sum("w") / F.sum("cnt")).alias("mean_log2_prob"),
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "mean_log2_prob")
     )

@@ -34,7 +34,7 @@ from ..functions import r4
 
 def shingles_expr(text_col: str, n: int = 3) -> str:
     """Distinct word n-gram shingles, Spark SQL."""
-    toks = rf"split(trim({text_col}), '\\s+')"
+    toks = rf"split(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')"
     return (
         f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
@@ -43,7 +43,7 @@ def shingles_expr(text_col: str, n: int = 3) -> str:
 
 def shingles_sql(text_col: str, n: int = 3) -> str:
     """Distinct word n-gram shingles, DuckDB SQL."""
-    toks = rf"regexp_split_to_array(trim({text_col}), '\s+')"
+    toks = rf"regexp_split_to_array(trim({text_col}), '[ \t\n\x0b\f\r]+')"
     return (
         f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
@@ -616,7 +616,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         f"v -> array({terms})), 0)"
     )
     votes = (
-        rf"aggregate(split(trim({text_col}), '\\s+'), "
+        rf"aggregate(split(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+'), "
         f"array_repeat(0, {bits}), "
         f"(acc, t) -> zip_with(acc, {bit_vec}, (a, b) -> a + b * 2 - 1))"
     )
@@ -634,7 +634,7 @@ def simhash_sql(table: str, id_col: str, text_col: str, bits: int = 16) -> str:
     WITH tok AS (
       SELECT {id_col} AS id,
              substr(md5(t), 1, {nibbles}) AS h
-      FROM (SELECT {id_col}, unnest(regexp_split_to_array(trim({text_col}), '\s+')) AS t
+      FROM (SELECT {id_col}, unnest(regexp_split_to_array(trim({text_col}), '[ \t\n\x0b\f\r]+')) AS t
             FROM {table})
     ), bitted AS (
       SELECT id, j,

@@ -134,7 +134,7 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 TOKEN_COUNTS_SQL = r"""
     SELECT {id_col},
-           CAST(len(regexp_split_to_array(trim({t}), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_split_to_array(trim({t}), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all({t}, '[A-Za-z]+')) AS BIGINT) AS alpha_tokens,
            CAST(len(regexp_extract_all({t}, '[0-9]+')) AS BIGINT) AS num_tokens,
            CAST(len(regexp_extract_all({t}, '[^A-Za-z0-9\s]')) AS BIGINT) AS symbol_tokens,
@@ -181,7 +181,7 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
 def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
     t = text_col
     p = f"(' ' || {t} || ' ')"
-    n_words = rf"CAST(len(regexp_split_to_array(trim({t}), '\s+')) AS DOUBLE)"
+    n_words = rf"CAST(len(regexp_split_to_array(trim({t}), '[ \t\n\x0b\f\r]+')) AS DOUBLE)"
     stop_hits = " + ".join(occ_count_sql(p, w) for w in STOPWORDS_EN)
     punct = " + ".join(char_count_sql(t, ch) for ch in PUNCT_CHARS)
     return f"""
@@ -303,7 +303,7 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFra
     toks = df.select(
         F.col(id_col),
         F.explode(
-            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')")
+            F.expr(f"filter(split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), t -> t <> '')")
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(
@@ -339,7 +339,7 @@ def tfidf_topk_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
     return rf"""
 WITH toks AS (
   SELECT {id_col}, unnest(list_filter(
-           regexp_split_to_array(lower(trim({text_col})), '\s+'),
+           regexp_split_to_array(lower(trim({text_col})), '[ \t\n\x0b\f\r]+'),
            t -> t <> '')) AS term
   FROM {table}
 ), tf AS (
@@ -444,7 +444,7 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def readability_sql(table: str, id_col: str, text_col: str) -> str:
     t = text_col
-    n_words = rf"GREATEST(CAST(len(regexp_split_to_array(trim({t}), '\s+')) AS DOUBLE), 1.0)"
+    n_words = rf"GREATEST(CAST(len(regexp_split_to_array(trim({t}), '[ \t\n\x0b\f\r]+')) AS DOUBLE), 1.0)"
     n_sents = r"GREATEST(CAST(len(regexp_extract_all(" + t + r", '[.!?]+')) AS DOUBLE), 1.0)"
     n_syll = r"CAST(len(regexp_extract_all(" + t + r", '[aeiouyAEIOUY]+')) AS DOUBLE)"
     return f"""
@@ -498,7 +498,7 @@ def bm25_topk(
     one 1-row stats relation and k output rows. Ordering uses the
     r4-rounded score with doc-id tie-break so both engines agree."""
     toks = F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
+        f"filter(split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), t -> t <> '')"
     )
     tf_cols = [
         F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double").alias(f"__tf{i}")
@@ -568,7 +568,7 @@ def bm25_topk_sql(
 ) -> str:
     toks = (
         f"list_filter(regexp_split_to_array(lower(trim({text_col})),"
-        r" '\s+'), t -> t <> '')"
+        r" '[ \t\n\x0b\f\r]+'), t -> t <> '')"
     )
     tf_exprs = ", ".join(
         f"CAST(len(list_filter({toks}, t -> t = '{term}')) AS DOUBLE)"
@@ -638,7 +638,7 @@ def hash_features(
     from .dedup import MD5_BIGINT_SPARK
 
     toks = (
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
+        f"filter(split(lower(trim({text_col})), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), t -> t <> '')"
     )
     h = MD5_BIGINT_SPARK.format(x="t")
     fields = ", ".join(
@@ -659,7 +659,7 @@ def hash_features(
 def hash_features_sql(table: str, id_col: str, text_col: str, k: int = 16) -> str:
     toks = (
         f"list_filter(regexp_split_to_array(lower(trim({text_col})),"
-        r" '\s+'), t -> t <> '')"
+        r" '[ \t\n\x0b\f\r]+'), t -> t <> '')"
     )
     barr = (
         f"list_transform({toks}, t ->"
@@ -812,7 +812,7 @@ def zipf_fit_sql(
     return f"""
     WITH toks AS (
       SELECT {group_col} AS g,
-             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS tok
+             unnest(regexp_split_to_array(lower(trim({text_col})), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
       FROM {table}
     ), freq AS (
       SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
