@@ -199,6 +199,32 @@ ORDER BY c.from_type, c.to_type
 # ---------------------------------------------------------------------------
 
 
+def _basket_pair_expand(oks, pks, out):
+    """Vectorized per-order pair expansion of an (ok, pk) block sorted
+    by ok: dedup (ok, pk), then for every basket-size group emit the
+    packed min<<32|max keys of all i ≤ j pairs in one numpy gather —
+    the diagonal (pk, pk) keys double as the per-part support markers.
+    Executor-side helper for :func:`basket_affinity`."""
+    import numpy as np
+
+    if len(oks) == 0:
+        return
+    m = np.unique(np.stack([oks, pks], axis=1), axis=0)
+    oks, pks = m[:, 0], m[:, 1]
+    new = np.empty(len(oks), dtype=bool)
+    new[0] = True
+    np.not_equal(oks[1:], oks[:-1], out=new[1:])
+    sizes = np.bincount(np.cumsum(new) - 1)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    for s in np.unique(sizes):
+        starts = offs[np.where(sizes == s)[0]]
+        mat = pks[(starts[:, None] + np.arange(s)[None, :]).ravel()].reshape(-1, s)
+        iu, ju = np.triu_indices(int(s), 0)
+        a = mat[:, iu].ravel()
+        b = mat[:, ju].ravel()
+        out.append((np.minimum(a, b) << 32) + np.maximum(a, b))
+
+
 def basket_affinity(
     lineitem: DataFrame, min_support: int = 3, topn: int = 50
 ) -> DataFrame:
@@ -207,73 +233,74 @@ def basket_affinity(
     (n_ab · N) / (n_a · n_b) — the classic association signal
     (lift > 1: bought together more than chance).
 
-    Scale shape: ONE fact shuffle. Baskets are built by
-    ``collect_set(l_partkey)`` per order (map-side partial sets, fan-out
-    bounded by basket size — TPC-H orders hold ≤ 7 lines), then the a<b
-    pairs are expanded JVM-side from the sorted array with a
-    transform/slice expression — no distinct, no self-join, no second
-    pass over the fact. The quadratic term stays per-basket-size²,
-    never corpus-wide; pair/part counts are map-side partially
-    aggregated off the tiny checkpointed basket relation; the scalar N
-    rides in via a 1-row broadcast crossJoin (the codebook pattern);
-    top-N is a TakeOrdered, not a global sort.
+    Scale shape (rewritten round 11 — the VERDICT r10 GC-burn item):
+    still ONE fact shuffle, but the basket build and pair expansion now
+    run in a single Arrow-batched ``mapInPandas`` pass instead of
+    collect_set + interpreted higher-order transform/flatten/slice
+    expressions. The old shape allocated boxed per-basket long arrays
+    for 160 M pair rows — Spark evaluates HOF lambdas interpreted, and
+    the alloc churn thrashed the GCLocker (the logged warning). Now the
+    fact's (ok, pk) rows shuffle once clustered+sorted by order key and
+    stream through numpy: per Arrow batch the partition-sorted block is
+    deduped, baskets are grouped BY SIZE (TPC-H holds ≤ 7 lines), and
+    each size group emits all packed min<<32|max pair keys in one
+    vectorized gather, pre-aggregated per batch — C-speed, zero boxed
+    objects, zero interpreted lambdas. An order straddling two Arrow
+    batches is carried over inside the per-partition iterator, so no
+    basket is ever split. The diagonal (pk, pk) keys are the per-part
+    supports (same decode as before); the order count comes from one
+    column-pruned countDistinct scan instead of a -1 marker row.
+    Measured at sf10: 28.2 s → 11.1 s fresh-JVM (DuckDB twin 6.6 s on
+    the same box); sf1 parity exact, and the batch-straddle carry is
+    pinned by a forced-2-row-batch pytest.
     """
-    # three consumers (order count, part counts, pair expansion) — lazy
-    # checkpoint so the basket shuffle runs once and the plan stays flat.
-    # repartition(ok) BEFORE the groupBy makes the shuffle carry raw
-    # narrow rows and the set build run once reduce-side: with ~basket
-    # many groups per task, mapper-side partial collect_set is pure
-    # overhead (measured 2.4 s → 1.3 s at sf1 dropping it), and the
-    # explicit hash clustering is exactly what the aggregate needs, so
-    # Catalyst plans a single complete-mode ObjectHashAggregate.
-    basket = (
+    raw = (
         lineitem.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .repartition("ok")
-        .groupBy("ok")
-        # UNSORTED set: pair keys are normalized per-pair with
-        # least/greatest below, so the O(s log s) per-basket sort the
-        # old sort_array paid bought nothing (measured 6.0 s → 3.2 s on
-        # the counts subplan at sf1 — the sort ran inside the
-        # ObjectHashAggregate's result projection on 1.5 M baskets)
-        .agg(F.collect_set("pk").alias("ps"))
+        .sortWithinPartitions("ok")
     )
-    # Fuse all three counts into ONE exploded bigint stream + ONE
-    # aggregation: per basket emit a -1 order marker, the diagonal
-    # pk<<32|pk part markers, and the position-based x≠y pairs
-    # normalized to (min<<32)+max — each unordered pair exactly once
-    # from a duplicate-free set. Pair keys are mostly unique at scale (map-side
-    # combine can't compress them), so one bigint per row is the
-    # narrowest possible shuffle; survivors are decoded after the
-    # support filter. The checkpoint sits on the SMALL counts relation
-    # (≈ distinct pairs), so its three consumers pay filters, not jobs.
+
+    def pair_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        hold_ok = np.empty(0, dtype=np.int64)
+        hold_pk = np.empty(0, dtype=np.int64)
+        chunks = []
+        for pdf in batches:
+            oks = np.concatenate([hold_ok, pdf["ok"].to_numpy(np.int64)])
+            pks = np.concatenate([hold_pk, pdf["pk"].to_numpy(np.int64)])
+            if len(oks) == 0:
+                continue
+            # hold back the trailing (possibly batch-straddling) order
+            cut = np.searchsorted(oks, oks[-1], side="left")
+            hold_ok, hold_pk = oks[cut:], pks[cut:]
+            _basket_pair_expand(oks[:cut], pks[:cut], chunks)
+        _basket_pair_expand(hold_ok, hold_pk, chunks)
+        if chunks:
+            uk, uc = np.unique(np.concatenate(chunks), return_counts=True)
+            yield pd.DataFrame({"k": uk, "n": uc.astype(np.int64)})
+
     counts = (
-        basket.select(
-            F.explode(
-                F.expr(
-                    "concat(array(-1L),"
-                    " transform(ps, x -> shiftleft(x, 32) + x),"
-                    " flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> shiftleft(least(x, y), 32) + greatest(x, y)))))"
-                )
-            ).alias("k")
-        )
+        raw.mapInPandas(pair_gen, "k bigint, n bigint")
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
+        # the SMALL counts relation (≈ distinct pairs) feeds three
+        # consumers — checkpoint so they pay filters, not jobs
         .localCheckpoint(eager=False)
     )
     hi, lo = F.shiftright("k", 32), F.col("k") % F.lit(2**32)
-    n_orders = counts.filter(F.col("k") == -1).select(
-        F.col("n").cast("double").alias("n_orders")
+    n_orders = lineitem.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
     )
-    part_n = counts.filter((F.col("k") >= 0) & (hi == lo)).select(
+    part_n = counts.filter(hi == lo).select(
         hi.alias("pk"), F.col("n").alias("n_part")
     )
-    pair_n = counts.filter(
-        (F.col("k") >= 0) & (hi < lo) & (F.col("n") >= min_support)
-    ).select(hi.alias("pa"), lo.alias("pb"), F.col("n").alias("n_ab"))
+    pair_n = counts.filter((hi < lo) & (F.col("n") >= min_support)).select(
+        hi.alias("pa"), lo.alias("pb"), F.col("n").alias("n_ab")
+    )
     scored = (
         pair_n.join(
             F.broadcast(part_n.select(F.col("pk").alias("pa"), F.col("n_part").alias("na"))), "pa"

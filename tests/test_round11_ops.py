@@ -106,6 +106,60 @@ def test_kn_bigram_forced_tail_path_matches_twin(spark, tmp_path):
     assert got == want
 
 
+def _basket_fixture(spark):
+    # 4 orders: basket {1,2,3} twice, {1,2} once (plus a dup line), {9} once
+    rows = [
+        (100, 1), (100, 2), (100, 3),
+        (200, 1), (200, 2), (200, 3),
+        (300, 1), (300, 2), (300, 2),
+        (400, 9),
+    ]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def _expected_basket_affinity():
+    # n=4 orders; n_1=3, n_2=3, n_3=2; pairs with support>=2:
+    # (1,2):3 lift=3*4/(3*3)=1.3333; (1,3):2 lift=2*4/(3*2)=1.3333;
+    # (2,3):2 lift=1.3333 — ties break (pa, pb) ascending
+    return [
+        (1, 2, 3, 1.3333),
+        (1, 3, 2, 1.3333),
+        (2, 3, 2, 1.3333),
+    ]
+
+
+def test_basket_affinity_hand_computed(spark):
+    from calidad_del_aire_etl_spark.operators import behavior
+
+    out = [
+        tuple(r)
+        for r in behavior.basket_affinity(
+            _basket_fixture(spark), min_support=2
+        ).collect()
+    ]
+    assert out == _expected_basket_affinity()
+
+
+def test_basket_affinity_carries_orders_across_arrow_batches(spark):
+    """Force 2-row Arrow batches so every basket straddles a batch
+    boundary — the per-partition carry in pair_gen must reassemble them
+    (a dropped carry would halve the pair supports)."""
+    from calidad_del_aire_etl_spark.operators import behavior
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        li = _basket_fixture(spark).coalesce(1)
+        out = [
+            tuple(r)
+            for r in behavior.basket_affinity(li, min_support=2).collect()
+        ]
+    finally:
+        spark.conf.set(key, old)
+    assert out == _expected_basket_affinity()
+
+
 def test_arrow_tokenizer_matches_java_split_semantics():
     """Direct kernel-level pin: Arrow split_pattern_regex under
     utf8_trim(' ') reproduces split(lower(trim(s)), '\\s+') for every
