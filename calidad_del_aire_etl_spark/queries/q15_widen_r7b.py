@@ -204,7 +204,8 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_ann_graph.py."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann_graph.graph_beam_topk(
-        em, "vec_id", "embedding", lambda c: c < 10, k=5
+        em, "vec_id", "embedding", lambda c: c < 10, k=5,
+        memo_key=f"{sf_dir}/embeddings",
     )
 
 
@@ -220,7 +221,8 @@ def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_graph.py."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann_graph.nndescent_insert(
-        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8
+        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8,
+        memo_key=f"{sf_dir}/embeddings",
     )
 
 
@@ -240,7 +242,8 @@ def q_ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality is now hash-checkable, not just pytest-pinned."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann_graph.graph_recall_eval(
-        em, "vec_id", "embedding", lambda c: c < 10, k=5
+        em, "vec_id", "embedding", lambda c: c < 10, k=5,
+        memo_key=f"{sf_dir}/embeddings",
     )
 
 
