@@ -168,6 +168,7 @@ HEADLINE = [
     "ann_pq_recall_eval",
     "ann_nprobe_sweep",
     "dash_downsample_ltob",
+    "dash_downsample_lttb",
 ]
 
 

@@ -333,6 +333,226 @@ def downsample_ltob(events: DataFrame, bucket_size: int = 100) -> DataFrame:
     )
 
 
+def downsample_lttb(events: DataFrame, bucket_size: int = 100) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013
+    §4.2) — the canonical dashboard reduction, the sequential sibling of
+    :func:`downsample_ltob`: the first and last points are kept; the
+    middle points split into ``bucket_size``-row buckets, and each
+    bucket keeps the point forming the largest triangle with (a) the
+    point SELECTED from the previous bucket and (b) the centroid of the
+    next bucket (the last point for the final bucket). The
+    previously-selected anchor is what LTOB deliberately drops — LTTB
+    preserves line shape better but is sequential per series.
+
+    Scale shape: the sequential dependence is a FOLD, so this rides the
+    proven ema/holt shape — one groupBy shuffle collapses each series
+    to a sorted array, and the bucket walk runs JVM-side in a
+    higher-order ``aggregate`` whose step does an argmax fold over one
+    bucket slice (O(points) total per series, no per-step shuffle).
+    Series count provides the parallelism; per-series state is O(series
+    length), the documented bound shared with ema/holt (unbounded
+    series belong to the streaming path).
+
+    Parity: the same exact-int64-microsecond, delta-first geometry as
+    LTOB — both triangle legs are differenced against the anchor BEFORE
+    any multiply (the next-bucket centroid is computed as
+    mean(xᵢ − x_anchor), each term an exact small-int difference), so
+    no 1e15-scale epoch product ever cancels. Area rounds to 4 decimals
+    before the argmax; ties keep the earliest bucket point (strict-'>'
+    fold, first wins — identical in both engines). The DuckDB twin
+    folds with PRIMITIVE parallel lists (xs/ys/areas) in its
+    accumulator: the natural struct-list accumulator
+    (``list_concat(acc.out, [struct])``) silently scrambles struct
+    fields at sf1-scale list sizes in DuckDB 1.0 — caught by the
+    round-11 cross-SF sweep, where the twin emitted double bit-patterns
+    as int64s; the Spark side matched the plain-Python reference at
+    every SF. The primitive-list form is verified against that
+    reference at sf0.1 AND sf1 (tests/test_round11_ops.py pins the
+    fixture; BASELINE.md records the sf1 evidence).
+
+    Output: (event_type, bucket, ts_us, value, area) — bucket 0 is the
+    first point, m+1 the last (area NULL on both), 1..m the selected
+    middle points with their winning triangle area."""
+    bs = int(bucket_size)
+    area = (
+        "round(abs(cast(p.xu - acc.px as double) * (ctr.yb - acc.py)"
+        " - ctr.dxb * (p.y - acc.py)) / 2000000.0 + 1e-9, 4)"
+    )
+    sc = (
+        f"transform(slice(__pts, 2 + (b - 1) * {bs}, {bs}),"
+        f" p -> named_struct('a', {area}, 'xu', p.xu, 'y', p.y))"
+    )
+    tgt = (
+        f"case when b < __m then slice(__pts, 2 + b * {bs}, {bs})"
+        f" else array(element_at(__pts, __n)) end"
+    )
+    ctr = (
+        "named_struct("
+        "'dxb', aggregate(tg, cast(0 as double),"
+        " (s, t) -> s + cast(t.xu - acc.px as double)) / size(tg),"
+        "'yb', aggregate(tg, cast(0 as double), (s, t) -> s + t.y) / size(tg))"
+    )
+    best = (
+        "aggregate(slice(sc, 2, greatest(size(sc) - 1, 0)), element_at(sc, 1),"
+        " (w, p) -> if(p.a > w.a, p, w))"
+    )
+    step = (
+        f"get(transform(array({tgt}), tg ->"
+        f" get(transform(array({ctr}), ctr ->"
+        f" get(transform(array({sc}), sc ->"
+        f" get(transform(array({best}), best ->"
+        " named_struct('px', best.xu, 'py', best.y,"
+        " 'out', concat(acc.out, array(named_struct("
+        "'bucket', b, 'xu', best.xu, 'y', best.y, 'area', best.a))))"
+        "), 0)), 0)), 0)), 0)"
+    )
+    empty_out = (
+        "slice(array(named_struct('bucket', 0, 'xu', cast(0 as bigint),"
+        " 'y', cast(0 as double), 'area', cast(0 as double))), 1, 0)"
+    )
+    acc0 = (
+        f"named_struct('px', element_at(__pts, 1).xu,"
+        f" 'py', element_at(__pts, 1).y, 'out', {empty_out})"
+    )
+    fold = (
+        f"case when __m = 0 then {empty_out}"
+        f" else aggregate(sequence(1, __m), {acc0}, (acc, b) -> {step},"
+        " acc -> acc.out) end"
+    )
+    first = (
+        "array(named_struct('bucket', 0, 'xu', element_at(__pts, 1).xu,"
+        " 'y', element_at(__pts, 1).y, 'area', cast(null as double)))"
+    )
+    last = (
+        "case when __n >= 2 then array(named_struct('bucket', __m + 1,"
+        " 'xu', element_at(__pts, __n).xu, 'y', element_at(__pts, __n).y,"
+        " 'area', cast(null as double)))"
+        f" else {empty_out} end"
+    )
+    seq = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("__seq")
+        )
+        .withColumn(
+            "__pts",
+            F.expr(
+                "transform(__seq, s -> named_struct('xu', unix_micros(s.ts),"
+                " 'y', cast(s.value as double)))"
+            ),
+        )
+        .withColumn("__n", F.expr("size(__pts)"))
+        .withColumn(
+            "__m",
+            F.expr(
+                f"if(__n <= 2, 0, cast(ceil((__n - 2)"
+                f" / cast({bs} as double)) as int))"
+            ),
+        )
+    )
+    sel = seq.select(
+        "event_type",
+        F.explode(F.expr(f"concat({first}, {fold}, {last})")).alias("s"),
+    )
+    return sel.select(
+        "event_type",
+        F.col("s.bucket").cast("bigint").alias("bucket"),
+        F.col("s.xu").alias("ts_us"),
+        F.col("s.y").alias("value"),
+        F.col("s.area").alias("area"),
+    ).orderBy("event_type", "bucket")
+
+
+def downsample_lttb_sql(table: str = "events", bucket_size: int = 100) -> str:
+    bs = int(bucket_size)
+    area = (
+        "ROUND(ABS(CAST(p.xu - acc.px AS DOUBLE) * (ctr.yb - acc.py)"
+        " - ctr.dxb * (p.y - acc.py)) / 2000000.0 + 1e-9, 4)"
+    )
+    sc = (
+        f"list_transform(__pts[2 + (e.px - 1) * {bs} : 1 + (e.px - 1) * {bs} + {bs}],"
+        f" p -> {{'a': {area}, 'xu': p.xu, 'y': p.y}})"
+    )
+    tgt = (
+        f"CASE WHEN e.px < __m THEN __pts[2 + e.px * {bs} : 1 + e.px * {bs} + {bs}]"
+        f" ELSE [__pts[__n]] END"
+    )
+    ctr = (
+        "{'dxb': list_sum(list_transform(tg, t -> CAST(t.xu - acc.px AS DOUBLE)))"
+        " / len(tg),"
+        " 'yb': list_sum(list_transform(tg, t -> t.y)) / len(tg)}"
+    )
+    best = "list_reduce(sc, (w, p) -> CASE WHEN p.a > w.a THEN p ELSE w END)"
+    # accumulator carries PRIMITIVE parallel lists, not a struct list:
+    # list_concat(acc.out, [struct]) scrambles struct fields at sf1-scale
+    # in DuckDB 1.0 (see downsample_lttb docstring)
+    step = (
+        f"list_transform([{tgt}], tg ->"
+        f" list_transform([{ctr}], ctr ->"
+        f" list_transform([{sc}], sc ->"
+        f" list_transform([{best}], best ->"
+        " {'px': best.xu, 'py': best.y,"
+        "  'xs': list_append(acc.xs, best.xu),"
+        "  'ys': list_append(acc.ys, best.y),"
+        "  'aa': list_append(acc.aa, best.a)}"
+        ")[1])[1])[1])[1]"
+    )
+    acc0 = (
+        "{'px': __pts[1].xu, 'py': __pts[1].y,"
+        " 'xs': CAST([] AS BIGINT[]), 'ys': CAST([] AS DOUBLE[]),"
+        " 'aa': CAST([] AS DOUBLE[])}"
+    )
+    elem = (
+        "{'px': CAST(b AS BIGINT), 'py': CAST(0 AS DOUBLE),"
+        " 'xs': CAST([] AS BIGINT[]), 'ys': CAST([] AS DOUBLE[]),"
+        " 'aa': CAST([] AS DOUBLE[])}"
+    )
+    fold = (
+        f"CASE WHEN __m = 0 THEN {acc0} ELSE"
+        f" list_reduce(list_prepend({acc0},"
+        f" list_transform(range(1, __m + 1), b -> {elem})),"
+        f" (acc, e) -> {step}) END"
+    )
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             list_transform(list(struct_pack(ts := ts, event_id := event_id,
+                                             value := value)
+                                 ORDER BY ts, event_id),
+                            s -> struct_pack(xu := epoch_us(s.ts),
+                                             y := CAST(s.value AS DOUBLE))) AS __pts
+      FROM {table} WHERE value IS NOT NULL GROUP BY event_type
+    ), dims AS (
+      SELECT event_type, __pts, len(__pts) AS __n,
+             CASE WHEN len(__pts) <= 2 THEN 0
+                  ELSE CAST(CEIL((len(__pts) - 2) / CAST({bs} AS DOUBLE)) AS INTEGER)
+             END AS __m
+      FROM seq
+    ), folded AS (
+      SELECT event_type, __pts, __n, __m, {fold} AS st FROM dims
+    ), sel AS (
+      SELECT event_type,
+             unnest(list_concat(list_concat(
+               [{{'bucket': 0, 'xu': __pts[1].xu, 'y': __pts[1].y,
+                  'area': CAST(NULL AS DOUBLE)}}],
+               list_transform(range(1, __m + 1), b -> {{'bucket': CAST(b AS INTEGER),
+                  'xu': st.xs[b], 'y': st.ys[b], 'area': st.aa[b]}})),
+               CASE WHEN __n >= 2 THEN [{{'bucket': CAST(__m + 1 AS INTEGER),
+                  'xu': __pts[__n].xu, 'y': __pts[__n].y,
+                  'area': CAST(NULL AS DOUBLE)}}]
+                    ELSE CAST([] AS STRUCT(bucket INTEGER, xu BIGINT, y DOUBLE,
+                                           area DOUBLE)[]) END)) AS s
+      FROM folded
+    )
+    SELECT event_type, CAST(s.bucket AS BIGINT) AS bucket, s.xu AS ts_us,
+           s.y AS value, s.area AS area
+    FROM sel ORDER BY event_type, bucket
+    """
+
+
 def downsample_ltob_sql(table: str = "events", bucket_size: int = 100) -> str:
     return f"""
     WITH s AS (

@@ -179,3 +179,22 @@ def q_dash_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
     series-key shuffle."""
     ev = load(spark, sf_dir, "events")
     return analytics.downsample_ltob(ev, bucket_size=100)
+
+
+@register(
+    "dash_downsample_lttb",
+    analytics.downsample_lttb_sql("events", bucket_size=100),
+)
+def q_dash_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #14h — Largest-Triangle-Three-Buckets downsampling
+    (operators/analytics.py:downsample_lttb): the canonical sequential
+    dashboard reduction (Steinarsson 2013 §4.2) — each bucket's pick
+    anchors on the PREVIOUS bucket's pick and the next bucket's
+    centroid, preserving line shape where LTOB's independent picks
+    can't. The per-series sequential dependence runs as a JVM
+    higher-order fold on one series-key shuffle (the ema/holt shape);
+    parity is pinned against a plain-Python reference and the DuckDB
+    fold twin (primitive-list accumulator — see the operator docstring
+    for the struct-list corruption it works around)."""
+    ev = load(spark, sf_dir, "events")
+    return analytics.downsample_lttb(ev, bucket_size=100)

@@ -160,6 +160,90 @@ def test_basket_affinity_carries_orders_across_arrow_batches(spark):
     assert out == _expected_basket_affinity()
 
 
+def _lttb_reference(pts, bs):
+    """Plain-Python LTTB (Steinarsson 2013 §4.2) with the operators'
+    exact rounding/tie rules: pts = [(xu, y)] sorted; returns
+    [(bucket, xu, y, area-or-None)]."""
+    import math
+
+    def r4_(v):
+        v = v + 1e-9
+        s = -1.0 if v < 0 else 1.0
+        return s * math.floor(abs(v) * 1e4 + 0.5) / 1e4
+
+    n = len(pts)
+    if n == 0:
+        return []
+    out = [(0, pts[0][0], pts[0][1], None)]
+    m = 0 if n <= 2 else math.ceil((n - 2) / bs)
+    px, py = pts[0]
+    for b in range(1, m + 1):
+        bucket = pts[1 + (b - 1) * bs : 1 + (b - 1) * bs + bs]
+        tgt = pts[1 + b * bs : 1 + b * bs + bs] if b < m else [pts[n - 1]]
+        dxb = sum(t[0] - px for t in tgt) / len(tgt)
+        yb = sum(t[1] for t in tgt) / len(tgt)
+        best = None
+        for p in bucket:
+            a = r4_(abs((p[0] - px) * (yb - py) - dxb * (p[1] - py)) / 2e6)
+            if best is None or a > best[0]:
+                best = (a, p[0], p[1])
+        out.append((b, best[1], best[2], best[0]))
+        px, py = best[1], best[2]
+    if n >= 2:
+        out.append((m + 1, pts[n - 1][0], pts[n - 1][1], None))
+    return out
+
+
+def test_downsample_lttb_matches_python_reference(spark):
+    """Hand-size fixture covering: 11-point series (3 middle buckets of
+    3, incl. a tied-area bucket), a 1-point series (first point only),
+    a 2-point series (no middle buckets). Spark AND the DuckDB twin
+    must both reproduce the plain-Python reference."""
+    import duckdb
+    import pandas as pd
+
+    from calidad_del_aire_etl_spark.operators import analytics
+
+    rows, eid = [], 0
+    for i, v in enumerate([5.0, 1.0, 9.0, 2.0, 7.0, 7.0, 3.0, 8.0, 4.0, 6.0, 2.5]):
+        rows.append((eid, "a", f"2024-01-01 00:{i:02d}:00", v))
+        eid += 1
+    rows.append((eid, "b", "2024-01-01 00:00:00", 3.3))
+    rows.append((eid + 1, "c", "2024-01-01 00:00:00", 1.0))
+    rows.append((eid + 2, "c", "2024-01-01 00:05:00", 2.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+
+    want = []
+    for et in ["a", "b", "c"]:
+        pts = sorted(
+            (int(pd.Timestamp(r.ts).value // 1000), r.value)
+            for r in pdf.itertuples()
+            if r.event_type == et
+        )
+        want.extend((et, b, xu, y, a) for b, xu, y, a in _lttb_reference(pts, 3))
+
+    pin_oracle_compat(spark)
+    got = [
+        tuple(r)
+        for r in analytics.downsample_lttb(
+            spark.createDataFrame(pdf), bucket_size=3
+        ).collect()
+    ]
+    assert got == want
+
+    con = duckdb.connect()
+    con.register("events_pd", pdf)
+    con.execute("CREATE VIEW events AS SELECT * FROM events_pd")
+    duck = [
+        tuple(r)
+        for r in con.execute(
+            analytics.downsample_lttb_sql("events", bucket_size=3)
+        ).fetchall()
+    ]
+    assert duck == want
+
+
 def test_arrow_tokenizer_matches_java_split_semantics():
     """Direct kernel-level pin: Arrow split_pattern_regex under
     utf8_trim(' ') reproduces split(lower(trim(s)), '\\s+') for every
