@@ -244,6 +244,99 @@ def test_downsample_lttb_matches_python_reference(spark):
     assert duck == want
 
 
+def _real_ish_decoder():
+    """A 'real decoder' for the multimodal seam: PIL when the optional
+    dependency is present (decode a real image, 8-bin luminance
+    histogram), else a byte-reversing stand-in. Either way: a
+    deterministic callable bytes -> 8 floats that RAISES on empty
+    payloads, exactly the contract the stub documents."""
+    try:
+        import io
+
+        from PIL import Image  # optional — absent in this container
+
+        def decode(b: bytes):
+            if not b:
+                raise NotImplementedError("real decoder required")
+            img = Image.open(io.BytesIO(b)).convert("L")
+            hist = img.histogram()
+            total = sum(hist) or 1
+            return [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)]
+
+        def payload_of(text: str) -> bytes:
+            img = Image.new("L", (8, 8), color=sum(map(ord, text)) % 256)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        return decode, payload_of
+    except ImportError:
+
+        def decode(b: bytes):
+            if not b:
+                raise NotImplementedError("real decoder required")
+            rev = bytes(reversed(b))
+            return [rev[i % len(rev)] / 255.0 for i in range(8)]
+
+        def payload_of(text: str) -> bytes:
+            return text.encode("utf-8")
+
+        return decode, payload_of
+
+
+def test_multimodal_decoder_seam_preserves_contract(spark):
+    """Injecting a real decoder through feature_extract's seam must
+    preserve every invariant the stub established: output schema,
+    one row per payload, per-row failure flags (empty payload ->
+    ok=False, zero vector, job survives), determinism across runs, and
+    feature values equal to the decoder applied driver-side."""
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    decode, payload_of = _real_ish_decoder()
+    rows = [
+        (0, payload_of("alpha beta")),
+        (1, payload_of("gamma")),
+        (2, b""),  # corrupt blob: must flag, not kill the job
+        (3, payload_of("delta epsilon zeta")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.feature_extract(df, "doc_id", decoder=decode)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "byte_len", "ok", "features",
+    ]
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 4
+    assert got[2]["ok"] is False and got[2]["features"] == [0.0] * 8
+    for i in (0, 1, 3):
+        assert got[i]["ok"] is True
+        assert got[i]["byte_len"] == len(rows[i][1])
+        assert got[i]["features"] == [float(x) for x in decode(rows[i][1])]
+    rerun = {r["doc_id"]: r for r in
+             multimodal.feature_extract(df, "doc_id", decoder=decode).collect()}
+    assert {k: v["features"] for k, v in got.items()} == {
+        k: v["features"] for k, v in rerun.items()
+    }
+
+
+def test_multimodal_resizer_seam_preserves_contract(spark):
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    def resizer(data: bytes) -> bytes:
+        return data[:4][::-1]
+
+    rows = [(0, b"abcdefgh"), (1, b""), (2, b"xy")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.resize_thumbnail(
+            df, "doc_id", resizer=resizer
+        ).collect()
+    }
+    assert got[0]["ok"] is True and got[0]["thumb_hex"] == b"dcba".hex()
+    assert got[1]["ok"] is False and got[1]["thumb_len"] == 0
+    assert got[2]["ok"] is True and got[2]["thumb_hex"] == b"yx".hex()
+
+
 def test_arrow_tokenizer_matches_java_split_semantics():
     """Direct kernel-level pin: Arrow split_pattern_regex under
     utf8_trim(' ') reproduces split(lower(trim(s)), '\\s+') for every
