@@ -204,11 +204,12 @@ def _basket_pair_expand(oks, pks, out):
     by ok: dedup (ok, pk), then for every basket-size group emit the
     packed min<<32|max keys of all i ≤ j pairs in one numpy gather —
     the diagonal (pk, pk) keys double as the per-part support markers.
-    Executor-side helper for :func:`basket_affinity`."""
+    Returns the number of baskets in the block. Executor-side helper
+    for :func:`basket_affinity`."""
     import numpy as np
 
     if len(oks) == 0:
-        return
+        return 0
     m = np.unique(np.stack([oks, pks], axis=1), axis=0)
     oks, pks = m[:, 0], m[:, 1]
     new = np.empty(len(oks), dtype=bool)
@@ -223,6 +224,7 @@ def _basket_pair_expand(oks, pks, out):
         a = mat[:, iu].ravel()
         b = mat[:, ju].ravel()
         out.append((np.minimum(a, b) << 32) + np.maximum(a, b))
+    return len(sizes)
 
 
 def basket_affinity(
@@ -248,11 +250,13 @@ def basket_affinity(
     objects, zero interpreted lambdas. An order straddling two Arrow
     batches is carried over inside the per-partition iterator, so no
     basket is ever split. The diagonal (pk, pk) keys are the per-part
-    supports (same decode as before); the order count comes from one
-    column-pruned countDistinct scan instead of a -1 marker row.
-    Measured at sf10: 28.2 s → 11.1 s fresh-JVM (DuckDB twin 6.6 s on
-    the same box); sf1 parity exact, and the batch-straddle carry is
-    pinned by a forced-2-row-batch pytest.
+    supports and a k=-1 sentinel per partition carries the basket
+    count (the hash repartition makes partitions ok-disjoint, so the
+    sentinels sum to the global order count — no second scan), same
+    decode scheme as the previous shape. Measured at sf10: 28.2 s →
+    11.5 s fresh-process best-of-2 (DuckDB twin 6.2 s on the same
+    box, 1.9×; was 3.6×); sf1 parity exact, and the batch-straddle
+    carry is pinned by a forced-2-row-batch pytest.
     """
     raw = (
         lineitem.select(
@@ -269,6 +273,7 @@ def basket_affinity(
         hold_ok = np.empty(0, dtype=np.int64)
         hold_pk = np.empty(0, dtype=np.int64)
         chunks = []
+        n_baskets = 0
         for pdf in batches:
             oks = np.concatenate([hold_ok, pdf["ok"].to_numpy(np.int64)])
             pks = np.concatenate([hold_pk, pdf["pk"].to_numpy(np.int64)])
@@ -277,30 +282,44 @@ def basket_affinity(
             # hold back the trailing (possibly batch-straddling) order
             cut = np.searchsorted(oks, oks[-1], side="left")
             hold_ok, hold_pk = oks[cut:], pks[cut:]
-            _basket_pair_expand(oks[:cut], pks[:cut], chunks)
-        _basket_pair_expand(hold_ok, hold_pk, chunks)
+            n_baskets += _basket_pair_expand(oks[:cut], pks[:cut], chunks)
+        n_baskets += _basket_pair_expand(hold_ok, hold_pk, chunks)
         if chunks:
             uk, uc = np.unique(np.concatenate(chunks), return_counts=True)
-            yield pd.DataFrame({"k": uk, "n": uc.astype(np.int64)})
+            # the hash repartition makes partitions ok-DISJOINT, so the
+            # per-partition basket counts sum to the global order count:
+            # one k=-1 sentinel row replaces a whole countDistinct scan
+            yield pd.DataFrame(
+                {
+                    "k": np.concatenate([[-1], uk]),
+                    "n": np.concatenate(
+                        [[n_baskets], uc.astype(np.int64)]
+                    ).astype(np.int64),
+                }
+            )
 
     counts = (
         raw.mapInPandas(pair_gen, "k bigint, n bigint")
         .groupBy("k")
         .agg(F.sum("n").alias("n"))
         # the SMALL counts relation (≈ distinct pairs) feeds three
-        # consumers — checkpoint so they pay filters, not jobs
-        .localCheckpoint(eager=False)
+        # consumers, two of them BROADCAST builds — those run as
+        # concurrent exchange jobs, and against a lazy checkpoint each
+        # re-computes the whole pair pipeline before any of them
+        # materializes it (measured 13.4 s → 32.7 s with eager=False
+        # here). EAGER, the ann_graph round discipline.
+        .localCheckpoint(eager=True)
     )
     hi, lo = F.shiftright("k", 32), F.col("k") % F.lit(2**32)
-    n_orders = lineitem.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    n_orders = counts.filter(F.col("k") == -1).select(
+        F.col("n").cast("double").alias("n_orders")
     )
-    part_n = counts.filter(hi == lo).select(
+    part_n = counts.filter((F.col("k") >= 0) & (hi == lo)).select(
         hi.alias("pk"), F.col("n").alias("n_part")
     )
-    pair_n = counts.filter((hi < lo) & (F.col("n") >= min_support)).select(
-        hi.alias("pa"), lo.alias("pb"), F.col("n").alias("n_ab")
-    )
+    pair_n = counts.filter(
+        (F.col("k") >= 0) & (hi < lo) & (F.col("n") >= min_support)
+    ).select(hi.alias("pa"), lo.alias("pb"), F.col("n").alias("n_ab"))
     scored = (
         pair_n.join(
             F.broadcast(part_n.select(F.col("pk").alias("pa"), F.col("n_part").alias("na"))), "pa"

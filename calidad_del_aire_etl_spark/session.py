@@ -65,7 +65,14 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         # per-task-spawn signature, cause unconfirmed)
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.killOnIdleTimeout", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs every executor thread inside the driver JVM, so
+        # this IS the executor memory: 32 task threads sharing 8 GB put
+        # every ~100M-key aggregation into TaskMemoryManager page-alloc
+        # thrash and spill (basket_affinity at sf10 measured 15.8 s at
+        # 8 GB vs 6.9 s at 32 GB — the whole gap was allocation stalls,
+        # not compute). The container has 128 GiB; 32 GB ≈ 1 GB per task
+        # thread, the same envelope a real cluster executor would get.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # Progress bars write \r-frames to stdout; under the bench driver's
         # bounded stdout-tail capture they competed with (and in round 4
