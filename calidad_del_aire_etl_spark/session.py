@@ -66,13 +66,16 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.killOnIdleTimeout", "false")
         # Local mode runs every executor thread inside the driver JVM, so
-        # this IS the executor memory: 32 task threads sharing 8 GB put
-        # every ~100M-key aggregation into TaskMemoryManager page-alloc
-        # thrash and spill (basket_affinity at sf10 measured 15.8 s at
-        # 8 GB vs 6.9 s at 32 GB — the whole gap was allocation stalls,
-        # not compute). The container has 128 GiB; 32 GB ≈ 1 GB per task
-        # thread, the same envelope a real cluster executor would get.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # this IS the executor memory. 8 GB put every ~100M-key sf10
+        # aggregation into TaskMemoryManager page-alloc thrash + spill
+        # (basket_affinity 15.8 s at 8 GB vs 12.2 s at 16 GB); going PAST
+        # 16 GB flips the sort-heavy shuffles the other way —
+        # corpus_dup_spans_exact measured 48 s @16 GB, 77 s @30 GB,
+        # 159 s @32 GB, 125 s @64 GB (GC/pointer-density effects dominate
+        # once the shuffle buffers stop spilling early; ≥32 GB also drops
+        # CompressedOops). 16 GB ≈ 0.5 GB per task thread is the measured
+        # sweet spot on this 32-thread/128 GiB box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Progress bars write \r-frames to stdout; under the bench driver's
         # bounded stdout-tail capture they competed with (and in round 4
