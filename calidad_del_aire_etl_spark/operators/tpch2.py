@@ -574,7 +574,9 @@ def q19_disjunctive(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.broadcast(pt),
         (li.l_partkey == pt.p_partkey) & (branch1 | branch2 | branch3),
     )
-    return joined.agg(r4(F.sum("__rev").cast("double")).alias("revenue"))
+    return joined.agg(F.sum("__rev").alias("__r")).select(
+        r4(_undec("__r")).alias("revenue")
+    )
 
 
 Q19_SQL = """

@@ -62,6 +62,20 @@ def duck_connection(sf_dir: str):
     return con
 
 
+def degenerate_result(con, sql: str) -> bool:
+    """True when the oracle's answer at this SF can't discriminate a
+    wrong implementation: zero rows, or every numeric cell NULL (e.g.
+    TPC-H Q19's selective branches match 0 lineitems at sf0.001, so
+    both engines return one all-NULL row and the hash compare passes
+    vacuously — the round-11 10^4x revenue bug shipped through exactly
+    this hole)."""
+    df = con.execute(sql).df()
+    if len(df) == 0:
+        return True
+    num = df.select_dtypes(include=["number"])
+    return num.shape[1] > 0 and bool(num.isna().all().all())
+
+
 def compare_query(
     spark, con, fn, oracle: str | None, sf_dir: str
 ) -> tuple[int, list[str]]:

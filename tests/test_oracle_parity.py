@@ -22,6 +22,10 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from calidad_del_aire_etl_spark import oracle  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# Escalation SF for queries whose oracle answer is degenerate (empty /
+# all-NULL measures) at the sweep SF — a vacuous hash match there proves
+# nothing (round-11's q19 shipped 10^4x wrong through that hole).
+SF_ESC = os.environ.get("SPARK_GRAFT_ORACLE_SF2_DIR", "/root/testdata/sf0.01")
 
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
@@ -34,13 +38,35 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def duck_esc():
+    con = oracle.duck_connection(SF_ESC)
+    yield con
+    con.close()
+
+
 @pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_hash_parity(spark, duck, name):
+def test_hash_parity(spark, duck, duck_esc, name):
     n, problems = oracle.compare_query(
         spark, duck, _QUERIES[name], _ORACLES[name], SF
     )
     assert not problems, f"{name}: {'; '.join(problems)}"
+    if oracle.degenerate_result(duck, _ORACLES[name]):
+        # Vacuous pass at the sweep SF — re-prove at the larger SF
+        # where the answer actually discriminates.
+        assert not oracle.degenerate_result(duck_esc, _ORACLES[name]), (
+            f"{name}: oracle result degenerate at BOTH {SF} and {SF_ESC} — "
+            "the parity sweep proves nothing for this query; pin it with "
+            "a non-degenerate fixture or a dedicated test"
+        )
+        n, problems = oracle.compare_query(
+            spark, duck_esc, _QUERIES[name], _ORACLES[name], SF_ESC
+        )
+        assert not problems, (
+            f"{name} (escalated to {SF_ESC}; degenerate at {SF}): "
+            f"{'; '.join(problems)}"
+        )
 
 
 @pytest.mark.oracle
