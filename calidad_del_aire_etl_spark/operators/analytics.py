@@ -378,12 +378,19 @@ def downsample_lttb(events: DataFrame, bucket_size: int = 100) -> DataFrame:
         "round(abs(cast(p.xu - acc.px as double) * (ctr.yb - acc.py)"
         " - ctr.dxb * (p.y - acc.py)) / 2000000.0 + 1e-9, 4)"
     )
+    # Slice lengths clip at the last MIDDLE point (index n-1): when
+    # (n-2) % bs != 0 an unclipped slice would leak the global last
+    # point into the final bucket's candidate set and into bucket m-1's
+    # next-bucket centroid, deviating from Steinarsson where the last
+    # point is its own bucket.
     sc = (
-        f"transform(slice(__pts, 2 + (b - 1) * {bs}, {bs}),"
+        f"transform(slice(__pts, 2 + (b - 1) * {bs},"
+        f" least({bs}, __n - 2 - (b - 1) * {bs})),"
         f" p -> named_struct('a', {area}, 'xu', p.xu, 'y', p.y))"
     )
     tgt = (
-        f"case when b < __m then slice(__pts, 2 + b * {bs}, {bs})"
+        f"case when b < __m then"
+        f" slice(__pts, 2 + b * {bs}, least({bs}, __n - 2 - b * {bs}))"
         f" else array(element_at(__pts, __n)) end"
     )
     ctr = (
@@ -472,12 +479,15 @@ def downsample_lttb_sql(table: str = "events", bucket_size: int = 100) -> str:
         "ROUND(ABS(CAST(p.xu - acc.px AS DOUBLE) * (ctr.yb - acc.py)"
         " - ctr.dxb * (p.y - acc.py)) / 2000000.0 + 1e-9, 4)"
     )
+    # Same last-middle-point clip as the Spark side (see downsample_lttb)
     sc = (
-        f"list_transform(__pts[2 + (e.px - 1) * {bs} : 1 + (e.px - 1) * {bs} + {bs}],"
+        f"list_transform(__pts[2 + (e.px - 1) * {bs}"
+        f" : LEAST(1 + (e.px - 1) * {bs} + {bs}, __n - 1)],"
         f" p -> {{'a': {area}, 'xu': p.xu, 'y': p.y}})"
     )
     tgt = (
-        f"CASE WHEN e.px < __m THEN __pts[2 + e.px * {bs} : 1 + e.px * {bs} + {bs}]"
+        f"CASE WHEN e.px < __m THEN"
+        f" __pts[2 + e.px * {bs} : LEAST(1 + e.px * {bs} + {bs}, __n - 1)]"
         f" ELSE [__pts[__n]] END"
     )
     ctr = (

@@ -122,6 +122,25 @@ def hub_sample(base: DataFrame, n_hubs: int) -> DataFrame:
 _GRAPH_MEMO: dict = {}
 
 
+def clear_graph_memo(memo_key: str | None = None) -> int:
+    """Evict memoized standing graphs — every entry, or only those
+    whose caller-supplied key is ``memo_key`` (including derived
+    ``{memo_key}#...`` sub-keys). Entries hold localCheckpointed
+    DataFrames whose blocks stay pinned for the process lifetime while
+    referenced; dropping the reference lets Spark's ContextCleaner
+    release them. Returns the number of entries evicted."""
+    keys = [
+        k
+        for k in _GRAPH_MEMO
+        if memo_key is None
+        or k[1] == memo_key
+        or str(k[1]).startswith(f"{memo_key}#")
+    ]
+    for k in keys:
+        _GRAPH_MEMO.pop(k, None)
+    return len(keys)
+
+
 def nndescent_graph(
     df: DataFrame,
     id_col: str,
@@ -342,6 +361,7 @@ def nndescent_insert(
     hops: int = 3,
     n_hubs: int = 64,
     memo_key: str | None = None,
+    pred_tag: str | None = None,
 ) -> DataFrame:
     """Incremental index maintenance — insert a batch of new vectors
     into the NN-Descent graph WITHOUT rebuilding it (the batched
@@ -364,7 +384,24 @@ def nndescent_insert(
        each other (one NN-Descent-style local join over the new→old
        edge list) so a clustered batch links internally instead of only
        through the old index.
+
+    ``memo_key`` + ``pred_tag``: the standing index is memoized under
+    ``{memo_key}#standing:{pred_tag}``. ``pred_tag`` must name the
+    arrival predicate (e.g. ``"mod5"``) and is REQUIRED whenever
+    ``memo_key`` is set — the predicate is a Python callable the memo
+    cannot hash, and without the tag two calls sharing a memo_key but
+    partitioning the corpus differently would silently reuse a standing
+    graph built over the wrong subset. Callers that mutate the data
+    under the same key must omit memo_key (see nndescent_graph).
+    Evict with :func:`clear_graph_memo`.
     """
+    if memo_key is not None and pred_tag is None:
+        raise ValueError(
+            "nndescent_insert: memo_key requires pred_tag — the memo "
+            "cannot hash new_pred, so the tag must identify the arrival "
+            "subset to keep standing graphs from colliding across "
+            "different predicates"
+        )
     id_t = _sql_type(df, id_col)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     old = base.filter(~new_pred(F.col("id")))
@@ -372,11 +409,15 @@ def nndescent_insert(
 
     # the STANDING index is what a real store maintains across arrival
     # batches — memoize it under its own key (never colliding with the
-    # full-corpus graph: the relation here excludes the arrivals)
+    # full-corpus graph: the relation here excludes the arrivals, and
+    # the pred_tag scopes it to this arrival predicate)
     g_old = nndescent_graph(
         df.filter(~new_pred(F.col(id_col))), id_col, vec_col,
         k=k, iters=iters, n_hubs=n_hubs,
-        memo_key=None if memo_key is None else f"{memo_key}#standing",
+        memo_key=(
+            None if memo_key is None
+            else f"{memo_key}#standing:{pred_tag}"
+        ),
     ).select(
         F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"),
         "cosine", "rank",

@@ -124,7 +124,16 @@ def feature_extract(
         feats, oks = [], []
         for payload in pdf[payload_col]:
             try:
-                feats.append([float(x) for x in decode(bytes(payload))])
+                decoded = [float(x) for x in decode(bytes(payload))]
+                if len(decoded) != FEATURE_DIM:
+                    # A wrong-arity decoder would emit ragged feature
+                    # arrays flagged ok=True, breaking fixed-dimension
+                    # consumers downstream — fail the row instead.
+                    raise ValueError(
+                        f"decoder returned {len(decoded)} features, "
+                        f"expected {FEATURE_DIM}"
+                    )
+                feats.append(decoded)
                 oks.append(True)
             except Exception:
                 feats.append([0.0] * FEATURE_DIM)

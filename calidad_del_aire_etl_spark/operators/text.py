@@ -137,7 +137,7 @@ TOKEN_COUNTS_SQL = r"""
            CAST(len(regexp_split_to_array(trim({t}), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all({t}, '[A-Za-z]+')) AS BIGINT) AS alpha_tokens,
            CAST(len(regexp_extract_all({t}, '[0-9]+')) AS BIGINT) AS num_tokens,
-           CAST(len(regexp_extract_all({t}, '[^A-Za-z0-9\s]')) AS BIGINT) AS symbol_tokens,
+           CAST(len(regexp_extract_all({t}, '[^A-Za-z0-9 \t\n\x0b\f\r]')) AS BIGINT) AS symbol_tokens,
            CAST(LENGTH({t}) AS BIGINT) AS n_chars_measured
     FROM {table}
 """

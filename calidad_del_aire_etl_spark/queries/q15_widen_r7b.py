@@ -222,7 +222,7 @@ def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann_graph.nndescent_insert(
         em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8,
-        memo_key=f"{sf_dir}/embeddings",
+        memo_key=f"{sf_dir}/embeddings", pred_tag="mod5",
     )
 
 

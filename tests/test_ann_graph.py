@@ -177,3 +177,45 @@ def test_graph_recall_eval_matches_manual_intersection(spark):
         assert (n_exact, n_hits) == truth[q]
         assert abs(rec - round(n_hits / n_exact + 1e-9, 4)) < 1e-12
         assert 0.0 <= rec <= 1.0
+
+
+def test_insert_memo_requires_pred_tag_and_keys_by_it(spark):
+    """memo_key without pred_tag must fail loudly (the memo cannot hash
+    new_pred, so an untagged standing graph would be silently reused
+    across DIFFERENT arrival predicates — the wrong-corpus-subset
+    hazard); distinct pred_tags must build distinct standing graphs."""
+    import pytest as _pytest
+
+    em = _em(spark)
+    with _pytest.raises(ValueError, match="pred_tag"):
+        ann_graph.nndescent_insert(
+            em, "vec_id", "embedding", lambda c: c % 5 == 0, k=6,
+            memo_key="memo-test",
+        )
+
+    ann_graph.clear_graph_memo("memo-test")
+    ann_graph.nndescent_insert(
+        em, "vec_id", "embedding", lambda c: c % 5 == 0, k=6,
+        memo_key="memo-test", pred_tag="mod5",
+    ).count()
+    keys_mod5 = {
+        k[1] for k in ann_graph._GRAPH_MEMO if str(k[1]).startswith("memo-test")
+    }
+    ann_graph.nndescent_insert(
+        em, "vec_id", "embedding", lambda c: c % 7 == 0, k=6,
+        memo_key="memo-test", pred_tag="mod7",
+    ).count()
+    keys_both = {
+        k[1] for k in ann_graph._GRAPH_MEMO if str(k[1]).startswith("memo-test")
+    }
+    assert keys_mod5 == {"memo-test#standing:mod5"}
+    assert keys_both == {
+        "memo-test#standing:mod5", "memo-test#standing:mod7",
+    }
+    # eviction hook: clears this key's entries (and derived sub-keys)
+    # without touching other keys
+    n = ann_graph.clear_graph_memo("memo-test")
+    assert n == 2
+    assert not any(
+        str(k[1]).startswith("memo-test") for k in ann_graph._GRAPH_MEMO
+    )

@@ -45,7 +45,8 @@ def _edge_docs_parquet(tmp_path):
 @pytest.mark.parametrize(
     "key",
     ["corpus_unigram_logprob", "corpus_kn_bigram_logprob",
-     "corpus_perplexity_buckets", "corpus_perplexity_buckets_approx"],
+     "corpus_perplexity_buckets", "corpus_perplexity_buckets_approx",
+     "text_token_count"],
 )
 def test_lm_scorers_edge_whitespace_twins_agree(spark, tmp_path, key):
     """The Arrow tokenizer (corpus._arrow_token_lists) must reproduce
@@ -178,8 +179,14 @@ def _lttb_reference(pts, bs):
     m = 0 if n <= 2 else math.ceil((n - 2) / bs)
     px, py = pts[0]
     for b in range(1, m + 1):
-        bucket = pts[1 + (b - 1) * bs : 1 + (b - 1) * bs + bs]
-        tgt = pts[1 + b * bs : 1 + b * bs + bs] if b < m else [pts[n - 1]]
+        # clip at n-1: the global last point is its own bucket and must
+        # not leak into the final middle bucket or the m-1 centroid
+        bucket = pts[1 + (b - 1) * bs : min(1 + (b - 1) * bs + bs, n - 1)]
+        tgt = (
+            pts[1 + b * bs : min(1 + b * bs + bs, n - 1)]
+            if b < m
+            else [pts[n - 1]]
+        )
         dxb = sum(t[0] - px for t in tgt) / len(tgt)
         yb = sum(t[1] for t in tgt) / len(tgt)
         best = None
@@ -211,11 +218,20 @@ def test_downsample_lttb_matches_python_reference(spark):
     rows.append((eid, "b", "2024-01-01 00:00:00", 3.3))
     rows.append((eid + 1, "c", "2024-01-01 00:00:00", 1.0))
     rows.append((eid + 2, "c", "2024-01-01 00:05:00", 2.0))
+    eid += 3
+    # 12-point series: 10 middle points with bs=3 → buckets of 3,3,3,1;
+    # the non-divisible case where unclipped slices would leak the
+    # global last point into bucket 4's candidates and bucket 3's
+    # next-bucket centroid
+    for i, v in enumerate(
+        [5.0, 1.0, 9.0, 2.0, 7.0, 7.5, 3.0, 8.0, 4.0, 6.0, 2.5, 9.5]
+    ):
+        rows.append((eid + i, "d", f"2024-01-01 01:{i:02d}:00", v))
     pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts", "value"])
     pdf["ts"] = pd.to_datetime(pdf["ts"])
 
     want = []
-    for et in ["a", "b", "c"]:
+    for et in ["a", "b", "c", "d"]:
         pts = sorted(
             (int(pd.Timestamp(r.ts).value // 1000), r.value)
             for r in pdf.itertuples()
@@ -316,6 +332,28 @@ def test_multimodal_decoder_seam_preserves_contract(spark):
     assert {k: v["features"] for k, v in got.items()} == {
         k: v["features"] for k, v in rerun.items()
     }
+
+
+def test_multimodal_wrong_arity_decoder_flags_rows(spark):
+    """A decoder that returns the wrong number of features must not
+    produce ragged ok=True rows (the docstring promises length
+    FEATURE_DIM); the arity check routes it through the per-row
+    failure path: ok=False, zero vector, job survives."""
+    from calidad_del_aire_etl_spark.operators import multimodal
+
+    def bad_decode(data: bytes):
+        return [1.0, 2.0, 3.0]  # arity 3, FEATURE_DIM is 8
+
+    df = spark.createDataFrame(
+        [(0, b"abc"), (1, b"defg")], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.feature_extract(df, "doc_id", decoder=bad_decode).collect()
+    }
+    for i in (0, 1):
+        assert got[i]["ok"] is False
+        assert got[i]["features"] == [0.0] * multimodal.FEATURE_DIM
 
 
 def test_multimodal_resizer_seam_preserves_contract(spark):
