@@ -695,26 +695,40 @@ def dup_spans(
     consumes the fraction.
 
     Spark shape (suffix arrays don't distribute; strided hashing does):
-    posexplode strided substrings (narrow, rows ≈ chars/stride), hash
-    each span to a 60-bit md5 int, ONE groupBy(span) counting distinct
-    docs (map-side partial agg bounds hot boilerplate spans at
-    #map-tasks rows per reducer), equi-join the tiny per-span verdict
-    back (exchange reused: both sides hash on the span key), then
-    groupBy(doc). Linear in corpus bytes, no self-join — scales where
-    pairwise Jaccard cannot.
+    explode strided substrings (narrow, rows ≈ chars/stride), hash each
+    span to a 60-bit md5 int, then flag duplicates with ONE exchange on
+    the span hash and a whole-partition window: a span is shared by ≥2
+    docs iff ``min(id) != max(id)`` over its hash group — no distinct
+    aggregate, no join-back. The per-doc rollup's exchange is tiny
+    (map-side partial agg first). Linear in corpus bytes, no self-join —
+    scales where pairwise Jaccard cannot.
+
+    The window replaced the round-9 two-exchange shape (groupBy(span)
+    count_distinct + verdict join-back): measured same-window at sf10,
+    65.1 s → 24.5 s warm (sf1 6.0 → 2.8 s, sf0.1 6.4 → 2.0 s) with
+    hash-identical output — the distinct aggregate's expand and the
+    133 M-row merge join were both paying for information the min/max
+    pass gets from the sort the exchange already implies. Hot-span rows
+    still co-locate on one reducer, exactly as they did on the old
+    join-back side: a span shared by D docs contributes D thin
+    (id, hash) rows to one task — bounded by the hottest boilerplate
+    span's document frequency, the same bound Lee et al.'s
+    group-by-span pass carries.
     """
     spans_expr = (
         f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1), {stride}), "
         f"s -> cast(conv(substr(md5(cast(substring({text_col}, s, {span_len}) as binary)), 1, 15), 16, 10) as bigint))"
     )
-    sp = df.select(
-        F.col(id_col).alias("id"), F.posexplode(F.expr(spans_expr)).alias("pos", "h")
+    # NULL text must drop out (the twin's inner join on the hash did
+    # this implicitly; the window keeps NULL-hash rows, so filter at
+    # the scan where it pushes down)
+    sp = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(F.expr(spans_expr)).alias("h")
     )
-    per_span = sp.groupBy("h").agg(
-        F.count_distinct("id").alias("__nd")
-    )
-    flagged = sp.join(per_span, "h").select(
-        "id", (F.col("__nd") >= 2).cast("bigint").alias("__dup")
+    w = Window.partitionBy("h")
+    flagged = sp.select(
+        "id",
+        (F.min("id").over(w) != F.max("id").over(w)).cast("bigint").alias("__dup"),
     )
     return (
         flagged.groupBy("id")
@@ -774,10 +788,9 @@ def dup_spans_exact(
     substring shared with another document is caught regardless of
     alignment.
 
-    Same plan as the strided profile (posexplode -> one map-side-
-    combined span aggregate -> verdict join-back -> per-doc rollup),
-    just at unit stride: linear in corpus bytes, self-join-free, no
-    UDF. Hashing stays the strided family's 60-bit md5 prefix — an
+    Same plan as the strided profile (explode -> one exchange on the
+    span hash -> min/max window duplicate flag -> per-doc rollup), just
+    at unit stride: linear in corpus bytes, self-join-free, no UDF. Hashing stays the strided family's 60-bit md5 prefix — an
     O(span_len)-per-position Horner/rolling polynomial fold was
     prototyped as HOF ``aggregate`` lambdas and measured 4x SLOWER at
     sf1 (27.7 s vs 6.8 s): Spark interprets higher-order-function

@@ -182,9 +182,9 @@ def q_corpus_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile at stride 1 (operators/corpus.py:dup_spans_exact): the
     exact span-level signal of Lee et al. 2022, catching duplicates the
     strided corpus_dup_spans misses when occurrences start at different
-    offsets modulo the stride. Double polynomial Horner hash per
-    position, all-JVM higher-order expressions, linear in corpus bytes,
-    self-join-free."""
+    offsets modulo the stride. Codegen'd md5-prefix hash per position,
+    one exchange on the span hash with a min/max window duplicate flag,
+    linear in corpus bytes, self-join-free."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return corpus.dup_spans_exact(docs, "doc_id", "text", span_len=32)
 
