@@ -1943,29 +1943,32 @@ def span_dedup_emit(
       the survivor);
     - ``keep`` — no cross-document duplicated span at all.
 
-    Plan: the proven span machinery (posexplode stride-1 spans, ONE
-    map-side-combined per-span distinct-doc count, verdict join-back)
-    plus an interval-union window over ONLY the duplicated spans —
-    running-max of interval end per doc, new-coverage arithmetic all in
-    integers, so both engines agree exactly. Linear in corpus bytes,
-    self-join-free."""
+    Plan: the proven span machinery (posexplode stride-1 spans, then
+    dup_spans' one-exchange window verdict — ``min(id) != max(id)``
+    over the span-hash group replaces the round-9 per-span distinct
+    count + join-back, same r12 rewrite) plus an interval-union window
+    over ONLY the duplicated spans — running-max of interval end per
+    doc, new-coverage arithmetic all in integers, so both engines agree
+    exactly. Linear in corpus bytes, self-join-free."""
     spans_expr = (
         f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1), 1), "
         f"s -> cast(conv(substr(md5(cast(substring({text_col}, s, {span_len}) as binary)), 1, 15), 16, 10) as bigint))"
     )
-    sp = df.select(
+    # NULL text drops at the scan (the old inner join on the span hash
+    # did it implicitly; the window would keep NULL-hash rows)
+    sp = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.char_length(F.col(text_col)).cast("bigint").alias("doc_len"),
         F.posexplode(F.expr(spans_expr)).alias("pos", "h"),
     )
-    # three consumers of the span stream (per-span verdict, totals,
-    # interval union) — checkpoint so tokenize+hash runs once
-    sp = sp.localCheckpoint(eager=False)
-    per_span = sp.groupBy("h").agg(F.count_distinct("id").alias("__nd"))
-    flagged = sp.join(per_span, "h").select(
+    wdup = Window.partitionBy("h")
+    # two consumers of the flagged stream (totals, interval union) —
+    # checkpoint AFTER the verdict window so tokenize+hash+exchange all
+    # run once
+    flagged = sp.select(
         "id", "doc_len", (F.col("pos") + 1).alias("cpos"),
-        (F.col("__nd") >= 2).alias("__dup"),
-    )
+        (F.min("id").over(wdup) != F.max("id").over(wdup)).alias("__dup"),
+    ).localCheckpoint(eager=False)
     tot = flagged.groupBy("id", "doc_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("__dup").cast("bigint")).cast("bigint").alias("n_dup_spans"),

@@ -207,3 +207,49 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for key, val in prev.items():
             spark.conf.set(key, val)
+
+
+def test_dup_spans_window_verdict_under_hot_span(spark):
+    """The r12 one-exchange window verdict (min(id) != max(id) per span
+    hash) must stay correct when one boilerplate span dominates: 2,000
+    docs share an identical 40-char boilerplate sentence (every one of
+    its 32-char stride-1 sub-spans lands on ONE reducer partition),
+    while each doc's remainder is unique. Every doc must flag the
+    boilerplate spans as duplicated and nothing else; a singleton doc
+    with no shared text must flag zero."""
+    import pandas as pd
+
+    from calidad_del_aire_etl_spark.operators import corpus
+
+    boiler = "SHARED-BOILERPLATE sentence exactly here!"  # 41 chars
+    rows = [
+        (i, boiler + f" unique tail number {i:06d} with filler text")
+        for i in range(2000)
+    ]
+    rows.append((99999, "a fully unique document with no shared spans x"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.dup_spans_exact(df, "doc_id", "text", span_len=32).collect()
+    }
+    assert len(out) == 2001
+    # brute-force reference: span substring -> set of docs
+    span_docs = {}
+    for did, text in rows:
+        for s in range(max(len(text) - 31, 1)):
+            span_docs.setdefault(text[s : s + 32], set()).add(did)
+    for did, text in rows:
+        n = max(len(text) - 31, 1)
+        want_dup = sum(
+            1 for s in range(n) if len(span_docs[text[s : s + 32]]) >= 2
+        )
+        got = out[did]
+        assert got["n_spans"] == n, (did, got)
+        assert got["n_dup_spans"] == want_dup, (did, want_dup, got)
+    # the boilerplate's spans are shared by all 2000 docs (one hot hash
+    # group per span position on a single reducer) and the singleton
+    # flags nothing
+    assert out[99999]["n_dup_spans"] == 0
+    assert out[0]["n_dup_spans"] > 0
