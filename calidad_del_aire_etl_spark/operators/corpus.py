@@ -1943,40 +1943,56 @@ def span_dedup_emit(
       the survivor);
     - ``keep`` — no cross-document duplicated span at all.
 
-    Plan: the proven span machinery (posexplode stride-1 spans, then
-    dup_spans' one-exchange window verdict — ``min(id) != max(id)``
-    over the span-hash group replaces the round-9 per-span distinct
-    count + join-back, same r12 rewrite) plus an interval-union window
-    over ONLY the duplicated spans — running-max of interval end per
-    doc, new-coverage arithmetic all in integers, so both engines agree
-    exactly. Linear in corpus bytes, self-join-free."""
+    Plan (r12 single-pass rewrite): the span stream is consumed
+    EXACTLY ONCE — posexplode stride-1 spans, dup_spans' one-exchange
+    window verdict (``min(id) != max(id)`` over the span-hash group;
+    replaces the round-9 per-span distinct count + join-back), filter
+    to the duplicated positions only, then one interval-union window
+    per doc whose rollup yields BOTH ``n_dup_spans`` (row count) and
+    ``dup_chars`` (running-max new-coverage sum, all integers, so both
+    engines agree exactly). ``n_spans`` never rides the span stream at
+    all: it is ``greatest(len - span_len + 1, 1)`` straight from the
+    narrow doc relation, which joins the per-doc rollup at doc grain.
+    The round-9 shape aggregated the full span stream a second time
+    for the totals (two 133 M-row exchange+sorts at sf10: ~106 s warm,
+    93.6 s fresh best-of-2 vs the twin's 42.7 s → 2.19×); this shape
+    pays the big exchange once (51.9 s fresh vs 37.3 s → 1.39×;
+    sf0.1 0.99×), same hash output. Linear in corpus bytes,
+    self-join-free."""
     spans_expr = (
         f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1), 1), "
         f"s -> cast(conv(substr(md5(cast(substring({text_col}, s, {span_len}) as binary)), 1, 15), 16, 10) as bigint))"
     )
     # NULL text drops at the scan (the old inner join on the span hash
     # did it implicitly; the window would keep NULL-hash rows)
-    sp = df.filter(F.col(text_col).isNotNull()).select(
+    docs = df.filter(F.col(text_col).isNotNull())
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.char_length(F.col(text_col)).cast("bigint").alias("doc_len"),
+        F.greatest(
+            F.char_length(F.col(text_col)).cast("bigint") - F.lit(span_len - 1),
+            F.lit(1).cast("bigint"),
+        ).alias("n_spans"),
+    )
+    sp = docs.select(
         F.col(id_col).alias("id"),
         F.char_length(F.col(text_col)).cast("bigint").alias("doc_len"),
         F.posexplode(F.expr(spans_expr)).alias("pos", "h"),
     )
     wdup = Window.partitionBy("h")
-    # two consumers of the flagged stream (totals, interval union) —
-    # checkpoint AFTER the verdict window so tokenize+hash+exchange all
-    # run once
-    flagged = sp.select(
-        "id", "doc_len", (F.col("pos") + 1).alias("cpos"),
-        (F.min("id").over(wdup) != F.max("id").over(wdup)).alias("__dup"),
-    ).localCheckpoint(eager=False)
-    tot = flagged.groupBy("id", "doc_len").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        F.sum(F.col("__dup").cast("bigint")).cast("bigint").alias("n_dup_spans"),
-    )
-    dups = flagged.filter(F.col("__dup")).select(
-        "id",
-        "cpos",
-        F.least(F.col("cpos") + F.lit(span_len - 1), F.col("doc_len")).alias("iend"),
+    dups = (
+        sp.select(
+            "id", "doc_len", (F.col("pos") + 1).alias("cpos"),
+            (F.min("id").over(wdup) != F.max("id").over(wdup)).alias("__dup"),
+        )
+        .filter(F.col("__dup"))
+        .select(
+            "id",
+            "cpos",
+            F.least(
+                F.col("cpos") + F.lit(span_len - 1), F.col("doc_len")
+            ).alias("iend"),
+        )
     )
     w = Window.partitionBy("id").orderBy("cpos").rowsBetween(
         Window.unboundedPreceding, -1
@@ -1989,14 +2005,15 @@ def span_dedup_emit(
             - F.greatest(F.col("cpos") - 1, F.coalesce(F.col("prev_end"), F.lit(0))),
         ).alias("contrib"),
     )
-    dup_chars = cov.groupBy("id").agg(
-        F.sum("contrib").cast("bigint").alias("dup_chars")
+    rollup = cov.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("contrib").cast("bigint").alias("dup_chars"),
     )
-    out = tot.join(dup_chars, "id", "left").select(
+    out = base.join(rollup, "id", "left").select(
         "id",
         "doc_len",
         "n_spans",
-        "n_dup_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
         F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias("dup_chars"),
     )
     frac = r4(F.col("dup_chars").cast("double") / F.col("doc_len").cast("double"))
