@@ -26,11 +26,17 @@ TABLES = (
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Column-order + timestamp-resolution normalization before hashing
-    (Spark returns ns-resolution pandas timestamps, DuckDB us)."""
+    (Spark returns ns-resolution pandas timestamps, DuckDB us). Float
+    columns get ``+ 0.0``: IEEE canonicalizes −0.0 to +0.0, so
+    numerically-equal frames can't hash-diverge on zero sign (DuckDB's
+    ROUND emits −0.0 for tiny negatives; Spark's never does — caught by
+    the r12 full-registry sf1 sweep). NaNs pass through unchanged."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c] + 0.0
     return df
 
 
@@ -77,15 +83,36 @@ def degenerate_result(con, sql: str) -> bool:
 
 
 def compare_query(
-    spark, con, fn, oracle: str | None, sf_dir: str
+    spark, con, fn, oracle: str | None, sf_dir: str, twin_timeout: float = 0.0
 ) -> tuple[int, list[str]]:
     """Run one query on both engines; return (spark_rows, problems) —
     empty problems = parity. ``oracle=None`` degrades to a rows-only
-    sanity check."""
+    sanity check. ``twin_timeout`` > 0 interrupts a runaway DuckDB twin
+    (the quadratic dedup oracles at big SFs) and reports a single
+    ``TIMEOUT`` problem — a DNF is information, not a mismatch; callers
+    should count it separately. The timed path uses a fresh connection
+    so a Timer firing between fetch and cancel can't leave a pending
+    interrupt on the shared one (the tools/baseline.py lesson)."""
     sdf = fn(spark, sf_dir).toPandas()
     if oracle is None:
         return len(sdf), []
-    ddf = con.execute(oracle).df()
+    if twin_timeout > 0:
+        import threading
+
+        import duckdb
+
+        qcon = duck_connection(sf_dir)
+        timer = threading.Timer(twin_timeout, qcon.interrupt)
+        timer.start()
+        try:
+            ddf = qcon.execute(oracle).df()
+        except duckdb.InterruptException:
+            return len(sdf), [f"TIMEOUT: twin exceeded {twin_timeout}s (DNF)"]
+        finally:
+            timer.cancel()
+            qcon.close()
+    else:
+        ddf = con.execute(oracle).df()
     sdf, ddf = norm_frame(sdf), norm_frame(ddf)
     problems: list[str] = []
     if len(sdf) != len(ddf):

@@ -218,23 +218,94 @@ def q_etl_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dash_trend_slope",
     """
     SELECT user_id,
-           ROUND(regr_slope(value, epoch(ts)) * 86400 + 1e-9, 4) AS slope_per_day,
-           ROUND(regr_r2(value, epoch(ts)) + 1e-9, 4) AS r2,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY 1
+           CASE WHEN den = 0 THEN NULL
+                ELSE ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 864.0
+                           + 1e-9, 4) END AS slope_per_day,
+           CASE WHEN den = 0 THEN NULL
+                WHEN deny = 0 THEN 1.0
+                ELSE ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                           / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
+                           + 1e-9, 4) END AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT user_id, n,
+             n*sty - st*sy AS num,
+             n*stt - st*st AS den,
+             n*syy - sy*sy AS deny
+      FROM (
+        SELECT user_id,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(t*y) AS HUGEINT) AS sty,
+               CAST(SUM(t*t) AS HUGEINT) AS stt,
+               CAST(SUM(y*y) AS HUGEINT) AS syy
+        FROM (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS t,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+          FROM events
+        ) GROUP BY 1
+      )
+    )
     """,
 )
 def q_dash_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #18b — per-station least-squares trend: slope of value
     over time (units/day) + fit quality. Single partial-aggregating
-    groupBy; regr_* are algebraic aggregates, so map-side combine
-    applies and the shuffle carries one row per station."""
+    groupBy; the sums are algebraic, so map-side combine applies and
+    the shuffle carries one row per station.
+
+    Exact-integer regression (r12): the native regr_slope/regr_r2
+    accumulate co-moments in engine-specific orders, and with
+    epoch-second x-values (~1.7e9) the cancellation noise exceeds the
+    1e-9 rounding nudge — the full-registry sf1 sweep caught 30
+    stations whose slope straddled a 4th-decimal boundary (0.2038 vs
+    0.2037). Both engines now compute Σt, Σy, Σty, Σt², Σy² as EXACT
+    integer sums (t = whole seconds since 2024-01-01 — floor on BOTH
+    engines: ts carries sub-second parts, and DuckDB's double→BIGINT
+    cast ROUNDS where Spark's unix_timestamp truncates, a 37-second
+    Σt skew on the first try; y = value in cents; per-row products fit
+    int64, group sums ride decimal(38)/HUGEINT), combine them exactly,
+    and convert the SAME integers to double for the final division —
+    bit-identical inputs to the rounding on both engines at every SF. Slope edge semantics follow
+    the SQL-standard regr_* NULLs: den=0 (zero time variance) → NULL;
+    deny=0 with den≠0 → r2 = 1.0 (the Postgres/DuckDB convention).
+    864.0 = 86400 s/day ÷ 100 cents/unit."""
     ev = load(spark, sf_dir, "events")
-    x = F.unix_timestamp("ts").cast("double")
-    return ev.groupBy("user_id").agg(
-        r4(F.regr_slope(F.col("value"), x) * 86400).alias("slope_per_day"),
-        r4(F.regr_r2(F.col("value"), x)).alias("r2"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    d38 = "decimal(38,0)"
+    t = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("bigint")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    agg = (
+        ev.select("user_id", t.alias("t"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("t").cast(d38).alias("st"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum((F.col("t") * F.col("y")).cast(d38)).alias("sty"),
+            F.sum((F.col("t") * F.col("t")).cast(d38)).alias("stt"),
+            F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+        )
+    )
+    nD = F.col("n").cast(d38)
+    num = nD * F.col("sty") - F.col("st") * F.col("sy")
+    den = nD * F.col("stt") - F.col("st") * F.col("st")
+    deny = nD * F.col("syy") - F.col("sy") * F.col("sy")
+    numd, dend, denyd = (c.cast("double") for c in (num, den, deny))
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        r4(numd / dend * F.lit(864.0))
+    )
+    r2 = (
+        F.when(den == 0, F.lit(None).cast("double"))
+        .when(deny == 0, F.lit(1.0))
+        .otherwise(r4((numd * numd) / (dend * denyd)))
+    )
+    return agg.select(
+        "user_id",
+        slope.alias("slope_per_day"),
+        r2.alias("r2"),
+        F.col("n"),
     )
 
 
@@ -242,7 +313,7 @@ def q_dash_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_anomaly_flags",
     """
     SELECT event_id, user_id, value,
-           ROUND(z + 1e-9, 4) AS zscore,
+           ROUND(z + 1e-9, 4) + 0.0 AS zscore,
            CAST(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
     FROM (
       SELECT event_id, user_id, value,
@@ -255,7 +326,12 @@ def q_dash_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_etl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #2b — per-station z-score anomaly flagging (the
     analytic cousin of the reference's IQR clipping, dag:170-177):
-    one window shuffle on the group key, flags |z| > 3."""
+    one window shuffle on the group key, flags |z| > 3.
+
+    Both sides add ``+ 0.0`` after the round: IEEE says −0.0 + 0.0 =
+    +0.0, which canonicalizes the negative zeros DuckDB's ROUND emits
+    for tiny negative z (Spark's Round never does) — the sf1 sweep
+    caught 30 rows hashing as '-0.0' vs '0.0', numerically equal."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
@@ -265,7 +341,7 @@ def q_etl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        r4(z).alias("zscore"),
+        (r4(z) + F.lit(0.0)).alias("zscore"),
         (F.abs(z) > 3).cast("int").alias("is_anomaly"),
     )
 

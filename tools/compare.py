@@ -29,6 +29,9 @@ def main() -> int:
 
     spark = get_session("compare")
     con = oracle.duck_connection(sf_dir)
+    # SPARK_GRAFT_TWIN_TIMEOUT=secs interrupts a runaway twin (the
+    # quadratic dedup oracles at sf1+); prints TIMEOUT, not FAIL
+    twin_timeout = float(os.environ.get("SPARK_GRAFT_TWIN_TIMEOUT", "0") or 0)
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
@@ -37,7 +40,8 @@ def main() -> int:
             continue
         try:
             n, problems = oracle.compare_query(
-                spark, con, fn, oracles.get(name), sf_dir
+                spark, con, fn, oracles.get(name), sf_dir,
+                twin_timeout=twin_timeout,
             )
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             print(f"FAIL {name}: {type(e).__name__}: {e}")
@@ -45,6 +49,8 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only check, {n} rows")
+        elif problems and problems[0].startswith("TIMEOUT"):
+            print(f"DNF  {name}: {problems[0]}")
         elif problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
