@@ -38,19 +38,28 @@ def kpis(
     checkpointed — negligible bytes — so the daily branch and the
     argmax branch can't re-trigger the fact scan through optimizer
     divergence (ReuseExchange does not survive per-branch column
-    pruning here). avg recombines exactly (sum-of-sums / sum-of-counts),
-    never avg-of-avgs; per-date and per-group means divide each cell's
-    own sum/count, matching the oracle's direct AVGs.
+    pruning here).
+
+    Exact-cents arithmetic throughout (r12): per-cell sums ride as
+    exact int64 cents, so every mean is the double nearest the same
+    rational on BOTH engines, the unhealthy-day test is a pure integer
+    comparison (Σcents > thr_cents·n), and the worst-group argmax can't
+    flip on float accumulation order — the full-registry sf1 sweep
+    caught two replica stations with identical value multisets whose
+    double means differed in ulps, sending each engine to a different
+    'worst' group despite the group-key tie-break.
     """
+    thr_c = int(round(unhealthy_threshold * 100))
     base = df.select(
         F.to_date(F.col(ts_col)).alias("__d"),
         F.col(group_col).alias("__g"),
         F.col(value_col).alias("__v"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint").alias("__vc"),
     )
     cells = (
         base.groupingSets([["__d"], ["__g"]], "__d", "__g")
         .agg(
-            F.sum("__v").alias("__s"),
+            F.sum("__vc").alias("__sc"),
             F.count("__v").alias("__c"),
             F.max("__v").alias("__mx"),
             F.grouping_id().alias("__gid"),  # 1 = (date) set, 2 = (group) set
@@ -60,10 +69,14 @@ def kpis(
     daily = (
         cells.filter(F.col("__gid") == 1)
         .agg(
-            r4(F.sum("__s") / F.sum("__c")).alias("avg_value"),
+            r4(
+                F.sum("__sc").cast("double")
+                / F.sum("__c").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_value"),
             r4(F.max("__mx")).alias("max_value"),
             F.sum(
-                ((F.col("__s") / F.col("__c")) > unhealthy_threshold).cast("bigint")
+                (F.col("__sc") > F.lit(thr_c) * F.col("__c")).cast("bigint")
             ).alias("days_unhealthy"),
             F.count(F.lit(1)).alias("total_days"),
         )
@@ -81,7 +94,10 @@ def kpis(
     )
     worst = (
         cells.filter(F.col("__gid") == 2)
-        .orderBy((F.col("__s") / F.col("__c")).desc(), F.col("__g").asc())
+        .orderBy(
+            (F.col("__sc").cast("double") / F.col("__c").cast("double")).desc(),
+            F.col("__g").asc(),
+        )
         .limit(1)
         .select(F.col("__g").alias("worst_group"))
     )
@@ -95,24 +111,32 @@ def kpis_sql(
     value_col: str,
     unhealthy_threshold: float = 35.4,
 ) -> str:
-    """DuckDB oracle twin of :func:`kpis`."""
+    """DuckDB oracle twin of :func:`kpis` — the same exact-cents
+    arithmetic (see the operator docstring): integer sums are
+    order-independent, so means, the threshold test, and the argmax
+    are bit-identical across engines."""
+    thr_c = int(round(unhealthy_threshold * 100))
+    y = f"CAST(floor({value_col}*100 + 0.5) AS BIGINT)"
     return f"""
     WITH overall AS (
-      SELECT ROUND(AVG({value_col}) + 1e-9, 4) AS avg_value,
+      SELECT ROUND(CAST(SUM({y}) AS DOUBLE) / COUNT(*) / 100.0 + 1e-9, 4)
+               AS avg_value,
              ROUND(MAX({value_col}) + 1e-9, 4) AS max_value
       FROM {table}
     ), daily0 AS (
-      SELECT CAST({ts_col} AS DATE) AS d, AVG({value_col}) AS m
+      SELECT CAST({ts_col} AS DATE) AS d,
+             CAST(SUM({y}) AS HUGEINT) AS sc, COUNT(*) AS c
       FROM {table} GROUP BY 1
     ), daily AS (
-      SELECT CAST(SUM(CASE WHEN m > {unhealthy_threshold} THEN 1 ELSE 0 END) AS BIGINT)
+      SELECT CAST(SUM(CASE WHEN sc > {thr_c} * c THEN 1 ELSE 0 END) AS BIGINT)
                AS days_unhealthy,
              CAST(COUNT(*) AS BIGINT) AS total_days
       FROM daily0
     ), worst AS (
       SELECT {group_col} AS worst_group
       FROM {table} GROUP BY {group_col}
-      ORDER BY AVG({value_col}) DESC, {group_col} ASC LIMIT 1
+      ORDER BY CAST(SUM({y}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) DESC,
+               {group_col} ASC LIMIT 1
     )
     SELECT overall.avg_value, overall.max_value,
            daily.days_unhealthy, daily.total_days,

@@ -137,10 +137,20 @@ def winsorize_profile(events: DataFrame, p_lo: float = 0.05, p_hi: float = 0.95)
     Plan: one groupBy computes the per-type percentile bounds (exact
     here; `percentile_approx` is the documented 100 TB drop-in), the
     tiny bounds relation broadcasts back onto the fact, and a second
-    partial-agg groupBy on the same key produces the profile."""
+    partial-agg groupBy on the same key produces the profile.
+
+    The bounds snap to a 1e-6 grid on BOTH engines: values are
+    2-decimal and the interpolation fraction p·(n−1) has two decimals,
+    so the true percentile has ≤ 4 — but Spark's percentile() and
+    DuckDB's quantile_cont() interpolate with different internal
+    arithmetic, and on sf1's 100×-duplicated values the ~1e-9 cutoff
+    noise flipped 50 boundary rows in/out of the clip counts (caught
+    by the r12 full-registry sf1 sweep). floor(x·1e6 + 0.5)/1e6 lands
+    both engines on the identical double."""
+    snap = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
     bounds = events.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {p_lo})").alias("__lo"),
-        F.expr(f"percentile(value, {p_hi})").alias("__hi"),
+        snap(F.expr(f"percentile(value, {p_lo})")).alias("__lo"),
+        snap(F.expr(f"percentile(value, {p_hi})")).alias("__hi"),
     ).withColumnRenamed("event_type", "__et")
     capped = events.join(
         F.broadcast(bounds), events.event_type == F.col("__et")
@@ -178,8 +188,10 @@ SELECT event_type,
              / COUNT(*) + 1e-9, 4) AS winsorized_mean
 FROM (
   SELECT event_type, value,
-         quantile_cont(value, {p_lo}) OVER (PARTITION BY event_type) AS lo,
-         quantile_cont(value, {p_hi}) OVER (PARTITION BY event_type) AS hi
+         floor(quantile_cont(value, {p_lo}) OVER (PARTITION BY event_type)
+               * 1000000 + 0.5) / 1000000.0 AS lo,
+         floor(quantile_cont(value, {p_hi}) OVER (PARTITION BY event_type)
+               * 1000000 + 0.5) / 1000000.0 AS hi
   FROM events
 )
 GROUP BY event_type

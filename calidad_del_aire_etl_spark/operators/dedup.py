@@ -659,9 +659,22 @@ COSINE_SPARK = (
     " * sqrt(aggregate(transform({b}, x -> x * x), cast(0 as double), (acc, x) -> acc + x)))"
 )
 
+# NOT list_dot_product: DuckDB's native kernel accumulates FLOAT[]
+# dots in float32 (SIMD order), while COSINE_SPARK multiplies in
+# float32 and ACCUMULATES IN DOUBLE sequentially — on sf1's
+# near-identical replica vectors the ~1e-8 gap crosses 4th-decimal
+# rounding boundaries (caught by the r12 full-registry sf1 sweep:
+# vec pair (9, 18009) scores 0.99974986 vs 0.99975002, rounding to
+# 0.9997 vs 0.9998). The sequential-reduce form below reproduces
+# Spark's arithmetic bit-for-bit: per-element float32 product, cast
+# to double, left-fold accumulation.
 COSINE_DUCK = (
-    "list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> CAST(x * x AS DOUBLE)),"
+    " (acc, x) -> acc + x))"
+    " * sqrt(list_reduce(list_transform({b}, x -> CAST(x * x AS DOUBLE)),"
+    " (acc, x) -> acc + x)))"
 )
 
 

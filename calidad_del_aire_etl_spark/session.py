@@ -76,6 +76,15 @@ def get_session(app_name: str = "calidad_del_aire_etl_spark") -> SparkSession:
         # CompressedOops). 16 GB ≈ 0.5 GB per task thread is the measured
         # sweet spot on this 32-thread/128 GiB box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The oracle comparator collects full results via toPandas; at
+        # sf1 the 15-min resample grid serializes past the 1g default
+        # (1.3 GiB, task results only — operators themselves never
+        # collect). 4g on a 128 GiB box; irrelevant on a real cluster
+        # where the driver never sees result data.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         # Progress bars write \r-frames to stdout; under the bench driver's
         # bounded stdout-tail capture they competed with (and in round 4
