@@ -89,3 +89,62 @@ def test_sweep_catches_an_injected_mismatch(spark, duck):
     assert broken != _ORACLES["etl_daily_summary"]
     n, problems = oracle.compare_query(spark, duck, fn, broken, SF)
     assert problems, "comparator failed to flag a wrong oracle"
+
+
+def test_norm_frame_canonicalizes_negative_zero():
+    """Numerically-equal frames must hash equal: DuckDB's ROUND emits
+    −0.0 where Spark's never does (r12 sf1 sweep class #2)."""
+    import pandas as pd
+
+    a = pd.DataFrame({"x": [0.0, 1.5, float("nan")]})
+    b = pd.DataFrame({"x": [-0.0, 1.5, float("nan")]})
+    assert oracle.value_hash(a) == oracle.value_hash(b)
+    # sign canonicalization must not perturb real values or NaNs
+    n = oracle.norm_frame(b.copy())
+    assert str(n["x"][0]) == "0.0" and n["x"][1] == 1.5
+    assert n["x"].isna()[2]
+
+
+def test_cosine_twins_bit_identical_on_float32(spark, duck):
+    """The r12 sf1 sweep's class-#3 lesson, pinned at unit scale: the
+    DuckDB cosine twin must reproduce Spark's float32-product /
+    double-sequential-accumulation fold bit-for-bit on float32 vectors
+    whose pairwise-order dot differs (the old list_dot_product form
+    diverged at the 8th decimal on exactly such inputs)."""
+    import numpy as np
+    import pandas as pd
+    import duckdb
+
+    from calidad_del_aire_etl_spark.operators.dedup import (
+        COSINE_DUCK,
+        COSINE_SPARK,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(20):
+        v = rng.uniform(-1, 1, 64).astype(np.float32)
+        w = (v + rng.uniform(-0.005, 0.005, 64).astype(np.float32)).astype(
+            np.float32
+        )
+        rows.append((i, [float(x) for x in v], [float(x) for x in w]))
+    pdf = pd.DataFrame(rows, columns=["i", "a", "b"])
+    sdf = spark.createDataFrame(pdf, "i long, a array<float>, b array<float>")
+    got = {
+        r["i"]: r["c"]
+        for r in sdf.selectExpr(
+            "i", f"{COSINE_SPARK.format(a='a', b='b')} AS c"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("pairs_pd", pdf)
+    con.execute(
+        "CREATE VIEW pairs AS SELECT i, CAST(a AS FLOAT[]) AS a,"
+        " CAST(b AS FLOAT[]) AS b FROM pairs_pd"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT i, {COSINE_DUCK.format(a='a', b='b')} FROM pairs"
+        ).fetchall()
+    )
+    assert got == want  # exact float equality, not approx
