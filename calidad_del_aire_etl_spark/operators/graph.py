@@ -36,27 +36,18 @@ def pagerank(
     callers pass graphs where every node has out-edges — the bipartite
     order graph below is symmetrized, which guarantees it).
 
-    Returns (node, rank) with rank rounded to 4 decimals.
-
-    r12: the degree join is hoisted OUT of the loop and the joined
-    edge relation is hash-partitioned on the probe key before the
-    persist — the old loop re-joined ``deg`` and re-exchanged the
-    full edge relation every round (its cached partitioning was the
-    distinct()'s (src, dst) hash, useless for a src-keyed join), so
-    10 iterations paid 10 edge exchanges. Now each round exchanges
-    only the node-sized rank relation plus the contribs groupBy — the
-    one algorithmic shuffle. Per-row arithmetic (rank / out_deg) is
-    unchanged, so ranks stay value-identical to the twin."""
+    Returns (node, rank) with rank rounded to 4 decimals."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e2 = e.join(deg, "src").repartition("src").persist()
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # one scalar to the driver, by design
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (
-            e2.join(ranks, e2.src == ranks.node)
+            e.join(deg, "src")
+            .join(ranks, e.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
         )
         new_ranks = contribs.groupBy("node").agg(
@@ -69,7 +60,8 @@ def pagerank(
     out = ranks.select("node", r4(F.col("rank")).alias("rank")).orderBy(
         F.col("rank").desc(), F.col("node").asc()
     )
-    e2.unpersist()
+    e.unpersist()
+    deg.unpersist()
     return out
 
 
