@@ -261,6 +261,26 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
         "tpch_q19_disjunctive", "tpch_q22_inactive", "tpch_q8_mktshare",
         "window_funnel",
     }),
+    # round 12 (50 keys, from CORRECTNESS_r12.json)
+    frozenset({
+        "ann_ivfpq_topk", "ann_pq_topk", "asof_join_purchases",
+        "basket_affinity", "conversion_attribution", "corpus_domain_quota",
+        "corpus_split_decontaminated", "corpus_unigram_logprob",
+        "corpus_weighted_sample", "dash_spearman_matrix", "dash_trend_slope",
+        "dedup_cluster_star", "dedup_fuzzy_pairs", "docs_full_pipeline",
+        "etl_anomaly_flags", "etl_full_pipeline", "etl_interpolate",
+        "etl_outlier_mad", "etl_rollup_multigrain", "etl_upsert_merge",
+        "events_cusum_alarms", "graph_triangles", "heavy_hitters_topk",
+        "mm_binary_meta", "mm_feature_extract", "pivot_event_types",
+        "seasonal_anomaly", "sessionize", "share_of_total", "skew_salted_join",
+        "text_fingerprint", "text_lang_id", "text_normalize",
+        "text_quality_score", "text_readability", "text_token_count",
+        "topk_per_group", "tpch_q10_returned", "tpch_q11_important",
+        "tpch_q13_custdist", "tpch_q1_pricing", "tpch_q20_excess",
+        "tpch_q21_waiting", "tpch_q2_min_cost", "tpch_q3_shipping",
+        "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
+        "tpch_q7_volume", "tpch_q9_profit",
+    }),
 ]
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)
@@ -268,6 +288,14 @@ _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)
 # keys of the external 50-key window set aside for re-checking the
 # stalest previously-sampled queries (see _ordered_specs)
 _REFRESH_SLICE = 5
+
+# Keys force-hoisted to the FRONT of the external window regardless of
+# rotation age.  Used when a key needs an out-of-turn external re-check —
+# e.g. tpch_q19_disjunctive: its latest driver entry is the r11 hash FAIL,
+# the 3c0133d fix is proven by the in-repo sf0.001-escalated and sf1
+# sweeps, but the bar is a green external row (VERDICT r12 task #2).
+# Remove a key from this tuple once its green external entry is ingested.
+_PINNED_FOR_RECHECK = ("tpch_q19_disjunctive",)
 
 
 def _ordered_specs() -> list[QuerySpec]:
@@ -293,11 +321,14 @@ def _ordered_specs() -> list[QuerySpec]:
     # refreshing every round instead of only after the fresh pool runs
     # dry — a regression in a round-1 query would otherwise be visible
     # only to the in-repo oracle sweep until round 7+ (ADVICE r5).
+    pinned = [s for s in _SPECS if s.name in _PINNED_FOR_RECHECK]
+    seen = [s for s in seen if s.name not in _PINNED_FOR_RECHECK]
     refresh = seen[:_REFRESH_SLICE]
     rest = seen[_REFRESH_SLICE:]
     fresh = fresh_oracle + fresh_rows_only
-    window_fresh = fresh[: max(0, 50 - len(refresh))]
-    return window_fresh + refresh + fresh[max(0, 50 - len(refresh)):] + rest
+    budget = max(0, 50 - len(refresh) - len(pinned))
+    window_fresh = fresh[:budget]
+    return pinned + window_fresh + refresh + fresh[budget:] + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -113,6 +113,12 @@ def test_driver_sample_window_rotates_to_fresh_queries():
 
     q = list(registry.queries())
     oracles = registry.oracle_sql()
+    # force-hoisted re-check keys (VERDICT r12 #2) lead the window,
+    # ahead of even the fresh block; strip them before checking the
+    # rotation invariants on the rest
+    pinned = list(registry._PINNED_FOR_RECHECK)
+    assert q[:len(pinned)] == pinned
+    q = q[len(pinned):]
     fresh = [
         s.name for s in registry._SPECS
         if s.name not in registry._DRIVER_SAMPLED
@@ -139,9 +145,10 @@ def test_driver_sample_window_rotates_to_fresh_queries():
         assert all(k in registry._DRIVER_SAMPLED for k in refresh)
     # the rotation is a permutation: every registered spec is present
     # exactly once, and every oracle key is a registered query
-    assert sorted(q) == sorted({s.name for s in registry._SPECS})
-    assert len(q) == len({s.name for s in registry._SPECS})
-    assert set(oracles) <= set(q)
+    q_full = pinned + q
+    assert sorted(q_full) == sorted({s.name for s in registry._SPECS})
+    assert len(q_full) == len({s.name for s in registry._SPECS})
+    assert set(oracles) <= set(q_full)
 
 
 def test_ingest_correctness_tool_is_idempotent():
