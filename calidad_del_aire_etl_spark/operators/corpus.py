@@ -1826,9 +1826,15 @@ def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 6) -> DataFrame:
     (combiner-backed groupBy, two small shuffles) and collects exactly
     ONE argmax row to the driver — merge-table-sized driver traffic,
     never corpus-sized. The winning pair broadcasts back as two literals
-    in a `replace` projection; `localCheckpoint` keeps each round's plan
-    round-sized. Ties break on (count desc, left asc, right asc) so both
-    engines pick the identical merge at every step."""
+    in a `replace` projection CHAINED onto the once-checkpointed vocab:
+    a round-i scan replays i-1 narrow string replaces (fused into the
+    checkpoint scan, vocab-sized CPU) instead of materializing a new
+    checkpoint per round — the r11→r12 bench drift adjudication showed
+    this loop's wall is dominated by its sequential job-launch floor
+    (13 jobs: 6 argmax + 7 localCheckpoints), so halving the job count
+    beats saving the replay. Ties break on (count desc, left asc,
+    right asc) so both engines pick the identical merge at every
+    step."""
     toks = _TOKS.format(t=text_col)
     words = df.select(F.explode(F.expr(toks)).alias("w")).filter(F.col("w") != "")
     wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
@@ -1866,7 +1872,7 @@ def bpe_merges(df: DataFrame, text_col: str, n_merges: int = 6) -> DataFrame:
         rep = f"{_BPE_S1}{a}{b}{_BPE_S2}"
         vocab = vocab.select(
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "wf"
-        ).localCheckpoint()
+        )
     return df.sparkSession.createDataFrame(
         rows,
         "step int, pair_left string, pair_right string, "
