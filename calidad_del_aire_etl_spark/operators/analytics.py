@@ -114,18 +114,25 @@ def kpis_sql(
     """DuckDB oracle twin of :func:`kpis` — the same exact-cents
     arithmetic (see the operator docstring): integer sums are
     order-independent, so means, the threshold test, and the argmax
-    are bit-identical across engines."""
+    are bit-identical across engines.
+
+    Denominators are ``COUNT({value_col})`` — the non-NULL count —
+    matching the Spark side's ``F.count("__v")``; ``COUNT(*)`` would
+    silently diverge on NULL-bearing value columns (the schema
+    anticipates them: etl_validation_report measures null_percentage),
+    in the overall avg, the unhealthy-day test, and the worst-group
+    argmax (ADVICE r12)."""
     thr_c = int(round(unhealthy_threshold * 100))
     y = f"CAST(floor({value_col}*100 + 0.5) AS BIGINT)"
     return f"""
     WITH overall AS (
-      SELECT ROUND(CAST(SUM({y}) AS DOUBLE) / COUNT(*) / 100.0 + 1e-9, 4)
+      SELECT ROUND(CAST(SUM({y}) AS DOUBLE) / COUNT({value_col}) / 100.0 + 1e-9, 4)
                AS avg_value,
              ROUND(MAX({value_col}) + 1e-9, 4) AS max_value
       FROM {table}
     ), daily0 AS (
       SELECT CAST({ts_col} AS DATE) AS d,
-             CAST(SUM({y}) AS HUGEINT) AS sc, COUNT(*) AS c
+             CAST(SUM({y}) AS HUGEINT) AS sc, COUNT({value_col}) AS c
       FROM {table} GROUP BY 1
     ), daily AS (
       SELECT CAST(SUM(CASE WHEN sc > {thr_c} * c THEN 1 ELSE 0 END) AS BIGINT)
@@ -135,7 +142,7 @@ def kpis_sql(
     ), worst AS (
       SELECT {group_col} AS worst_group
       FROM {table} GROUP BY {group_col}
-      ORDER BY CAST(SUM({y}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) DESC,
+      ORDER BY CAST(SUM({y}) AS DOUBLE) / CAST(COUNT({value_col}) AS DOUBLE) DESC,
                {group_col} ASC LIMIT 1
     )
     SELECT overall.avg_value, overall.max_value,

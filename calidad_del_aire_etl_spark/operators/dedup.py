@@ -668,6 +668,13 @@ COSINE_SPARK = (
 # 0.9997 vs 0.9998). The sequential-reduce form below reproduces
 # Spark's arithmetic bit-for-bit: per-element float32 product, cast
 # to double, left-fold accumulation.
+#
+# PRECONDITIONS (ADVICE r12): {a}/{b} must be NON-EMPTY, non-NULL,
+# equal-length lists — list_reduce raises on an empty list where the
+# old list_dot_product returned NULL — and each placeholder is
+# textually substituted SEVERAL times, so pass column references, not
+# expensive subexpressions. Both hold for the fixed-dimension
+# embedding columns this macro is used with.
 COSINE_DUCK = (
     "list_reduce(list_transform(generate_series(1, len({a})),"
     " i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (acc, x) -> acc + x)"

@@ -68,22 +68,30 @@ def duck_connection(sf_dir: str):
     return con
 
 
-def degenerate_result(con, sql: str) -> bool:
-    """True when the oracle's answer at this SF can't discriminate a
-    wrong implementation: zero rows, or every numeric cell NULL (e.g.
-    TPC-H Q19's selective branches match 0 lineitems at sf0.001, so
-    both engines return one all-NULL row and the hash compare passes
+def degenerate_frame(df) -> bool:
+    """True when an oracle answer can't discriminate a wrong
+    implementation: zero rows, or every numeric cell NULL (e.g. TPC-H
+    Q19's selective branches match 0 lineitems at sf0.001, so both
+    engines return one all-NULL row and the hash compare passes
     vacuously — the round-11 10^4x revenue bug shipped through exactly
     this hole)."""
-    df = con.execute(sql).df()
     if len(df) == 0:
         return True
     num = df.select_dtypes(include=["number"])
     return num.shape[1] > 0 and bool(num.isna().all().all())
 
 
+def degenerate_result(con, sql: str) -> bool:
+    """:func:`degenerate_frame` over a freshly-executed twin. Prefer
+    passing ``out=`` to :func:`compare_query` and checking the frame it
+    already fetched — re-running the twin doubles its cost for nothing
+    (ADVICE r12; the quadratic dedup twins make that painful)."""
+    return degenerate_frame(con.execute(sql).df())
+
+
 def compare_query(
-    spark, con, fn, oracle: str | None, sf_dir: str, twin_timeout: float = 0.0
+    spark, con, fn, oracle: str | None, sf_dir: str, twin_timeout: float = 0.0,
+    out: dict | None = None,
 ) -> tuple[int, list[str]]:
     """Run one query on both engines; return (spark_rows, problems) —
     empty problems = parity. ``oracle=None`` degrades to a rows-only
@@ -92,7 +100,11 @@ def compare_query(
     ``TIMEOUT`` problem — a DNF is information, not a mismatch; callers
     should count it separately. The timed path uses a fresh connection
     so a Timer firing between fetch and cancel can't leave a pending
-    interrupt on the shared one (the tools/baseline.py lesson)."""
+    interrupt on the shared one (the tools/baseline.py lesson).
+
+    Pass a dict as ``out`` to receive ``out["oracle_df"]`` — the raw
+    (pre-normalization) twin frame — so callers needing a degeneracy
+    check (:func:`degenerate_frame`) don't re-execute the twin."""
     sdf = fn(spark, sf_dir).toPandas()
     if oracle is None:
         return len(sdf), []
@@ -113,6 +125,8 @@ def compare_query(
             qcon.close()
     else:
         ddf = con.execute(oracle).df()
+    if out is not None:
+        out["oracle_df"] = ddf.copy()
     sdf, ddf = norm_frame(sdf), norm_frame(ddf)
     problems: list[str] = []
     if len(sdf) != len(ddf):

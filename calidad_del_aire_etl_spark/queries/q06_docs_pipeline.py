@@ -268,7 +268,11 @@ def q_dash_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σt skew on the first try; y = value in cents; per-row products fit
     int64, group sums ride decimal(38)/HUGEINT), combine them exactly,
     and convert the SAME integers to double for the final division —
-    bit-identical inputs to the rounding on both engines at every SF. Slope edge semantics follow
+    identical up to the integer→double conversion itself (Spark's
+    decimal(38)→double is correctly rounded; DuckDB's HUGEINT→double
+    composes upper·2^64 + lower in double arithmetic, so co-moments
+    past 2^53 may differ 1 ulp — relative ~1e-16, absorbed by the 1e-9
+    nudge). Slope edge semantics follow
     the SQL-standard regr_* NULLs: den=0 (zero time variance) → NULL;
     deny=0 with den≠0 → r2 = 1.0 (the Postgres/DuckDB convention).
     864.0 = 86400 s/day ÷ 100 cents/unit."""

@@ -48,24 +48,29 @@ def duck_esc():
 @pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_hash_parity(spark, duck, duck_esc, name):
+    # out= hands back the twin frame the comparison already fetched, so
+    # the degeneracy check costs no second twin execution (ADVICE r12 —
+    # the quadratic dedup twins made the re-run painful)
+    got: dict = {}
     n, problems = oracle.compare_query(
-        spark, duck, _QUERIES[name], _ORACLES[name], SF
+        spark, duck, _QUERIES[name], _ORACLES[name], SF, out=got
     )
     assert not problems, f"{name}: {'; '.join(problems)}"
-    if oracle.degenerate_result(duck, _ORACLES[name]):
+    if oracle.degenerate_frame(got["oracle_df"]):
         # Vacuous pass at the sweep SF — re-prove at the larger SF
         # where the answer actually discriminates.
-        assert not oracle.degenerate_result(duck_esc, _ORACLES[name]), (
-            f"{name}: oracle result degenerate at BOTH {SF} and {SF_ESC} — "
-            "the parity sweep proves nothing for this query; pin it with "
-            "a non-degenerate fixture or a dedicated test"
-        )
+        got_esc: dict = {}
         n, problems = oracle.compare_query(
-            spark, duck_esc, _QUERIES[name], _ORACLES[name], SF_ESC
+            spark, duck_esc, _QUERIES[name], _ORACLES[name], SF_ESC, out=got_esc
         )
         assert not problems, (
             f"{name} (escalated to {SF_ESC}; degenerate at {SF}): "
             f"{'; '.join(problems)}"
+        )
+        assert not oracle.degenerate_frame(got_esc["oracle_df"]), (
+            f"{name}: oracle result degenerate at BOTH {SF} and {SF_ESC} — "
+            "the parity sweep proves nothing for this query; pin it with "
+            "a non-degenerate fixture or a dedicated test"
         )
 
 
