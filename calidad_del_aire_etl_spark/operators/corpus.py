@@ -1949,28 +1949,46 @@ def span_dedup_emit(
       the survivor);
     - ``keep`` — no cross-document duplicated span at all.
 
-    Plan (r12 single-pass rewrite): the span stream is consumed
-    EXACTLY ONCE — posexplode stride-1 spans, dup_spans' one-exchange
-    window verdict (``min(id) != max(id)`` over the span-hash group;
-    replaces the round-9 per-span distinct count + join-back), filter
-    to the duplicated positions only, then one interval-union window
-    per doc whose rollup yields BOTH ``n_dup_spans`` (row count) and
-    ``dup_chars`` (running-max new-coverage sum, all integers, so both
-    engines agree exactly). ``n_spans`` never rides the span stream at
-    all: it is ``greatest(len - span_len + 1, 1)`` straight from the
-    narrow doc relation, which joins the per-doc rollup at doc grain.
-    The round-9 shape aggregated the full span stream a second time
-    for the totals (two 133 M-row exchange+sorts at sf10: ~106 s warm,
-    93.6 s fresh best-of-2 vs the twin's 42.7 s → 2.19×); this shape
-    pays the big exchange once (51.9 s fresh vs 37.3 s → 1.39×;
-    sf0.1 0.99×), same hash output. Linear in corpus bytes,
-    self-join-free."""
+    Plan (r13 sort-free rewrite; the r12 one-window shape measured
+    51.9 s fresh at sf10 vs the twin's 37.3 s → 1.39×, and its
+    decomposition showed BOTH exchanges paying a 135 M-row SORT — the
+    h-window sorts the whole span stream, then the per-doc coverage
+    window sorts every duplicated position again):
+
+    1. the span stream (id, pos, h) is persisted once
+       (MEMORY_AND_DISK; ~20 B/row — doc_len deliberately does NOT
+       ride it, it re-joins at doc grain);
+    2. duplicated hashes come from a combiner-backed hash AGGREGATE
+       (``min(id) != max(id)`` per h — no sort; distinct-h partials
+       only on the wire, 1.77 M distinct vs 135 M spans at sf10);
+    3. that dup-hash relation broadcasts back as a LEFT SEMI filter
+       over the persisted stream (1.32 M keys ≈ 10 MB at sf10 — the
+       hot-shingle broadcast discipline; at corpus scales where the
+       dup-hash set outgrows the broadcast ceiling, drop the hint and
+       AQE degrades this to a shuffle join, still sort-free — measured
+       55.2 s vs 45.5 s at sf10);
+    4. each doc's surviving positions pack MAP-SIDE into one
+       ``collect_list`` partial (a doc's spans never straddle
+       partitions — posexplode is narrow), so the only doc-grain
+       exchange carries ONE row per doc; ``sort_array`` (unique
+       positions, deterministic) + an ``aggregate`` lambda fold the
+       interval union per doc — integer arithmetic, identical on both
+       engines. The per-doc array is bounded by doc length, the same
+       bound the old coverage window's id-partition carried.
+
+    ``n_spans`` never rides the span stream at all: it is
+    ``greatest(len - span_len + 1, 1)`` straight from the narrow doc
+    relation, which joins the per-doc rollup at doc grain. Fresh sf10:
+    39.8–40.7 s vs twin 37.3 s → **1.07×** (was 1.39×); same hash
+    output. Linear in corpus bytes, self-join-free."""
+    from pyspark import StorageLevel
+
     spans_expr = (
         f"transform(sequence(1, greatest(char_length({text_col}) - {span_len - 1}, 1), 1), "
         f"s -> cast(conv(substr(md5(cast(substring({text_col}, s, {span_len}) as binary)), 1, 15), 16, 10) as bigint))"
     )
     # NULL text drops at the scan (the old inner join on the span hash
-    # did it implicitly; the window would keep NULL-hash rows)
+    # did it implicitly; the aggregate would keep NULL-hash rows)
     docs = df.filter(F.col(text_col).isNotNull())
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -1982,45 +2000,34 @@ def span_dedup_emit(
     )
     sp = docs.select(
         F.col(id_col).alias("id"),
-        F.char_length(F.col(text_col)).cast("bigint").alias("doc_len"),
         F.posexplode(F.expr(spans_expr)).alias("pos", "h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dup_h = (
+        sp.groupBy("h")
+        .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("h")
     )
-    wdup = Window.partitionBy("h")
-    dups = (
-        sp.select(
-            "id", "doc_len", (F.col("pos") + 1).alias("cpos"),
-            (F.min("id").over(wdup) != F.max("id").over(wdup)).alias("__dup"),
-        )
-        .filter(F.col("__dup"))
-        .select(
-            "id",
-            "cpos",
-            F.least(
-                F.col("cpos") + F.lit(span_len - 1), F.col("doc_len")
-            ).alias("iend"),
-        )
+    packed = (
+        sp.join(F.broadcast(dup_h), "h", "leftsemi")
+        .select("id", (F.col("pos") + 1).alias("cpos"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("cpos")).alias("cps"))
     )
-    w = Window.partitionBy("id").orderBy("cpos").rowsBetween(
-        Window.unboundedPreceding, -1
+    iend = f"least(c + {span_len - 1}, doc_len)"
+    union_fold = (
+        f"aggregate(cps, struct(CAST(0 AS BIGINT) AS dc, CAST(0 AS BIGINT) AS pe), "
+        f"(acc, c) -> struct("
+        f"acc.dc + greatest(CAST(0 AS BIGINT), {iend} - greatest(c - 1, acc.pe)), "
+        f"greatest(acc.pe, {iend})), "
+        f"acc -> acc.dc)"
     )
-    cov = dups.withColumn("prev_end", F.max("iend").over(w)).select(
-        "id",
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.col("iend")
-            - F.greatest(F.col("cpos") - 1, F.coalesce(F.col("prev_end"), F.lit(0))),
-        ).alias("contrib"),
-    )
-    rollup = cov.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-        F.sum("contrib").cast("bigint").alias("dup_chars"),
-    )
-    out = base.join(rollup, "id", "left").select(
+    out = base.join(packed, "id", "left").select(
         "id",
         "doc_len",
         "n_spans",
-        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
-        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias("dup_chars"),
+        F.coalesce(F.size("cps"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce(F.expr(union_fold), F.lit(0)).cast("bigint").alias("dup_chars"),
     )
     frac = r4(F.col("dup_chars").cast("double") / F.col("doc_len").cast("double"))
     return out.select(
