@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ann import _np_round4, _sql_type
+from ..functions import r4
+from .ann import _sql_type
 
 
 def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
@@ -73,32 +74,25 @@ def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
 
 def _score_pairs(pairs: DataFrame, left: str, right: str,
                  id_t: str) -> DataFrame:
-    """Arrow-batched cosine for (left, right, v, nv) pair rows: one
-    einsum per batch, r4-rounded like every other scored site. Returns
-    (left, right, cosine)."""
+    """JVM-side cosine for (left, right, v, nv) pair rows via the
+    COSINE_SPARK fold (float32 products, sequential double
+    accumulation), r4-rounded like every other scored site. Returns
+    (left, right, cosine).
 
-    def _score(it):
-        import numpy as np
-        import pandas as pd
+    r13: was an Arrow ``mapInPandas`` einsum — correct, but every beam
+    hop then paid a Python-worker round trip (the insert-path
+    decomposition charged ~1.4 s/hop of pure exchange-with-Python at
+    sf0.1), and its float64 products only matched the family's
+    COSINE_DUCK twins up to the 1e-9 nudge. The expression form stays
+    inside the JVM stage AND is bit-identical to COSINE_DUCK by the
+    pinned test (test_cosine_twins_bit_identical_on_float32).
+    ``id_t`` is kept for signature compatibility (the mapInPandas
+    schema needed it; column expressions don't)."""
+    del id_t
+    from .dedup import COSINE_SPARK
 
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            V = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
-            W = np.vstack(pdf["nv"].map(lambda x: np.asarray(x, dtype=np.float64)))
-            num = np.einsum("ij,ij->i", V, W)
-            den = np.sqrt(np.einsum("ij,ij->i", V, V)) * np.sqrt(
-                np.einsum("ij,ij->i", W, W)
-            )
-            yield pd.DataFrame({
-                left: pdf[left].values,
-                right: pdf[right].values,
-                "cosine": _np_round4(num / den),
-            })
-
-    return pairs.mapInPandas(
-        _score, f"{left} {id_t}, {right} {id_t}, cosine double"
-    )
+    cos = F.expr(COSINE_SPARK.format(a="v", b="nv"))
+    return pairs.select(left, right, r4(cos).alias("cosine"))
 
 
 def hub_sample(base: DataFrame, n_hubs: int) -> DataFrame:
@@ -654,8 +648,6 @@ def graph_recall_eval(
         .cast("bigint")
         .alias("n_hits"),
     )
-    from .ann import r4
-
     return per_q.select(
         "query_id",
         "n_exact",
