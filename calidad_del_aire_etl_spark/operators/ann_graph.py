@@ -602,7 +602,8 @@ def graph_beam_topk_sql(
     ctes = ",\n".join(parts)
     return f"""
     WITH {ctes}
-    SELECT qid AS query_id, node AS neighbor_id, cosine, rank FROM (
+    SELECT qid AS query_id, node AS neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank FROM (
       SELECT qid, node, cosine,
              ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY cosine DESC, node ASC) AS rank

@@ -112,6 +112,17 @@ def heavy_hitters_exact_sql(table: str, col: str, k: int = 10) -> str:
     """
 
 
+def _hll_params(lg_k: int) -> tuple[int, int, float, float]:
+    """(m, rho_max, alpha·m²·2^50 numerator, 2.5·m threshold) for the
+    classic HLL estimator (Flajolet, Fusy, Gandouet & Meunier 2007)
+    over a 60-bit md5-prefix hash: bucket = low lg_k bits, rho = leading
+    zeros of the remaining (60 − lg_k)-bit word + 1 ≤ rho_max."""
+    m = 1 << lg_k
+    rho_max = 60 - lg_k + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return m, rho_max, alpha * m * m * float(1 << 50), 2.5 * m
+
+
 def hll_reaggregate(
     df: DataFrame,
     ts_col: str,
@@ -120,33 +131,134 @@ def hll_reaggregate(
     lg_k: int = 12,
 ) -> DataFrame:
     """Mergeable-sketch distinct counting, the 100 TB replacement for
-    COUNT(DISTINCT): build ONE Datasketches HLL sketch per (day, group)
-    cell — these partials are what a lakehouse persists alongside daily
-    rollups — then answer the month×group question by UNIONING the
-    daily sketches, never rescanning the fact. The test proves the
+    COUNT(DISTINCT): build ONE HLL register set per (day, group) cell —
+    these partials are what a lakehouse persists alongside daily
+    rollups — then answer the month×group question by MAX-merging the
+    daily registers, never rescanning the fact. The test proves the
     re-aggregated estimate tracks the exact month-level distinct count
-    (tolerance ~2 % at lg_k=12), which is exactly the property that
-    lets a 1000-executor fleet maintain rolling distincts with
-    day-sized increments.
+    (5 % tolerance at lg_k=12), which is exactly the property that lets
+    a 1000-executor fleet maintain rolling distincts with day-sized
+    increments.
 
-    Sketch bytes are engine-specific, so there is no DuckDB twin
-    (rows-only gate); the accuracy guarantee lives in pytest.
+    From-scratch HLL (r13, VERDICT r12 #7 — was Datasketches
+    ``hll_sketch_agg``, whose sketch bytes are engine-specific and
+    forced a rows-only gate): the registers are plain (bucket,
+    max-rho) rows and every estimator step is integer or
+    literal-identical float arithmetic, so the DuckDB twin replays it
+    bit-for-bit — a FULL hash-parity gate now.
+
+    - hash: the engines' shared 60-bit md5-prefix bigint;
+    - bucket = h mod m (m = 2^lg_k); w = h >> lg_k;
+      rho = (60−lg_k) − bitlength(w) + 1, via ``length(bin(w))`` —
+      integer-exact on both engines, no float log2;
+    - per-cell register = MAX(rho) (groupBy — map-side combined;
+      the partial per (day, group) is bounded at m rows);
+    - month merge = MAX over days per (month, group, bucket) — the
+      true HLL union;
+    - estimate: Σ 2^(−rho) scaled EXACTLY by 2^50 into int64
+      (rho ≤ 49 ⇒ the shift never truncates; absent buckets add
+      2^50 each), so the only doubles are the final division by the
+      SAME integer and the literal α·m²·2^50 — identical text on
+      both engines; linear counting (m·ln(m/V)) below 2.5m with
+      V > 0 zero registers, per the paper.
     """
-    daily = df.groupBy(
-        F.to_date(F.col(ts_col)).alias("d"), F.col(group_col).alias("g")
-    ).agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sk"))
-    monthly = (
-        daily.groupBy(
-            F.date_format("d", "yyyy-MM").alias("month"), F.col("g").alias(group_col)
+    m, rho_max, num, thresh = _hll_params(lg_k)
+    h = (
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) "
+        f"as bigint)"
+    )
+    rho = (
+        f"CASE WHEN __h < {m} THEN {rho_max} "
+        f"ELSE {rho_max} - length(bin(__h div {m})) END"
+    )
+    pts = df.filter(F.col(id_col).isNotNull()).select(
+        F.to_date(F.col(ts_col)).alias("d"),
+        F.date_format(F.col(ts_col), "yyyy-MM").alias("month"),
+        F.col(group_col).alias("g"),
+        F.expr(h).alias("__h"),
+    )
+    daily = (
+        pts.select(
+            "month", "d", "g",
+            F.expr(f"__h % {m}").alias("bucket"),
+            F.expr(rho).cast("int").alias("rho"),
         )
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
-                "est_distinct"
-            ),
-            F.count(F.lit(1)).cast("bigint").alias("days_merged"),
-        )
+        .groupBy("month", "d", "g", "bucket")
+        .agg(F.max("rho").alias("r"))
+        # two consumers (register merge, day count) — checkpoint so the
+        # fact scan + daily registers run once, not per consumer
+        .localCheckpoint(eager=False)
+    )
+    regs_m = daily.groupBy("month", "g", "bucket").agg(F.max("r").alias("r"))
+    est = regs_m.groupBy("month", "g").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - r)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 50)
+        ).cast("bigint").alias("S"),
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("V"),
+    )
+    e_raw = f"{num!r} / CAST(S AS DOUBLE)"
+    e = (
+        f"CASE WHEN {e_raw} <= {thresh!r} AND V > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / V) ELSE {e_raw} END"
+    )
+    days = daily.groupBy("month", "g").agg(
+        F.count_distinct("d").cast("bigint").alias("days_merged")
+    )
+    monthly = est.join(days, ["month", "g"]).select(
+        "month",
+        F.col("g").alias(group_col),
+        F.expr(f"CAST(FLOOR({e} + 1e-9) AS BIGINT)").alias("est_distinct"),
+        "days_merged",
     )
     return monthly.orderBy("month", group_col)
+
+
+def hll_reaggregate_sql(
+    table: str,
+    ts_col: str,
+    group_col: str,
+    id_col: str,
+    lg_k: int = 12,
+) -> str:
+    """DuckDB twin of :func:`hll_reaggregate` — identical registers
+    (shared md5-prefix hash, integer bitlength rho), identical exact-
+    integer register sum, identical estimator literals."""
+    m, rho_max, num, thresh = _hll_params(lg_k)
+    return f"""
+    WITH pts AS (
+      SELECT CAST({ts_col} AS DATE) AS d,
+             strftime(CAST({ts_col} AS DATE), '%Y-%m') AS month,
+             {group_col} AS g,
+             (('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM {table} WHERE {id_col} IS NOT NULL
+    ), daily AS (
+      SELECT month, d, g, h % {m} AS bucket,
+             MAX(CASE WHEN h < {m} THEN {rho_max}
+                      ELSE {rho_max} - length(bin(h // {m})) END) AS r
+      FROM pts GROUP BY 1, 2, 3, 4
+    ), regs_m AS (
+      SELECT month, g, bucket, MAX(r) AS r FROM daily GROUP BY 1, 2, 3
+    ), est AS (
+      SELECT month, g,
+             CAST(SUM(1::BIGINT << (50 - r))
+                  + ({m} - COUNT(*)) * {1 << 50} AS BIGINT) AS S,
+             CAST({m} - COUNT(*) AS BIGINT) AS V
+      FROM regs_m GROUP BY 1, 2
+    ), days AS (
+      SELECT month, g, CAST(COUNT(DISTINCT d) AS BIGINT) AS days_merged
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT e.month, e.g AS {group_col},
+           CAST(FLOOR(CASE WHEN {num!r} / CAST(S AS DOUBLE) <= {thresh!r}
+                             AND V > 0
+                           THEN {float(m)!r} * ln({float(m)!r} / V)
+                           ELSE {num!r} / CAST(S AS DOUBLE) END
+                      + 1e-9) AS BIGINT) AS est_distinct,
+           days_merged
+    FROM est e JOIN days USING (month, g)
+    ORDER BY 1, 2
+    """
 
 
 # --- mergeable histogram quantile rollup -----------------------------------

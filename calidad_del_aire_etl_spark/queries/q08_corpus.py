@@ -280,14 +280,24 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pca_project(emb, "vec_id", "embedding", k=4)
 
 
-@register("hll_rollup_merge", None)  # sketch bytes engine-specific — rows-only
+from ..operators import sketches  # noqa: E402
+
+
+@register(
+    "hll_rollup_merge",
+    sketches.hll_reaggregate_sql("events", "ts", "event_type", "user_id", lg_k=12),
+)
 def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #15d — mergeable HLL distinct counting: daily
-    (date, event_type) sketches UNION-merged into month×type estimates
-    without rescanning the fact (tolerance vs exact pytest-asserted in
-    tests/test_sketches.py)."""
-    from ..operators import sketches
+    (date, event_type) register sets MAX-merged into month×type
+    estimates without rescanning the fact (tolerance vs exact
+    pytest-asserted in tests/test_sketches.py).
 
+    Promoted from rows-only to FULL hash parity (r13, VERDICT r12 #7):
+    the from-scratch HLL's registers and estimator are pure
+    integer/literal-identical arithmetic (operators/sketches.py), so
+    the DuckDB twin replays the whole sketch bit-for-bit — Datasketches
+    bytes no longer gate this key."""
     ev = load(spark, sf_dir, "events")
     return sketches.hll_reaggregate(ev, "ts", "event_type", "user_id", lg_k=12)
 

@@ -192,16 +192,27 @@ def q_corpus_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import ann_graph  # noqa: E402
 
 
-@register("ann_graph_topk", None)  # iterative fixpoint — rows-only by design
+@register(
+    "ann_graph_topk",
+    ann_graph.graph_beam_topk_sql(
+        "embeddings", "vec_id", "embedding", "id < 10", k=5
+    ),
+)
 def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #31j — graph ANN: NN-Descent k-NN graph (Dong et al.
     2011) + hub-seeded beam search (operators/ann_graph.py), the
     distributable counterpart of the HNSW/SW-graph family. Build is
     iterated local joins hash-partitioned on node id (O(N k^2 d) per
-    round); search touches <= beam*k rows per query per hop. Rows-only
-    by design (the NN-Descent fixpoint is not single-query SQL);
-    recall@5 vs brute force, determinism, and degree invariants are
-    pinned in tests/test_ann_graph.py."""
+    round); search touches <= beam*k rows per query per hop.
+
+    Promoted from rows-only to FULL hash parity (r13, VERDICT r12 #7):
+    every decision in the build and search is deterministic
+    (md5-ordered hubs, r4-rounded tie-breaks), so graph_beam_topk_sql
+    replays the identical walk as unrolled CTEs — the same twin
+    ann_graph_recall_eval has hash-matched since r9, now checking the
+    raw (query_id, neighbor_id, cosine, rank) relation itself. Recall,
+    determinism, and degree invariants remain pinned in
+    tests/test_ann_graph.py."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann_graph.graph_beam_topk(
         em, "vec_id", "embedding", lambda c: c < 10, k=5,

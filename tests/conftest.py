@@ -28,3 +28,20 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "oracle: DuckDB oracle-parity sweep (deselect with -m 'not oracle')"
     )
+    config.addinivalue_line(
+        "markers",
+        "sf1: full-registry sf1 parity sweep (opt-in: pytest -m sf1; "
+        "generates /tmp/sf1 via tools/gen_sf1.py if absent)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # The sf1 sweep runs only when explicitly selected (-m sf1): it
+    # sweeps 199 queries at ~6M lineitem / 50k docs and takes ~20-40
+    # min wall — a per-round gate (VERDICT r12 #6), not a per-commit one.
+    if "sf1" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="sf1 sweep is opt-in: pytest -m sf1")
+    for item in items:
+        if "sf1" in item.keywords:
+            item.add_marker(skip)

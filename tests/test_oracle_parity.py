@@ -77,9 +77,11 @@ def test_hash_parity(spark, duck, duck_esc, name):
 @pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_still_run(spark, duck, name):
-    """The two by-design rows-only queries (true sketches) must at least
-    execute and return a frame; their guarantees are pinned by their own
-    pytest modules."""
+    """The by-design rows-only queries (true sketches / iterative
+    fixpoints — 6 after the r13 promotions of ann_graph_topk and
+    hll_rollup_merge to full hash parity) must at least execute and
+    return a frame; their guarantees are pinned by their own pytest
+    modules."""
     n, problems = oracle.compare_query(spark, duck, _QUERIES[name], None, SF)
     assert not problems
     assert n >= 0

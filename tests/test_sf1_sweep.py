@@ -1,0 +1,100 @@
+"""The full-registry sf1 parity sweep as a standing per-round gate
+(VERDICT r12 #6).
+
+The first run of this sweep (round 12) found 6 real cross-engine
+divergence classes the sf0.001/sf0.01 gates can't see — the tiled
+data's 100× value duplication and near-identical replica vectors put
+ulp noise exactly on ties and rounding boundaries. It is the cheapest
+correctness instrument the repo has, so it must not depend on bespoke
+per-round effort: ``pytest -m sf1`` generates /tmp/sf1 on demand
+(tools/gen_sf1.py, deterministic tiling of the driver's sf0.1) and
+sweeps every registered oracle with the 150 s twin timeout.
+
+Opt-in by marker — deselected on a default ``pytest tests/`` run (the
+sweep is ~20–40 min wall; see conftest.pytest_collection_modifyitems).
+Record the tally in BASELINE.md each round.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+from calidad_del_aire_etl_spark import oracle  # noqa: E402
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+TWIN_TIMEOUT = float(os.environ.get("SPARK_GRAFT_TWIN_TIMEOUT", "150") or 150)
+
+# Twins adjudicated as intractable single-node at sf1 — the quadratic /
+# iterative set (BASELINE.md round-12 sweep section). A DNF here is
+# expected (and is the inversion evidence); a DNF anywhere else fails.
+EXPECTED_DNF = frozenset({
+    "dedup_cluster_star",
+    "docs_full_pipeline",
+    "graph_triangles",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "dedup_lsh_tuning",
+    "dedup_cluster_resolve",
+})
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def sf1_dir():
+    """/tmp/sf1, generated on demand — deterministic, so a stale dir
+    from a previous round is equivalent to a fresh one as long as it
+    holds all tables."""
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    if not all(os.path.exists(f"{SF1_DIR}/{t}.parquet") for t in tables):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "gen_sf1.py"),
+             SF1_DIR, "/root/testdata/sf0.1", "10"],
+            check=True, cwd=repo, timeout=1800,
+        )
+    return SF1_DIR
+
+
+@pytest.mark.sf1
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_sf1_hash_parity(spark, sf1_dir, name):
+    from calidad_del_aire_etl_spark.session import pin_oracle_compat
+
+    pin_oracle_compat(spark)
+    con = oracle.duck_connection(sf1_dir)
+    try:
+        n, problems = oracle.compare_query(
+            spark, con, _QUERIES[name], _ORACLES[name], sf1_dir,
+            twin_timeout=TWIN_TIMEOUT,
+        )
+    finally:
+        con.close()
+    if problems and problems[0].startswith("TIMEOUT"):
+        if name in EXPECTED_DNF:
+            pytest.xfail(f"{name}: twin DNF at sf1 (adjudicated inversion)")
+        pytest.fail(
+            f"{name}: twin DNF at sf1 but NOT in the adjudicated set — "
+            "either adjudicate it in BASELINE.md + EXPECTED_DNF or fix "
+            "the twin"
+        )
+    assert not problems, f"{name} at sf1: {'; '.join(problems)}"
+    assert n >= 0
+
+
+@pytest.mark.sf1
+def test_sf1_expected_dnf_set_is_current():
+    """Every adjudicated-DNF name must still be a registered oracle —
+    a renamed/removed query would silently shrink the sweep."""
+    missing = EXPECTED_DNF - set(_ORACLES)
+    assert not missing, f"EXPECTED_DNF names not in oracle_sql(): {missing}"
