@@ -15,7 +15,39 @@ Usage: python tools/ratio_report.py <bench.json> <baseline.json> [--bound 0.5]
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+
+def _overlay(bench: dict, base: dict) -> tuple[dict, dict, dict]:
+    """Resolve the SF10-ledger shape: start from each file's flat
+    ``queries`` map, then apply the bench file's ``r{N}_updates``
+    blocks in round order. Update entries may be floats (spark
+    seconds) or dicts carrying both postures — ``spark_pair`` /
+    ``duck_pair`` (fresh-process same-window pair) and ``warm_s``
+    (rep-3 warm-session wall, the posture a long-lived cluster pays).
+    Returns (spark_seconds, duck_seconds, warm_seconds) keyed by
+    query. Plain bench.py/baseline.py outputs have no update blocks
+    and pass through unchanged."""
+    sq = dict(bench.get("queries", {}))
+    dq = dict(base.get("queries", {}))
+    warm: dict = {}
+    upds = sorted(
+        (k for k in bench if re.fullmatch(r"r\d+_updates", k)),
+        key=lambda k: int(k[1:].split("_")[0]),
+    )
+    for uk in upds:
+        for name, e in bench[uk].get("queries", {}).items():
+            if isinstance(e, dict):
+                if e.get("spark_pair") is not None:
+                    sq[name] = e["spark_pair"]
+                if e.get("duck_pair") is not None:
+                    dq[name] = e["duck_pair"]
+                if e.get("warm_s") is not None:
+                    warm[name] = e["warm_s"]
+            else:
+                sq[name] = e
+    return sq, dq, warm
 
 
 def main() -> None:
@@ -58,10 +90,11 @@ def main() -> None:
                 "overwritten by a later run): " + "; ".join(mismatches)
             )
     base = json.load(open(base_path))
-    bq, dq = bench["queries"], base["queries"]
-    comp = {k: v for k, v in bq.items() if k in dq}
+    bq, dq, warm = _overlay(bench, base)
+    comp = {k: v for k, v in bq.items() if k in dq and dq[k] is not None}
     ds, dd = sum(comp.values()), sum(dq[k] for k in comp)
-    print(f"suite total: spark {bench['value']:.1f}s over {len(bq)} queries")
+    total = bench.get("value", sum(bq.values()))
+    print(f"suite total: spark {total:.1f}s over {len(bq)} queries")
     if dd > 0:
         print(
             f"comparable {len(comp)}: spark {ds:.1f}s vs duckdb {dd:.1f}s"
@@ -76,7 +109,11 @@ def main() -> None:
     print(f"\ndata-bound queries (twin >= {bound}s): {len(rows)}")
     for r, s, t, k in rows:
         flag = "  <-- OVER 2x" if r > 2 else ""
-        print(f"  {r:5.2f}x  spark {s:6.2f}  duck {t:6.2f}  {k}{flag}")
+        w = (
+            f"  warm {warm[k]:5.2f} ({warm[k] / t:.2f}x)"
+            if k in warm else ""
+        )
+        print(f"  {r:5.2f}x  spark {s:6.2f}  duck {t:6.2f}  {k}{w}{flag}")
     floor = [k for k in comp if dq[k] < bound]
     fs = sum(comp[k] for k in floor)
     print(
