@@ -141,3 +141,35 @@ def test_bpe_merges_matches_checkpointed_reference(spark):
     # merge counts are non-increasing under a deterministic tie-break
     counts = [r["pair_count"] for r in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_ratio_report_overlay_resolves_rounds_in_order():
+    """The SF10-ledger overlay: rN_updates apply in ROUND order (r9
+    before r13 despite lexicographic order), dict entries update both
+    postures, floats update spark only, and plain bench files pass
+    through unchanged."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "ratio_report", os.path.join(repo, "tools", "ratio_report.py")
+    )
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)
+
+    bench = {
+        "queries": {"a": 10.0, "b": 5.0},
+        "r9_updates": {"queries": {"a": {"spark_pair": 9.0, "duck_pair": 3.0}}},
+        "r13_updates": {"queries": {
+            "a": {"spark_pair": 7.0, "warm_s": 4.0},
+            "b": 4.0,
+        }},
+    }
+    base = {"queries": {"a": 2.0, "b": 1.0}}
+    sq, dq, warm = rr._overlay(bench, base)
+    assert sq == {"a": 7.0, "b": 4.0}      # r13 wins over r9; float form ok
+    assert dq == {"a": 3.0, "b": 1.0}      # duck_pair override sticks
+    assert warm == {"a": 4.0}
+    sq2, dq2, warm2 = rr._overlay({"queries": {"x": 1.0}}, base)
+    assert sq2 == {"x": 1.0} and dq2 == base["queries"] and warm2 == {}
