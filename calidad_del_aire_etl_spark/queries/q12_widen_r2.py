@@ -147,18 +147,30 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.normalize(docs, "doc_id", "text")
 
 
-@register("bloom_ingest_dedup", None)  # probabilistic membership — rows-only
+from ..operators import bloom as _bloom  # noqa: E402
+
+
+@register(
+    "bloom_ingest_dedup",
+    _bloom.bloom_new_rows_sql(
+        "documents", "doc_id", "doc_id % 2 = 0", "t.doc_id AS doc_id", fpp=0.01
+    ),
+)
 def q_bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter ingest dedup: 'existing table' = even doc_ids,
     incoming batch = all docs; survivors are the (probably) new rows.
     No false negatives by construction; fp rate bound and determinism
-    asserted in tests/test_bloom.py — sketch membership has no portable
-    SQL twin, so the row is rows-only like sketch_profile."""
-    from ..operators import bloom
+    asserted in tests/test_bloom.py.
 
+    Promoted from rows-only to FULL hash parity (r13): with the double
+    hash moved to the engines' shared md5-prefix bigints and the (m, k)
+    sizing arithmetic pinned to literal constants (operators/bloom.py),
+    every set bit is an integer fact the DuckDB twin replays — it
+    materializes the touched-bit set and the k-probe conjunction, so
+    even the FALSE POSITIVES match exactly."""
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
     existing = docs.filter(F.col("doc_id") % 2 == 0)
-    return bloom.bloom_new_rows(existing, docs, "doc_id", fpp=0.01)
+    return _bloom.bloom_new_rows(existing, docs, "doc_id", fpp=0.01)
 
 
 from ..operators import tpch3  # noqa: E402

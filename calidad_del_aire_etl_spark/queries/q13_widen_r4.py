@@ -162,16 +162,26 @@ def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.conversion_attribution(load(spark, sf_dir, "events"))
 
 
-@register("cms_user_counts", None)  # probabilistic frequency — rows-only
+from ..operators import cms as _cms  # noqa: E402
+
+
+@register(
+    "cms_user_counts",
+    _cms.cms_frequency_profile_sql("events", "user_id", eps=0.001, delta=0.01),
+)
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #22c — Count-Min per-user event-frequency estimates:
     mergeable d×w partition sketches sum-merged on the driver, broadcast
     vectorized probe; never-undercount + eps·N bounds pytest-proven
-    (tests/test_cms.py)."""
-    from ..operators import cms
+    (tests/test_cms.py).
 
+    Promoted from rows-only to FULL hash parity (r13, VERDICT r12 #7
+    direction): with the double hash moved to the engines' shared
+    md5-prefix bigints (operators/cms.py), every CMS counter is an
+    exact integer both engines reproduce — the twin replays the touched
+    cells and the min-probe, no sketch-byte opacity left."""
     ev = load(spark, sf_dir, "events")
-    return cms.cms_frequency_profile(ev, "user_id", eps=0.001, delta=0.01)
+    return _cms.cms_frequency_profile(ev, "user_id", eps=0.001, delta=0.01)
 
 
 @register("ab_welch_t", analytics2.ab_welch_t_sql(2))

@@ -78,8 +78,9 @@ def test_hash_parity(spark, duck, duck_esc, name):
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_still_run(spark, duck, name):
     """The by-design rows-only queries (true sketches / iterative
-    fixpoints — 6 after the r13 promotions of ann_graph_topk and
-    hll_rollup_merge to full hash parity) must at least execute and
+    fixpoints — 4 after the r13 promotions of ann_graph_topk,
+    hll_rollup_merge, cms_user_counts, and bloom_ingest_dedup to full
+    hash parity) must at least execute and
     return a frame; their guarantees are pinned by their own pytest
     modules."""
     n, problems = oracle.compare_query(spark, duck, _QUERIES[name], None, SF)
