@@ -513,25 +513,65 @@ def graph_beam_topk_sql(
     desc, id asc), so both engines walk the identical graph and beam.
     ``query_pred_sql`` is a predicate over the aliased column ``id``
     (e.g. ``"id < 10"``)."""
+    parts, sprev = _build_and_beam_parts(
+        f"SELECT {id_col} AS id, {vec_col} AS v FROM {table}",
+        f"SELECT id AS qid, v AS qv FROM base WHERE {query_pred_sql}",
+        graph_k=graph_k, iters=iters, sample_k=sample_k,
+        beam=beam, hops=hops, n_hubs=n_hubs,
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT qid AS query_id, node AS neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank FROM (
+      SELECT qid, node, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, node ASC) AS rank
+      FROM (SELECT qid, node, cosine FROM {sprev} WHERE qid != node)
+    ) WHERE rank <= {k}
+    """
+
+
+def _cos_sql(a: str, b: str) -> str:
     from .dedup import COSINE_DUCK
 
-    def cos(a: str, b: str) -> str:
-        return f"ROUND({COSINE_DUCK.format(a=a, b=b)} + 1e-9, 4)"
+    return f"ROUND({COSINE_DUCK.format(a=a, b=b)} + 1e-9, 4)"
 
-    def topk_nodes(src_sql: str, kk: int, idc: str, nbc: str) -> str:
-        # _topk_per_node twin: dedup (id, nb) on MAX(cosine), then
-        # ROW_NUMBER by (cosine DESC, nb ASC) capped at kk
-        return f"""
-        SELECT {idc}, {nbc}, cosine, rank FROM (
-          SELECT {idc}, {nbc}, cosine,
-                 ROW_NUMBER() OVER (PARTITION BY {idc}
-                   ORDER BY cosine DESC, {nbc} ASC) AS rank
-          FROM (SELECT {idc}, {nbc}, MAX(cosine) AS cosine
-                FROM ({src_sql}) GROUP BY {idc}, {nbc})
-        ) WHERE rank <= {kk}"""
+
+def _topk_nodes_sql(src_sql: str, kk: int, idc: str, nbc: str) -> str:
+    # _topk_per_node twin: dedup (id, nb) on MAX(cosine), then
+    # ROW_NUMBER by (cosine DESC, nb ASC) capped at kk
+    return f"""
+    SELECT {idc}, {nbc}, cosine, rank FROM (
+      SELECT {idc}, {nbc}, cosine,
+             ROW_NUMBER() OVER (PARTITION BY {idc}
+               ORDER BY cosine DESC, {nbc} ASC) AS rank
+      FROM (SELECT {idc}, {nbc}, MAX(cosine) AS cosine
+            FROM ({src_sql}) GROUP BY {idc}, {nbc})
+    ) WHERE rank <= {kk}"""
+
+
+def _build_and_beam_parts(
+    base_sql: str,
+    q_sql: str,
+    graph_k: int,
+    iters: int,
+    sample_k: int,
+    beam: int,
+    hops: int,
+    n_hubs: int,
+) -> tuple[list[str], str]:
+    """Shared CTE generator for the graph family twins: the NN-Descent
+    build over ``base`` (md5-ordered hubs, ``iters`` rounds), graph
+    symmetrization (``edges``), and the ``hops``-round beam search for
+    the query set ``q``. Returns (CTE parts, final beam-state name);
+    the final graph CTE is ``g{iters}``. Extracted from
+    graph_beam_topk_sql (r13) so nndescent_insert_sql can reuse the
+    identical build+beam replay over the OLD subset."""
+    cos, topk_nodes = _cos_sql, _topk_nodes_sql
 
     parts = [
-        f"base AS MATERIALIZED (SELECT {id_col} AS id, {vec_col} AS v FROM {table})",
+        f"base AS MATERIALIZED ({base_sql})",
         f"""hubs AS MATERIALIZED (SELECT id AS hid, v AS hv FROM base
             ORDER BY md5(CAST(id AS VARCHAR)), id ASC LIMIT {n_hubs})""",
         "g0 AS MATERIALIZED ("
@@ -572,7 +612,7 @@ def graph_beam_topk_sql(
     parts += [
         f"""edges AS MATERIALIZED (SELECT id, nb FROM {prev}
              UNION SELECT nb AS id, id AS nb FROM {prev})""",
-        f"q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM base WHERE {query_pred_sql})",
+        f"q AS MATERIALIZED ({q_sql})",
         # beam seed: queries x hubs, NO self-filter (matches _beam_states)
         "st0 AS MATERIALIZED ("
         + topk_nodes(
@@ -599,16 +639,79 @@ def graph_beam_topk_sql(
             + ")",
         ]
         sprev = f"st{h}"
+    return parts, sprev
+
+
+def nndescent_insert_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    new_pred_sql: str,
+    k: int = 8,
+    iters: int = 2,
+    sample_k: int = 4,
+    beam: int = 8,
+    hops: int = 3,
+    n_hubs: int = 64,
+) -> str:
+    """DuckDB twin of :func:`nndescent_insert` — the standing-graph
+    build over the OLD subset, the arrivals' beam placement, and all
+    three edge sources (new→old top-k, new↔new via shared old
+    neighbor, back-links merged into the old lists) unrolled into the
+    same CTE chain discipline as graph_beam_topk_sql. ``new_pred_sql``
+    is the arrival predicate over the RAW table column (e.g.
+    ``"vec_id % 5 = 0"``); every top-k cut uses the engines' shared
+    tie-break, so the outputs hash-match row for row."""
+    cos, topk_nodes = _cos_sql, _topk_nodes_sql
+    parts, sprev = _build_and_beam_parts(
+        # base = the STANDING index (old rows); arrivals come from the
+        # full table and beam-search against it
+        f"SELECT {id_col} AS id, {vec_col} AS v FROM {table} "
+        f"WHERE NOT ({new_pred_sql})",
+        f"SELECT {id_col} AS qid, {vec_col} AS qv FROM {table} "
+        f"WHERE ({new_pred_sql})",
+        graph_k=k, iters=iters, sample_k=sample_k,
+        beam=beam, hops=hops, n_hubs=n_hubs,
+    )
+    g_old = f"g{iters}"
+    parts += [
+        # 1) new->old out-edges: best k of the final beam state
+        "new_out AS MATERIALIZED ("
+        + topk_nodes(
+            f"SELECT qid, node, cosine FROM {sprev}", k, "qid", "node"
+        )
+        + ")",
+        # 3) new<->new via shared old neighbor (bounded local join)
+        """nn_cand AS MATERIALIZED (
+          SELECT DISTINCT n1.qid AS id, n2.qid AS nb
+          FROM new_out n1 JOIN new_out n2 ON n1.node = n2.node
+          WHERE n1.qid != n2.qid)""",
+        f"""nn_sc AS MATERIALIZED (
+          SELECT c.id, c.nb, {cos('qa.qv', 'qb.qv')} AS cosine
+          FROM nn_cand c JOIN q qa ON c.id = qa.qid
+          JOIN q qb ON c.nb = qb.qid)""",
+        "new_adj AS MATERIALIZED ("
+        + topk_nodes(
+            """SELECT qid AS id, node AS nb, cosine FROM new_out
+               UNION ALL SELECT id, nb, cosine FROM nn_sc""",
+            k, "id", "nb",
+        )
+        + ")",
+        # 2) back-links folded into the standing lists
+        "old_adj AS MATERIALIZED ("
+        + topk_nodes(
+            f"""SELECT id, nb, cosine FROM {g_old}
+                UNION ALL SELECT node AS id, qid AS nb, cosine FROM new_out""",
+            k, "id", "nb",
+        )
+        + ")",
+    ]
     ctes = ",\n".join(parts)
     return f"""
     WITH {ctes}
-    SELECT qid AS query_id, node AS neighbor_id, cosine,
-           CAST(rank AS INTEGER) AS rank FROM (
-      SELECT qid, node, cosine,
-             ROW_NUMBER() OVER (PARTITION BY qid
-               ORDER BY cosine DESC, node ASC) AS rank
-      FROM (SELECT qid, node, cosine FROM {sprev} WHERE qid != node)
-    ) WHERE rank <= {k}
+    SELECT id AS {id_col}, nb AS neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT * FROM old_adj UNION ALL SELECT * FROM new_adj)
     """
 
 

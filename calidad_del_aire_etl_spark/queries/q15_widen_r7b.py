@@ -220,7 +220,12 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_graph_insert", None)  # iterative fixpoint — rows-only by design
+@register(
+    "ann_graph_insert",
+    ann_graph.nndescent_insert_sql(
+        "embeddings", "vec_id", "embedding", "vec_id % 5 = 0", k=8
+    ),
+)
 def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #31j2 — incremental graph-ANN maintenance
     (operators/ann_graph.py:nndescent_insert): a 20% arrival batch is
@@ -228,8 +233,13 @@ def q_ann_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     placement (new->old), back-link merge into only the touched old
     nodes, and one bounded new<->new local join — the standing index is
     never re-scored, the graph-ANN sibling of dedup_incremental_minhash.
-    Rows-only by design; coverage/quality/locality invariants pinned in
-    tests/test_ann_graph.py."""
+
+    Promoted from rows-only to FULL hash parity (r13, VERDICT r12 #7):
+    nndescent_insert_sql unrolls the standing build over the old
+    subset, the arrivals' beam placement, and all three edge sources
+    into the graph family's deterministic CTE replay — every top-k cut
+    shares the engines' tie-break. Coverage/quality/locality invariants
+    stay pinned in tests/test_ann_graph.py."""
     em = load(spark, sf_dir, "embeddings", spread=True)
     return ann_graph.nndescent_insert(
         em, "vec_id", "embedding", lambda c: c % 5 == 0, k=8,

@@ -78,11 +78,13 @@ def test_hash_parity(spark, duck, duck_esc, name):
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_still_run(spark, duck, name):
     """The by-design rows-only queries (true sketches / iterative
-    fixpoints — 4 after the r13 promotions of ann_graph_topk,
-    hll_rollup_merge, cms_user_counts, and bloom_ingest_dedup to full
-    hash parity) must at least execute and
-    return a frame; their guarantees are pinned by their own pytest
-    modules."""
+    fixpoints — down to 3 after the r13 promotions of ann_graph_topk,
+    ann_graph_insert, hll_rollup_merge, cms_user_counts, and
+    bloom_ingest_dedup: what remains is an eigendecomposition
+    (embed_pca_project), the image-decode seam (mm_phash_dedup), and
+    Spark-native sketch internals (sketch_profile)) must at least
+    execute and return a frame; their guarantees are pinned by their
+    own pytest modules."""
     n, problems = oracle.compare_query(spark, duck, _QUERIES[name], None, SF)
     assert not problems
     assert n >= 0
