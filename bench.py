@@ -169,6 +169,8 @@ HEADLINE = [
     "ann_nprobe_sweep",
     "dash_downsample_ltob",
     "dash_downsample_lttb",
+    # round-13 addition (keep appended)
+    "cms_user_counts",
 ]
 
 
