@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import r4
-from .ann import _sql_type
+from .ann import _np_round4, _sql_type
 
 
 def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
@@ -72,27 +72,58 @@ def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
     )
 
 
+def _fold_cosine(V: "np.ndarray", W: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """COSINE_SPARK's arithmetic, reproduced BIT-FOR-BIT in numpy:
+    per-element float32 product, cast to double, accumulated in index
+    order — vectorized over ROWS, sequential over DIMS, so every
+    partial sum equals the JVM fold's (and therefore COSINE_DUCK's,
+    by the pinned float32 test) while still running at numpy speed."""
+    import numpy as np
+
+    n, d = V.shape
+    num = np.zeros(n, dtype=np.float64)
+    dv = np.zeros(n, dtype=np.float64)
+    dw = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        num += (V[:, j] * W[:, j]).astype(np.float64)
+        dv += (V[:, j] * V[:, j]).astype(np.float64)
+        dw += (W[:, j] * W[:, j]).astype(np.float64)
+    return num / (np.sqrt(dv) * np.sqrt(dw))
+
+
 def _score_pairs(pairs: DataFrame, left: str, right: str,
                  id_t: str) -> DataFrame:
-    """JVM-side cosine for (left, right, v, nv) pair rows via the
-    COSINE_SPARK fold (float32 products, sequential double
-    accumulation), r4-rounded like every other scored site. Returns
-    (left, right, cosine).
+    """Arrow-batched cosine for (left, right, v, nv) pair rows via the
+    fold-exact kernel (:func:`_fold_cosine`), r4-rounded like every
+    other scored site. Returns (left, right, cosine).
 
-    r13: was an Arrow ``mapInPandas`` einsum — correct, but every beam
-    hop then paid a Python-worker round trip (the insert-path
-    decomposition charged ~1.4 s/hop of pure exchange-with-Python at
-    sf0.1), and its float64 products only matched the family's
-    COSINE_DUCK twins up to the 1e-9 nudge. The expression form stays
-    inside the JVM stage AND is bit-identical to COSINE_DUCK by the
-    pinned test (test_cosine_twins_bit_identical_on_float32).
-    ``id_t`` is kept for signature compatibility (the mapInPandas
-    schema needed it; column expressions don't)."""
-    del id_t
-    from .dedup import COSINE_SPARK
+    r13 history: the original einsum kernel computed float64 PRODUCTS,
+    matching the family's COSINE_DUCK twins only up to the 1e-9 nudge;
+    an intermediate JVM higher-order-function rewrite was bit-identical
+    but interpreted per element — the NN-Descent build scores N·k²
+    pairs per round and the bench charged it +55 % on
+    ann_graph_insert's standing build. The fold-exact numpy kernel is
+    both: float32 products accumulated in double in index order
+    (bit-identical to COSINE_SPARK/COSINE_DUCK) at vectorized speed."""
 
-    cos = F.expr(COSINE_SPARK.format(a="v", b="nv"))
-    return pairs.select(left, right, r4(cos).alias("cosine"))
+    def _score(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float32)))
+            W = np.vstack(pdf["nv"].map(lambda x: np.asarray(x, dtype=np.float32)))
+            yield pd.DataFrame({
+                left: pdf[left].values,
+                right: pdf[right].values,
+                "cosine": _np_round4(_fold_cosine(V, W)),
+            })
+
+    return pairs.mapInPandas(
+        _score, f"{left} {id_t}, {right} {id_t}, cosine double"
+    )
 
 
 def hub_sample(base: DataFrame, n_hubs: int) -> DataFrame:
