@@ -151,10 +151,16 @@ def hll_reaggregate(
     - bucket = h mod m (m = 2^lg_k); w = h >> lg_k;
       rho = (60−lg_k) − bitlength(w) + 1, via ``length(bin(w))`` —
       integer-exact on both engines, no float log2;
-    - per-cell register = MAX(rho) (groupBy — map-side combined;
-      the partial per (day, group) is bounded at m rows);
-    - month merge = MAX over days per (month, group, bucket) — the
-      true HLL union;
+    - per-cell register: rho is monotone DECREASING in w, so
+      ``MAX(rho) = rho(MIN(w))`` — the hot 10 M-row aggregate carries
+      only the int64 ``MIN(w)`` (sf10 decomposition: evaluating the
+      string-allocating ``bin()`` per ROW instead of per REGISTER was
+      ~1 s of the 3.4 s warm wall) and is map-side combined; the
+      partial per (day, group) is bounded at m rows;
+    - month merge = MIN(w) over days per (month, group, bucket) — the
+      true HLL register union, with ``month`` derived from the day key
+      AFTER the hot aggregate so no per-row date_format rides the
+      shuffle;
     - estimate: Σ 2^(−rho) scaled EXACTLY by 2^50 into int64
       (rho ≤ 49 ⇒ the shift never truncates; absent buckets add
       2^50 each), so the only doubles are the final division by the
@@ -167,29 +173,36 @@ def hll_reaggregate(
         f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) "
         f"as bigint)"
     )
-    rho = (
-        f"CASE WHEN __h < {m} THEN {rho_max} "
-        f"ELSE {rho_max} - length(bin(__h div {m})) END"
-    )
     pts = df.filter(F.col(id_col).isNotNull()).select(
         F.to_date(F.col(ts_col)).alias("d"),
-        F.date_format(F.col(ts_col), "yyyy-MM").alias("month"),
         F.col(group_col).alias("g"),
         F.expr(h).alias("__h"),
     )
     daily = (
         pts.select(
-            "month", "d", "g",
+            "d", "g",
             F.expr(f"__h % {m}").alias("bucket"),
-            F.expr(rho).cast("int").alias("rho"),
+            F.expr(f"__h div {m}").alias("w"),
         )
-        .groupBy("month", "d", "g", "bucket")
-        .agg(F.max("rho").alias("r"))
+        .groupBy("d", "g", "bucket")
+        .agg(F.min("w").alias("w"))
         # two consumers (register merge, day count) — checkpoint so the
         # fact scan + daily registers run once, not per consumer
         .localCheckpoint(eager=False)
     )
-    regs_m = daily.groupBy("month", "g", "bucket").agg(F.max("r").alias("r"))
+    regs_m = (
+        daily.groupBy(
+            F.date_format("d", "yyyy-MM").alias("month"), "g", "bucket"
+        )
+        .agg(F.min("w").alias("w"))
+        .select(
+            "month", "g",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(bin(w)) END"
+            ).cast("int").alias("r"),
+        )
+    )
     est = regs_m.groupBy("month", "g").agg(
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - r)"))
@@ -202,9 +215,9 @@ def hll_reaggregate(
         f"CASE WHEN {e_raw} <= {thresh!r} AND V > 0 "
         f"THEN {float(m)!r} * ln({float(m)!r} / V) ELSE {e_raw} END"
     )
-    days = daily.groupBy("month", "g").agg(
-        F.count_distinct("d").cast("bigint").alias("days_merged")
-    )
+    days = daily.groupBy(
+        F.date_format("d", "yyyy-MM").alias("month"), "g"
+    ).agg(F.count_distinct("d").cast("bigint").alias("days_merged"))
     monthly = est.join(days, ["month", "g"]).select(
         "month",
         F.col("g").alias(group_col),
@@ -228,17 +241,20 @@ def hll_reaggregate_sql(
     return f"""
     WITH pts AS (
       SELECT CAST({ts_col} AS DATE) AS d,
-             strftime(CAST({ts_col} AS DATE), '%Y-%m') AS month,
              {group_col} AS g,
              (('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT) AS h
       FROM {table} WHERE {id_col} IS NOT NULL
     ), daily AS (
-      SELECT month, d, g, h % {m} AS bucket,
-             MAX(CASE WHEN h < {m} THEN {rho_max}
-                      ELSE {rho_max} - length(bin(h // {m})) END) AS r
-      FROM pts GROUP BY 1, 2, 3, 4
+      SELECT d, g, h % {m} AS bucket, MIN(h // {m}) AS w
+      FROM pts GROUP BY 1, 2, 3
     ), regs_m AS (
-      SELECT month, g, bucket, MAX(r) AS r FROM daily GROUP BY 1, 2, 3
+      SELECT month, g,
+             CASE WHEN w = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(w)) END AS r
+      FROM (
+        SELECT strftime(d, '%Y-%m') AS month, g, bucket, MIN(w) AS w
+        FROM daily GROUP BY 1, 2, 3
+      )
     ), est AS (
       SELECT month, g,
              CAST(SUM(1::BIGINT << (50 - r))
@@ -246,7 +262,8 @@ def hll_reaggregate_sql(
              CAST({m} - COUNT(*) AS BIGINT) AS V
       FROM regs_m GROUP BY 1, 2
     ), days AS (
-      SELECT month, g, CAST(COUNT(DISTINCT d) AS BIGINT) AS days_merged
+      SELECT strftime(d, '%Y-%m') AS month, g,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS days_merged
       FROM daily GROUP BY 1, 2
     )
     SELECT e.month, e.g AS {group_col},
