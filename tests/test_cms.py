@@ -33,3 +33,22 @@ def test_cms_is_merge_invariant_across_partitionings(spark):
     ca, w, d = cms.build_cms(a, "k", eps=0.01, delta=0.05)
     cb, _, _ = cms.build_cms(b, "k", eps=0.01, delta=0.05)
     assert (ca == cb).all(), "sketch must not depend on partitioning"
+
+
+def test_null_keys_never_poison_the_probe(spark):
+    """A NULL key co-batched with real keys must not change how those
+    real keys hash: the (h1, h2) columns are coalesced JVM-side and
+    validity rides as its own boolean, so Arrow never converts the hash
+    columns to float64 (which cannot represent 60-bit hashes exactly —
+    the bloom ADVICE r2 lesson, applied structurally here)."""
+    rows = [(i % 50,) for i in range(5000)] + [(None,)] * 137
+    df = spark.createDataFrame(rows, "user_id int").coalesce(1)
+    built, w, d = cms.build_cms(df, "user_id", eps=0.01, delta=0.05)
+    keys = df.select("user_id").distinct()
+    out = cms.estimate_counts(keys, "user_id", built, w, d).collect()
+    by_key = {r["user_id"]: r["est_count"] for r in out}
+    # real keys: never undercount (the guarantee a float64 hash
+    # corruption would break), NULL key: estimate 0
+    for k in range(50):
+        assert by_key[k] >= 100, (k, by_key[k])
+    assert by_key[None] == 0
