@@ -281,6 +281,27 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
         "tpch_q4_priority", "tpch_q5_local_supplier", "tpch_q6_forecast",
         "tpch_q7_volume", "tpch_q9_profit",
     }),
+    # round 13 (50 keys, from CORRECTNESS_r13.json)
+    frozenset({
+        "ab_welch_t", "ann_graph_insert", "ann_graph_topk", "ann_range_search",
+        "ann_recall_eval", "corpus_bpe_pair_counts", "corpus_chunk_docs",
+        "corpus_dup_spans", "corpus_dup_spans_exact", "corpus_ngram_topk",
+        "corpus_pack_sequences", "corpus_perplexity_buckets_approx",
+        "corpus_pii_scrub", "corpus_repetition_filter",
+        "corpus_sentence_dedup", "corpus_stratified_sample",
+        "corpus_vocab_coverage", "daily_percentile_bands", "decayed_counts",
+        "dedup_containment", "dedup_keep_best", "dedup_minhash_eval",
+        "dedup_semantic", "embed_cluster_purity", "embed_kmeans",
+        "embed_matryoshka_recall", "etl_aqi", "etl_calendar_dim",
+        "etl_category", "etl_dedup_exact", "etl_outlier_iqr", "fd_profile",
+        "geo_close_pairs", "holt_trend_forecast", "inclusion_profile",
+        "item_cf_cosine", "lang_id_eval", "mm_frame_sample", "pareto_frontier",
+        "quality_auc_eval", "quantile_rollup_merge",
+        "revenue_gini_by_nation_hist", "scd2_apply_incremental",
+        "session_stats", "sql_interface", "text_bm25_topk",
+        "text_hash_features", "top_event_paths", "tpch_q19_disjunctive",
+        "user_feature_matrix",
+    }),
 ]
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)
@@ -291,11 +312,17 @@ _REFRESH_SLICE = 5
 
 # Keys force-hoisted to the FRONT of the external window regardless of
 # rotation age.  Used when a key needs an out-of-turn external re-check —
-# e.g. tpch_q19_disjunctive: its latest driver entry is the r11 hash FAIL,
-# the 3c0133d fix is proven by the in-repo sf0.001-escalated and sf1
-# sweeps, but the bar is a green external row (VERDICT r12 task #2).
+# r14: the three sketch queries promoted from rows-only to full DuckDB
+# hash oracles in r13 (register-level HLL/CMS/Bloom replay); their newest
+# driver rows predate the promotion, so the bar is a green external
+# hash row for each (VERDICT r13 task #2).  tpch_q19_disjunctive was
+# unpinned after its green r13 entry was ingested.
 # Remove a key from this tuple once its green external entry is ingested.
-_PINNED_FOR_RECHECK = ("tpch_q19_disjunctive",)
+_PINNED_FOR_RECHECK = (
+    "cms_user_counts",
+    "bloom_ingest_dedup",
+    "hll_rollup_merge",
+)
 
 
 def _ordered_specs() -> list[QuerySpec]:
@@ -303,8 +330,22 @@ def _ordered_specs() -> list[QuerySpec]:
     # so the external 50-key window lands on fresh keys; the seen block is
     # ordered oldest-round-first so external evidence refreshes from the
     # stalest end once fresh keys run out.
-    fresh_oracle = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is not None]
-    fresh_rows_only = [s for s in reversed(_SPECS) if s.name not in _DRIVER_SAMPLED and s.oracle is None]
+    # Pinned keys are excluded from BOTH the seen block and the fresh
+    # pools: a pinned key that has never been driver-sampled would
+    # otherwise appear twice (once pinned, once fresh), breaking the
+    # permutation invariant test_pipeline asserts (ADVICE r13).
+    fresh_oracle = [
+        s for s in reversed(_SPECS)
+        if s.name not in _DRIVER_SAMPLED
+        and s.name not in _PINNED_FOR_RECHECK
+        and s.oracle is not None
+    ]
+    fresh_rows_only = [
+        s for s in reversed(_SPECS)
+        if s.name not in _DRIVER_SAMPLED
+        and s.name not in _PINNED_FOR_RECHECK
+        and s.oracle is None
+    ]
     # stalest-first: a key re-sampled in a later round is attributed to
     # that round, so the refresh slice below rotates instead of pinning
     # the same few keys forever
@@ -321,7 +362,8 @@ def _ordered_specs() -> list[QuerySpec]:
     # refreshing every round instead of only after the fresh pool runs
     # dry — a regression in a round-1 query would otherwise be visible
     # only to the in-repo oracle sweep until round 7+ (ADVICE r5).
-    pinned = [s for s in _SPECS if s.name in _PINNED_FOR_RECHECK]
+    by_name = {s.name: s for s in _SPECS}
+    pinned = [by_name[n] for n in _PINNED_FOR_RECHECK]
     seen = [s for s in seen if s.name not in _PINNED_FOR_RECHECK]
     refresh = seen[:_REFRESH_SLICE]
     rest = seen[_REFRESH_SLICE:]
