@@ -132,7 +132,11 @@ WITH per_user AS (
          frequency, CAST(mon AS DOUBLE) AS monetary,
          CAST(NTILE(4) OVER (ORDER BY last_ts ASC, user_id ASC) AS INTEGER) AS r_score,
          CAST(NTILE(4) OVER (ORDER BY frequency ASC, user_id ASC) AS INTEGER) AS f_score,
-         CAST(NTILE(4) OVER (ORDER BY mon ASC, user_id ASC) AS INTEGER) AS m_score
+         -- NULLS FIRST pins DuckDB to Spark's ASC default (nulls
+         -- first); mon is NULL for a user whose purchase values are
+         -- all NULL, and the engines' default NULL sort order differs
+         -- (caught by the NULL-planted sweep).
+         CAST(NTILE(4) OVER (ORDER BY mon ASC NULLS FIRST, user_id ASC) AS INTEGER) AS m_score
   FROM per_user
 )
 SELECT user_id, last_purchase_day, frequency, monetary, r_score, f_score, m_score,

@@ -56,6 +56,17 @@ def params_for(n_items: int, fpp: float) -> tuple[int, int]:
     m = int(math.ceil(n * c))
     m = ((m + 63) // 64) * 64  # word-align
     k = max(int(math.floor(m / n * _LN2 + 0.5)), 1)
+    # The module's int64 no-overflow argument (h1 + i·h2 < 2^63 for
+    # h1,h2 < 2^60) only holds for i < k ≤ 7, i.e. fpp ≥ ~0.005.  Below
+    # that the numpy side would wrap silently while the DuckDB twin
+    # raises a BIGINT overflow — silent cross-engine divergence, so
+    # fail loudly instead (ADVICE r13).
+    if k > 7:
+        raise ValueError(
+            f"fpp={fpp!r} needs k={k} hash draws; the cross-engine "
+            "int64 overflow-free guarantee holds only for k <= 7 "
+            "(fpp >= ~0.005)"
+        )
     return m, k
 
 
@@ -193,7 +204,12 @@ def bloom_new_rows_sql(
     ), probe AS (
       SELECT {id_col}, {hpair} FROM {table}
     ), hits AS (
-      SELECT probe.{id_col}, CAST(COUNT(*) AS BIGINT) AS nhit
+      -- COUNT(DISTINCT i.i), not COUNT(*): with duplicate ids in the
+      -- probed table, per-(row,i) matches would multiply (dups × set
+      -- probes) and a row with < k set bits could still reach
+      -- nhit >= k, wrongly dropping a genuinely-new row and breaking
+      -- the no-false-negative guarantee (ADVICE r13).
+      SELECT probe.{id_col}, CAST(COUNT(DISTINCT i.i) AS BIGINT) AS nhit
       FROM probe, pk, (SELECT unnest(range((SELECT k FROM pk))) AS i) i
       JOIN bits ON bits.pos = (probe.h1 + i.i * probe.h2) % pk.m
       WHERE probe.{id_col} IS NOT NULL

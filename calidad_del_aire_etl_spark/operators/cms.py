@@ -44,6 +44,16 @@ def params_for(eps: float, delta: float) -> tuple[int, int]:
     """(width, depth) for additive error ≤ eps·N with prob ≥ 1-delta."""
     w = int(math.ceil(math.e / eps))
     d = max(int(math.ceil(math.log(1.0 / delta))), 1)
+    # Same int64 no-overflow bound as bloom.params_for: h1 + i·h2 stays
+    # below 2^63 only for i < d ≤ 7 (delta ≥ ~e^-7 ≈ 0.0009); smaller
+    # delta would wrap silently in numpy while the DuckDB twin raises
+    # a BIGINT overflow (ADVICE r13).
+    if d > 7:
+        raise ValueError(
+            f"delta={delta!r} needs depth={d}; the cross-engine int64 "
+            "overflow-free guarantee holds only for depth <= 7 "
+            "(delta >= ~0.001)"
+        )
     return w, d
 
 

@@ -669,19 +669,21 @@ COSINE_SPARK = (
 # Spark's arithmetic bit-for-bit: per-element float32 product, cast
 # to double, left-fold accumulation.
 #
-# PRECONDITIONS (ADVICE r12): {a}/{b} must be NON-EMPTY, non-NULL,
-# equal-length lists — list_reduce raises on an empty list where the
-# old list_dot_product returned NULL — and each placeholder is
-# textually substituted SEVERAL times, so pass column references, not
-# expensive subexpressions. Both hold for the fixed-dimension
-# embedding columns this macro is used with.
+# PRECONDITIONS (ADVICE r12/r13): {a}/{b} must be equal-length lists,
+# and each placeholder is textually substituted SEVERAL times, so pass
+# column references, not expensive subexpressions. Empty or NULL lists
+# yield NULL (the CASE guard below — list_reduce raises on an empty
+# list where the old list_dot_product returned NULL, so the guard
+# restores that contract for reuse beyond the fixed-dimension
+# embedding columns this macro ships with).
 COSINE_DUCK = (
+    "(CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN NULL ELSE "
     "list_reduce(list_transform(generate_series(1, len({a})),"
     " i -> CAST({a}[i] * {b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
     " / (sqrt(list_reduce(list_transform({a}, x -> CAST(x * x AS DOUBLE)),"
     " (acc, x) -> acc + x))"
     " * sqrt(list_reduce(list_transform({b}, x -> CAST(x * x AS DOUBLE)),"
-    " (acc, x) -> acc + x)))"
+    " (acc, x) -> acc + x))) END)"
 )
 
 

@@ -346,7 +346,12 @@ def q_etl_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         (r4(z) + F.lit(0.0)).alias("zscore"),
-        (F.abs(z) > 3).cast("int").alias("is_anomaly"),
+        # when/otherwise, not a bare boolean cast: a NULL value has a
+        # NULL z, and (NULL > 3)::int would emit NULL where the twin's
+        # CASE falls to ELSE 0 — a NULL reading is "not anomalous",
+        # matching both engines (caught by the NULL-planted sweep).
+        F.when(F.abs(z) > 3, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("is_anomaly"),
     )
 
 

@@ -141,7 +141,7 @@ def q_semi_anti_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(MAX(value) + 1e-9, 4) AS max_value,
              CAST(COUNT(*) AS DOUBLE) AS n_rows
       FROM events GROUP BY 1
-    ) UNPIVOT (val FOR metric IN (avg_value, max_value, n_rows))
+    ) UNPIVOT INCLUDE NULLS (val FOR metric IN (avg_value, max_value, n_rows))
     """,
 )
 def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +174,8 @@ def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT event_type, value,
              CAST(NTILE(10) OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) AS INTEGER) AS decile
+                                  ORDER BY value NULLS FIRST, event_id)
+                  AS INTEGER) AS decile
       FROM events
     )
     GROUP BY 1, 2
@@ -413,8 +414,12 @@ def q_dash_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-5, Window.currentRow)
     )
     arr = F.sort_array(F.collect_list("value").over(w))
+    # collect_list drops NULLs, so an all-NULL frame is an EMPTY array:
+    # guard it to NULL (matching DuckDB's quantile_cont over all NULLs)
+    # or the ANSI array index raises INVALID_ARRAY_INDEX.
     med = (
-        "CASE WHEN size(__arr) % 2 = 1 THEN __arr[cast(size(__arr) div 2 as int)] "
+        "CASE WHEN size(__arr) = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN size(__arr) % 2 = 1 THEN __arr[cast(size(__arr) div 2 as int)] "
         "ELSE (__arr[cast(size(__arr) div 2 as int) - 1] "
         "      + __arr[cast(size(__arr) div 2 as int)]) / 2 END"
     )

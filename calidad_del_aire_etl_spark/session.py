@@ -107,6 +107,12 @@ def pin_oracle_compat(spark: SparkSession) -> SparkSession:
     # nanosecond timestamp type, so read it as a long and convert in the
     # loader (values are µs-aligned — verified in tools/compare.py runs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Several queries rely on ANSI NULL semantics (e.g. size(NULL) =
+    # NULL feeding coalesce(size(cps), 0) in corpus.dup_spans); under
+    # ansi.enabled=false with legacy sizeOfNull, size(NULL) = -1 and
+    # unmatched docs would get n_dup_spans = -1. Pin it so a host-side
+    # config flip can't silently corrupt output (ADVICE r13).
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     return spark
 
 
