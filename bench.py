@@ -243,6 +243,15 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Load gate (VERDICT r13 #9): the r13 bpe_merges episode showed a
+    # loadavg of 5-8 inflates job-floor-bound queries by up to ±60%, so
+    # round-over-round comparisons on a loaded run are noise, not
+    # regressions. A run whose starting OR ending loadavg exceeds the
+    # threshold is flagged in its own record; ratio_report surfaces the
+    # flag so the comparison self-adjudicates.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+    loadavg_end = round(os.getloadavg()[0], 2)
+    load_flagged = max(loadavg_start, loadavg_end) > load_gate
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -250,7 +259,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_start": loadavg_start,
-        "loadavg_end": round(os.getloadavg()[0], 2),
+        "loadavg_end": loadavg_end,
+        "load_gate": load_gate,
+        "load_flagged": load_flagged,
     }
     # subset runs (SPARK_GRAFT_QUERIES) get their own detail file — they
     # must not overwrite the full-suite record a prior summary line's
@@ -289,6 +300,7 @@ def main() -> None:
         "n_queries": len(timings),
         "detail": detail_name,
         "loadavg_start": loadavg_start,
+        "load_flagged": load_flagged,
     }
     sys.stdout.flush()
     print(json.dumps(summary))

@@ -1,0 +1,170 @@
+"""Streaming ↔ batch parity for the two corpus-critical incremental
+stores (VERDICT r13 #8).
+
+The round-5 twin-parity pattern (identical rows through micro-batches
+equal the batch operator exactly) covers quantiles/anomaly; this module
+extends it to ``streaming.minhash_dedup`` and ``streaming.ann_index``,
+whose earlier tests assert lifecycle/idempotence but not batch
+equivalence. Both sinks are compositions of the registered batch
+operators (``dedup.minhash_bands`` / ``pairs_from_bands`` /
+``incremental_minhash_probe``; ``ann_graph.nndescent_graph`` /
+``insert_into_graph``), so the store plumbing — epoch partitioning,
+``epoch <`` filters, last-writer-wins view, marker replay — must be
+decision-invisible: the same rows pushed through epochs must yield
+exactly what the batch operators yield on the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from calidad_del_aire_etl_spark.operators import ann_graph, dedup  # noqa: E402
+from calidad_del_aire_etl_spark.streaming import jobs  # noqa: E402
+
+THRESHOLD = 0.5  # the sink's default
+
+_A = "the quick brown fox jumps over the lazy dog again and again"
+_B = "spark physical planning turns logical operators into executable stages"
+_EPOCH0 = [
+    (1, _A),
+    (2, _A + " tail"),  # intra dup of 1
+    (3, _B),
+    (4, "completely unrelated document about parquet row group statistics"),
+    (5, _A + " coda"),  # intra dup of 1 (and possibly of 2)
+]
+_EPOCH1 = [
+    (6, _A + " extra words"),  # corpus dup of kept doc 1
+    (7, "novel text on watermarks and late data in structured streaming"),
+    (8, _B + " with more planner detail"),  # corpus dup of kept doc 3
+    (9, "another novel document entirely about broadcast hash joins"),
+]
+
+
+def _batch_survivor_rule(spark, rows):
+    """The registered batch semantics (dedup_minhash_lsh family): LSH
+    candidate pairs at the sink's parameters, drop every id_b whose
+    est_jaccard ≥ threshold against a lower id."""
+    docs = spark.createDataFrame(rows, jobs.DOCS_SCHEMA)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+    ).filter(F.col("est_jaccard") >= THRESHOLD)
+    matched = {
+        r["id_b"]: r["min_a"]
+        for r in pairs.groupBy("id_b").agg(F.min("id_a").alias("min_a")).collect()
+    }
+    partners = {}
+    for r in pairs.collect():
+        partners.setdefault(r["id_b"], set()).add(r["id_a"])
+    kept = {i for i, _ in rows} - set(matched)
+    return kept, matched, partners
+
+
+def _stream_decisions(spark, store):
+    return {
+        r["doc_id"]: (r["decision"], r["matched_id"])
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+
+
+def test_minhash_single_epoch_equals_batch_operator(spark, tmp_path):
+    """All rows in ONE epoch == the batch survivor rule exactly
+    (decision AND matched id): with an empty store the sink's intra
+    pass IS the batch pairs+min-id rule, and the store plumbing must
+    not perturb it."""
+    store = str(tmp_path / "mh_one")
+    sink = jobs.minhash_dedup_sink(store)
+    rows = _EPOCH0 + _EPOCH1
+    sink(spark.createDataFrame(rows, jobs.DOCS_SCHEMA), 0)
+
+    kept, matched, _ = _batch_survivor_rule(spark, rows)
+    dec = _stream_decisions(spark, store)
+    assert set(dec) == {i for i, _ in rows}
+    assert {i for i, (d, _) in dec.items() if d == "kept"} == kept
+    for i, (d, m) in dec.items():
+        if d != "kept":
+            assert d == "intra" and m == matched[i], (i, d, m, matched)
+
+
+def test_minhash_epoch_split_equals_batch_on_chain_free_corpus(spark, tmp_path):
+    """Rows split across two epochs: the kept set must equal the batch
+    operator's survivor set on the same rows. Equality requires a
+    chain-free fixture (every dropped doc pairs with a doc that is
+    itself KEPT — streaming only stores survivors' bands, so a doc
+    whose ONLY dup partner was itself dropped would diverge by design);
+    the fixture property is asserted, not assumed."""
+    kept_b, matched_b, partners = _batch_survivor_rule(spark, _EPOCH0 + _EPOCH1)
+    # fixture sanity: chain-free, and it actually exercises both the
+    # intra pass and the cross-epoch corpus probe
+    for i, ps in partners.items():
+        assert ps & kept_b, f"fixture chain: {i} pairs only with dropped docs"
+    assert {2, 5} & (set(matched_b)), "no intra dup planted"
+    assert {6, 8} <= set(matched_b), "no cross-epoch dup planted"
+
+    store = str(tmp_path / "mh_split")
+    sink = jobs.minhash_dedup_sink(store)
+    sink(spark.createDataFrame(_EPOCH0, jobs.DOCS_SCHEMA), 0)
+    sink(spark.createDataFrame(_EPOCH1, jobs.DOCS_SCHEMA), 1)
+
+    dec = _stream_decisions(spark, store)
+    kept_s = {i for i, (d, _) in dec.items() if d == "kept"}
+    assert kept_s == kept_b
+    # cross-epoch drops are 'corpus' decisions matching a batch pair
+    # partner that the batch rule also kept
+    for i, (d, m) in dec.items():
+        if d == "corpus":
+            assert m in partners[i] and m in kept_b, (i, m, partners[i])
+
+
+def _mk_vecs(rng, seed_vec, eps, n, start_id):
+    rows = []
+    for i in range(n):
+        v = seed_vec + eps * rng.randn(8)
+        rows.append((start_id + i, [float(x) for x in v]))
+    return rows
+
+
+def test_ann_index_epoch_split_equals_batch_insert(spark, tmp_path):
+    """The persisted-store view after (bootstrap epoch, insert epoch)
+    must equal nndescent_graph + insert_into_graph composed directly in
+    batch on the same rows — exact (id, nb, rank, cosine) tuples, no
+    tolerance: both paths run the identical deterministic plans, so any
+    difference is store plumbing corrupting adjacency."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    a, b = rng.randn(8), rng.randn(8)
+    batch0 = _mk_vecs(rng, a, 0.05, 6, 0) + _mk_vecs(rng, b, 0.05, 6, 100)
+    batch1 = _mk_vecs(rng, a, 0.05, 3, 200)
+
+    store = str(tmp_path / "ann_parity")
+    sink = jobs.ann_index_sink(store, k=8)
+    sink(spark.createDataFrame(batch0, jobs.VECS_SCHEMA), 0)
+    sink(spark.createDataFrame(batch1, jobs.VECS_SCHEMA), 1)
+    got = {
+        (r["id"], r["nb"], r["rank"], r["cosine"])
+        for r in jobs.ann_index_view(spark, store).collect()
+    }
+
+    # batch twin: same operators, no store
+    e0 = spark.createDataFrame(batch0, jobs.VECS_SCHEMA)
+    g0 = ann_graph.nndescent_graph(e0, "vec_id", "embedding", k=8).select(
+        F.col("vec_id").alias("id"),
+        F.col("neighbor_id").alias("nb"),
+        "cosine",
+        "rank",
+    )
+    old = e0.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    new = spark.createDataFrame(batch1, jobs.VECS_SCHEMA).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    old_adj, new_adj = ann_graph.insert_into_graph(old, g0, new, "bigint", k=8)
+    want = {
+        (r["id"], r["nb"], r["rank"], r["cosine"])
+        for r in old_adj.unionByName(new_adj).collect()
+    }
+    assert got == want
