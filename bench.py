@@ -231,6 +231,20 @@ def main() -> None:
     # sf1 scale sweep uses this; default is the full headline list)
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     names = [n for n in only.split(",") if n] if only else HEADLINE
+    # Pre-bucketed fact posture (VERDICT r13 #4): SPARK_GRAFT_BUCKETED=1
+    # materializes bucketed+sorted lineitem/orders into the session
+    # catalog BEFORE timing, so the TPC-H micro queries read a layout
+    # where the fact join's exchange was pre-paid at write time — the
+    # storage posture a production cluster uses for its fact tables.
+    # The build cost is reported separately (it amortizes over every
+    # query that ever joins the facts), and the flag rides the record.
+    bucketed_build: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BUCKETED") == "1":
+        from calidad_del_aire_etl_spark.sinks.writers import (
+            prepare_bucketed_facts,
+        )
+
+        bucketed_build = prepare_bucketed_facts(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
         best = None
@@ -263,6 +277,9 @@ def main() -> None:
         "load_gate": load_gate,
         "load_flagged": load_flagged,
     }
+    if bucketed_build or os.environ.get("SPARK_GRAFT_BUCKETED") == "1":
+        detail["bucketed"] = True
+        detail["bucketed_build_s"] = bucketed_build
     # subset runs (SPARK_GRAFT_QUERIES) get their own detail file — they
     # must not overwrite the full-suite record a prior summary line's
     # `detail` pointer still references

@@ -48,6 +48,70 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+# Fact tables worth pre-bucketing, with their join keys: every TPC-H
+# micro query's big exchange is lineitem⋈orders on the orderkey.
+BUCKETED_FACTS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+}
+
+
+def bucketed_table_name(sf_dir: str, name: str) -> str:
+    """Session-catalog table name for a pre-bucketed fact: derived from
+    the sf dir so several scale factors can coexist in one catalog."""
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"bkt_{tag}_{name}"
+
+
+def prepare_bucketed_facts(
+    spark, sf_dir: str, num_buckets: int = 32, tables: dict | None = None
+) -> dict[str, float]:
+    """Materialize the pre-bucketed fact layout for ``sf_dir`` into the
+    session catalog (VERDICT r13 #4) — the storage posture a production
+    deployment uses for fact tables that are repeatedly joined on the
+    same key. Each table is repartitioned on its bucket key into
+    ``num_buckets`` tasks BEFORE ``bucketBy(num_buckets)``: Spark's
+    repartition and bucket id use the same pmod(murmur3)% function, so
+    every task holds exactly one bucket and each bucket lands in ONE
+    file — the precondition for the sortBy metadata to be honored at
+    read time (multi-file buckets force a re-sort under sort-merge).
+
+    With both facts bucketed+sorted on the orderkey, the
+    lineitem⋈orders join plans with NO Exchange and NO Sort: the one
+    ~60 M-row fact shuffle the TPC-H micro family pays per query at
+    sf10 is paid once here, at write time — exactly the asymmetry a
+    100 TB deployment exploits (facts are written once, joined
+    thousands of times).
+
+    Returns {table: build_seconds}. Skips tables already in the
+    catalog (idempotent across bench reruns in one session; the
+    catalog is per-session under the default in-memory implementation,
+    so a fresh process rebuilds).
+    """
+    import time
+
+    from ..registry import load as _load
+
+    # One file per bucket (the repartition alignment below) is exactly
+    # the precondition under which the scan may report the sortBy
+    # ordering; Spark only does so behind this flag (default false
+    # since 3.0), and with it the bucketed SMJ drops its per-side Sort
+    # as well as the Exchange.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    built: dict[str, float] = {}
+    for name, keys in (tables or BUCKETED_FACTS).items():
+        tbl = bucketed_table_name(sf_dir, name)
+        if spark.catalog.tableExists(tbl):
+            continue
+        t0 = time.perf_counter()
+        df = _load(spark, sf_dir, name).repartition(num_buckets, *keys)
+        write_bucketed(df, tbl, keys, num_buckets=num_buckets, sort_cols=keys)
+        built[tbl] = round(time.perf_counter() - t0, 3)
+    return built
+
+
 def write_parquet_clustered(
     df: DataFrame,
     path: str,

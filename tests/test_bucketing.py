@@ -494,3 +494,63 @@ def test_manifest_pruning_survives_all_null_stat_files(spark, tmp_path):
         for r in writers.read_parquet_manifest_pruned(spark, path, "k", 500, 600).collect()
     )
     assert got == list(range(500, 601))
+
+
+def test_bucketed_fact_posture_is_transparent_and_shuffle_light(
+    spark, sf_dir, monkeypatch
+):
+    """The SPARK_GRAFT_BUCKETED posture (VERDICT r13 #4): with
+    lineitem/orders pre-bucketed on the orderkey, (a) load() silently
+    serves the bucketed tables, (b) the TPC-H micro results are
+    IDENTICAL to the plain-parquet posture, and (c) the fact join
+    plans without its lineitem-side exchange (asserted with broadcast
+    off so the join must co-locate by key, the shape the 60 M-row sf10
+    join actually takes)."""
+    from calidad_del_aire_etl_spark import registry
+
+    qs = registry.queries()
+    names = ["tpch_q3_shipping", "tpch_q5_local_supplier", "tpch_q10_returned"]
+    plain = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
+
+    built = writers.prepare_bucketed_facts(spark, sf_dir, num_buckets=4)
+    try:
+        assert built or all(
+            spark.catalog.tableExists(writers.bucketed_table_name(sf_dir, t))
+            for t in writers.BUCKETED_FACTS
+        )
+        # idempotent: a second call is a no-op
+        assert writers.prepare_bucketed_facts(spark, sf_dir, num_buckets=4) == {}
+
+        monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+        for n in names:
+            assert sorted(map(tuple, qs[n](spark, sf_dir).collect())) == plain[n], n
+
+        # one bucket file per bucket id, so the sortBy metadata holds
+        li = spark.table(writers.bucketed_table_name(sf_dir, "lineitem"))
+        assert len(li.inputFiles()) == 4
+
+        # the orderkey join itself must plan with NO Exchange and — the
+        # sortBy metadata honored via the one-file-per-bucket layout +
+        # bucketedTableScan.outputOrdering — NO Sort either
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            od = spark.table(writers.bucketed_table_name(sf_dir, "orders"))
+            j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+                "l_orderkey"
+            ).count()
+            p = _plan(j)
+            import re
+
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p
+            # a standalone Sort operator renders as "Sort (N)" —
+            # plain "+- Sort" would also match SortMergeJoin itself
+            assert not re.search(r"\bSort \(\d", p)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BUCKETED", raising=False)
+        for t in writers.BUCKETED_FACTS:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {writers.bucketed_table_name(sf_dir, t)}"
+            )

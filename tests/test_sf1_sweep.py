@@ -42,6 +42,16 @@ EXPECTED_DNF = frozenset({
     "dedup_keep_best",
     "graph_pagerank",
     "dedup_lsh_tuning",
+})
+
+# Twins that straddle the cap (r14 re-adjudication, VERDICT r13 #6):
+# dedup_cluster_resolve's recursive-CTE twin measured 107.7 s standalone
+# (even under loadavg ~18) but >150 s inside a pytest process sharing
+# the box with the Spark JVM — it finished and hash-matched in the r13
+# sweep, then DNF'd twice in r14's. A borderline twin is allowed either
+# outcome: DNF → xfail (recorded), finish → the hash check runs. Hard
+# pins stay strict both ways (a finishing EXPECTED_DNF twin FAILS).
+BORDERLINE_DNF = frozenset({
     "dedup_cluster_resolve",
 })
 
@@ -83,10 +93,21 @@ def test_sf1_hash_parity(spark, sf1_dir, name):
     if problems and problems[0].startswith("TIMEOUT"):
         if name in EXPECTED_DNF:
             pytest.xfail(f"{name}: twin DNF at sf1 (adjudicated inversion)")
+        if name in BORDERLINE_DNF:
+            pytest.xfail(f"{name}: borderline twin DNF'd this run (~cap)")
         pytest.fail(
             f"{name}: twin DNF at sf1 but NOT in the adjudicated set — "
             "either adjudicate it in BASELINE.md + EXPECTED_DNF or fix "
             "the twin"
+        )
+    if name in EXPECTED_DNF:
+        # XPASS made loud (VERDICT r13 #6): a pinned twin that FINISHES
+        # under the cap is evidence the pin is stale — fail so the set
+        # gets re-adjudicated instead of silently over-pinning.
+        pytest.fail(
+            f"{name}: twin finished under the {TWIN_TIMEOUT:.0f}s cap but "
+            "is pinned in EXPECTED_DNF — stale pin; unpin it (and record "
+            "the re-adjudication in BASELINE.md)"
         )
     assert not problems, f"{name} at sf1: {'; '.join(problems)}"
     assert n >= 0
@@ -96,5 +117,6 @@ def test_sf1_hash_parity(spark, sf1_dir, name):
 def test_sf1_expected_dnf_set_is_current():
     """Every adjudicated-DNF name must still be a registered oracle —
     a renamed/removed query would silently shrink the sweep."""
-    missing = EXPECTED_DNF - set(_ORACLES)
-    assert not missing, f"EXPECTED_DNF names not in oracle_sql(): {missing}"
+    missing = (EXPECTED_DNF | BORDERLINE_DNF) - set(_ORACLES)
+    assert not missing, f"DNF-pin names not in oracle_sql(): {missing}"
+    assert not EXPECTED_DNF & BORDERLINE_DNF
