@@ -9,6 +9,8 @@ compression choice (dag:265).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -105,6 +107,18 @@ def prepare_bucketed_facts(
         tbl = bucketed_table_name(sf_dir, name)
         if spark.catalog.tableExists(tbl):
             continue
+        # Under the default in-memory catalog a fresh process forgets
+        # the table but its managed location survives in the warehouse
+        # dir; saveAsTable then refuses with LOCATION_ALREADY_EXISTS.
+        # The files are unreadable as a bucketed table without their
+        # catalog metadata anyway, so clear the stale location.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(urlparse(wh).path or wh, tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
         t0 = time.perf_counter()
         df = _load(spark, sf_dir, name).repartition(num_buckets, *keys)
         write_bucketed(df, tbl, keys, num_buckets=num_buckets, sort_cols=keys)

@@ -32,6 +32,7 @@ def _overlay(bench: dict, base: dict) -> tuple[dict, dict, dict]:
     sq = dict(bench.get("queries", {}))
     dq = dict(base.get("queries", {}))
     warm: dict = {}
+    bkt: dict = {}
     upds = sorted(
         (k for k in bench if re.fullmatch(r"r\d+_updates", k)),
         key=lambda k: int(k[1:].split("_")[0]),
@@ -45,9 +46,11 @@ def _overlay(bench: dict, base: dict) -> tuple[dict, dict, dict]:
                     dq[name] = e["duck_pair"]
                 if e.get("warm_s") is not None:
                     warm[name] = e["warm_s"]
+                if e.get("bucketed_warm_s") is not None:
+                    bkt[name] = e["bucketed_warm_s"]
             else:
                 sq[name] = e
-    return sq, dq, warm
+    return sq, dq, warm, bkt
 
 
 def main() -> None:
@@ -99,7 +102,7 @@ def main() -> None:
             "treat round-over-round deltas as noise, re-run quiet before "
             "adjudicating a regression (VERDICT r13 #9)\n"
         )
-    bq, dq, warm = _overlay(bench, base)
+    bq, dq, warm, bkt = _overlay(bench, base)
     comp = {k: v for k, v in bq.items() if k in dq and dq[k] is not None}
     ds, dd = sum(comp.values()), sum(dq[k] for k in comp)
     total = bench.get("value", sum(bq.values()))
@@ -122,7 +125,11 @@ def main() -> None:
             f"  warm {warm[k]:5.2f} ({warm[k] / t:.2f}x)"
             if k in warm else ""
         )
-        print(f"  {r:5.2f}x  spark {s:6.2f}  duck {t:6.2f}  {k}{w}{flag}")
+        b = (
+            f"  bucketed {bkt[k]:5.2f} ({bkt[k] / t:.2f}x)"
+            if k in bkt else ""
+        )
+        print(f"  {r:5.2f}x  spark {s:6.2f}  duck {t:6.2f}  {k}{w}{b}{flag}")
     floor = [k for k in comp if dq[k] < bound]
     fs = sum(comp[k] for k in floor)
     print(
