@@ -2029,7 +2029,11 @@ def span_dedup_emit(
         F.coalesce(F.size("cps"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
         F.coalesce(F.expr(union_fold), F.lit(0)).cast("bigint").alias("dup_chars"),
     )
-    frac = r4(F.col("dup_chars").cast("double") / F.col("doc_len").cast("double"))
+    # try_divide: a 0-char doc (doc_len = 0) raises under ANSI where
+    # the DuckDB twin yields NULL (degenerate-docs sweep); NULL frac →
+    # the drop test is NULL → falls through to clip/keep, both engines
+    frac = r4(F.try_divide(F.col("dup_chars").cast("double"),
+                           F.col("doc_len").cast("double")))
     return out.select(
         F.col("id").alias(id_col),
         "doc_len",
@@ -2039,7 +2043,8 @@ def span_dedup_emit(
         frac.alias("dup_char_frac"),
         (F.col("doc_len") - F.col("dup_chars")).cast("bigint").alias("kept_chars"),
         F.when(
-            F.col("dup_chars").cast("double") / F.col("doc_len").cast("double")
+            F.try_divide(F.col("dup_chars").cast("double"),
+                         F.col("doc_len").cast("double"))
             > F.lit(drop_frac),
             F.lit("drop"),
         )

@@ -33,11 +33,21 @@ from ..functions import r4
 # --- shared shingle expressions (Spark SQL dialect / DuckDB dialect) -----
 
 def shingles_expr(text_col: str, n: int = 3) -> str:
-    """Distinct word n-gram shingles, Spark SQL."""
+    """Distinct word n-gram shingles, Spark SQL.
+
+    NULL text → EMPTY shingle set, guarded explicitly: without the
+    CASE, ``concat_ws`` swallows the NULL token slice into '' and a
+    NULL doc would shingle as {''} — band-colliding with every
+    genuinely-empty doc — while the DuckDB twin's
+    ``array_to_string(NULL)`` propagates NULL and yields []. A NULL
+    document has no content, so no shingles and no candidate pairs
+    (caught by the degenerate-docs parity sweep). Empty/whitespace
+    docs keep {''}: they ARE exact duplicates of one another."""
     toks = rf"split(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')"
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"CASE WHEN {text_col} IS NULL THEN cast(array() as array<string>) "
+        f"ELSE array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
     )
 
 
@@ -643,11 +653,18 @@ def simhash_sql(table: str, id_col: str, text_col: str, bits: int = 16) -> str:
       FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j)
     ), votes AS (
       SELECT id, j, SUM(bit * 2 - 1) AS v FROM bitted GROUP BY 1, 2
+    ), fp AS (
+      SELECT id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY 1
     )
-    SELECT id AS {id_col},
-           CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM votes GROUP BY 1
+    -- LEFT JOIN back to the table: unnest drops NULL-text docs from
+    -- tok, but the contract is one fingerprint row per doc — NULL
+    -- simhash for a NULL doc, matching Spark's per-row fold (caught
+    -- by the degenerate-docs parity sweep)
+    SELECT t.{id_col}, fp.simhash
+    FROM {table} t LEFT JOIN fp ON fp.id = t.{id_col}
     """
 
 
@@ -822,11 +839,17 @@ def minhash_signatures(
     revised document's signature), with the band relation derivable by
     pure array slicing via :func:`bands_from_signatures` — signing is
     the expensive part, band derivation is free."""
+    # NULL text → NULL signature (not the untouched [P,...] fold init):
+    # a contentless doc must never band-collide, and the twin's
+    # list_min-over-empty already yields an all-NULL sig whose NULL
+    # band key joins nothing — NULL = NULL is false on both engines
+    # (degenerate-docs parity sweep).
     sig_expr = (
+        f"CASE WHEN {text_col} IS NULL THEN cast(null as array<bigint>) ELSE "
         f"aggregate({hashed_shingles_expr(text_col, n)}, "
         f"transform(sequence(0, {num_hashes - 1}), k -> cast({MINHASH_P} as bigint)), "
         f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
-        f"(m, k) -> least(m, {_minhash_lambda(num_hashes)})))"
+        f"(m, k) -> least(m, {_minhash_lambda(num_hashes)}))) END"
     )
     return df.select(F.col(id_col).alias("id"), F.expr(sig_expr).alias("sig"))
 

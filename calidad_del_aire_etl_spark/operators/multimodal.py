@@ -94,7 +94,10 @@ def feature_extract(
         bincount of length n_rows*8 yields every row's histogram."""
         import numpy as np
 
-        payloads = [bytes(p) for p in pdf[payload_col]]
+        # NULL payload ≡ empty: a missing blob is a decode failure
+        # (ok=False, byte_len 0), not a worker crash — the robustness
+        # contract that keeps one bad row from killing a 100 TB job
+        payloads = [b"" if p is None else bytes(p) for p in pdf[payload_col]]
         n = len(payloads)
         lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
         ok = lens > 0  # empty payload = decode failure (see _fake_decode)
@@ -124,7 +127,10 @@ def feature_extract(
         feats, oks = [], []
         for payload in pdf[payload_col]:
             try:
-                decoded = [float(x) for x in decode(bytes(payload))]
+                decoded = [
+                    float(x)
+                    for x in decode(b"" if payload is None else bytes(payload))
+                ]
                 if len(decoded) != FEATURE_DIM:
                     # A wrong-arity decoder would emit ragged feature
                     # arrays flagged ok=True, breaking fixed-dimension
@@ -141,7 +147,9 @@ def feature_extract(
         return pd.DataFrame(
             {
                 "doc_id": pdf[id_col],
-                "byte_len": pdf[payload_col].map(len),
+                "byte_len": pdf[payload_col].map(
+                    lambda p: 0 if p is None else len(p)
+                ),
                 "ok": oks,
                 "features": feats,
             }
@@ -190,7 +198,8 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, offs, lens, digs = [], [], [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
+                # NULL payload = no frames (same contract as extract)
+                data = b"" if payload is None else bytes(payload)
                 n_frames = max((len(data) + frame_size - 1) // frame_size, 0)
                 for fi in range(0, n_frames, every_kth):
                     off = fi * frame_size

@@ -160,8 +160,10 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
         c = char_count(t, ch)
         punct = c if punct is None else punct + c
     n_chars = F.length(t).cast("double")
-    stop_ratio = stop_hits.cast("double") / n_words
-    punct_ratio = punct.cast("double") / n_chars
+    # try_divide: ANSI division raises on the 0-char empty doc where
+    # the DuckDB twin yields NULL (caught by the degenerate-docs sweep)
+    stop_ratio = F.try_divide(stop_hits.cast("double"), n_words)
+    punct_ratio = F.try_divide(punct.cast("double"), n_chars)
     score = (
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
@@ -229,8 +231,10 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return freq.groupBy("id").agg(
         F.first("n").cast("bigint").alias("n_chars_measured"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
-        r4(-F.sum((F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))))
-        .alias("entropy_bits"),
+        r4(-F.sum(
+            F.try_divide(F.col("c"), F.col("n"))
+            * F.log2(F.try_divide(F.col("c"), F.col("n")))
+        )).alias("entropy_bits"),
     ).withColumnRenamed("id", id_col)
 
 
@@ -266,10 +270,19 @@ def fingerprint(df: DataFrame, text_col: str, gram: int = 8) -> DataFrame:
         f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)), "
         f"i -> md5(cast(substring({text_col}, i, {gram}) as binary)))"
     )
+    # NULL text: Spark's greatest(NULL,1)=1 would shingle the NULL doc
+    # as [md5(NULL)] = [NULL] and count n_shingles = 1, where DuckDB's
+    # generate_series(1, NULL) yields none — pin (NULL fingerprint,
+    # 0 shingles) for a contentless doc on both engines.
     return df.select(
         "*",
-        F.expr(f"array_min({sh})").alias("fingerprint"),
-        F.expr(f"size(array_distinct({sh}))").cast("bigint").alias("n_shingles"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.expr(f"array_min({sh})"))
+        .alias("fingerprint"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.expr(f"size(array_distinct({sh}))"))
+        .cast("bigint")
+        .alias("n_shingles"),
     )
 
 

@@ -138,9 +138,13 @@ WITH b AS (
 SELECT doc_id, CAST(n AS BIGINT) AS byte_len, TRUE AS ok, {fnames}
 FROM agg
 UNION ALL
+-- COALESCE(n, 0): a NULL payload (NULL text) is a decode failure like
+-- an empty one — byte_len 0, ok FALSE — matching the Spark stub's
+-- NULL-payload guard (degenerate-docs parity sweep); without it the
+-- twin silently dropped NULL docs from the relation
 SELECT doc_id, CAST(0 AS BIGINT) AS byte_len, FALSE AS ok,
        {zeros}
-FROM b WHERE n = 0
+FROM b WHERE COALESCE(n, 0) = 0
 """.format(
     fcols=",\n         ".join(
         "round(count(*) FILTER (WHERE bin = {k}) / CAST(n AS DOUBLE) + 1e-9, 6)"

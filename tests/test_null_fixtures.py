@@ -94,6 +94,68 @@ def test_hash_parity_with_null_values(spark, duck_nulls, null_sf_dir, name):
     assert not problems, f"{name} (NULL-planted events): {'; '.join(problems)}"
 
 
+# ---------------------------------------------------------------------------
+# Documents variant: NULL / empty / whitespace-only text (the text and
+# dedup families' blind spot — the driver corpus has none of the three)
+# ---------------------------------------------------------------------------
+
+DOC_NULL_SENSITIVE = sorted(
+    name
+    for name, sql in _ORACLES.items()
+    if re.search(r"\bdocuments\b", sql) and re.search(r"\btext\b", sql)
+)
+
+
+@pytest.fixture(scope="module")
+def null_docs_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("sf_doc_nulls")
+    for t in oracle.TABLES:
+        src = f"{SRC_SF}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    tbl = pq.read_table(f"{SRC_SF}/documents.parquet")
+    doc_id = tbl.column("doc_id")
+    mod = pc.bit_wise_and(doc_id, 63)
+    text = tbl.column("text")
+    # three degenerate classes, each planted on a distinct id residue
+    text = pc.if_else(pc.equal(mod, 0), None, text)  # NULL text
+    text = pc.if_else(pc.equal(mod, 1), "", text)  # empty text
+    text = pc.if_else(pc.equal(mod, 2), " \t  ", text)  # whitespace-only
+    n_chars = pc.utf8_length(text)  # keep the length column truthful
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"), tbl.schema.field("text"), text
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("n_chars"),
+        tbl.schema.field("n_chars"),
+        pc.cast(n_chars, pa.int64()),
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_doc_nulls(null_docs_sf_dir):
+    con = oracle.duck_connection(null_docs_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", DOC_NULL_SENSITIVE)
+def test_hash_parity_with_degenerate_docs(
+    spark, duck_doc_nulls, null_docs_sf_dir, name
+):
+    n, problems = oracle.compare_query(
+        spark, duck_doc_nulls, _QUERIES[name], _ORACLES[name], null_docs_sf_dir
+    )
+    assert not problems, f"{name} (degenerate docs): {'; '.join(problems)}"
+
+
 def test_null_fixture_actually_plants_nulls(null_sf_dir):
     """Self-check: the derived dir must carry NULLs, an all-NULL day,
     and an all-NULL user — otherwise the sweep above proves nothing."""

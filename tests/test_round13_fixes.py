@@ -163,13 +163,16 @@ def test_ratio_report_overlay_resolves_rounds_in_order():
         "r9_updates": {"queries": {"a": {"spark_pair": 9.0, "duck_pair": 3.0}}},
         "r13_updates": {"queries": {
             "a": {"spark_pair": 7.0, "warm_s": 4.0},
-            "b": 4.0,
+            "b": {"bucketed_warm_s": 3.5},
         }},
+        "r14_updates": {"queries": {"b": 4.0}},
     }
     base = {"queries": {"a": 2.0, "b": 1.0}}
-    sq, dq, warm = rr._overlay(bench, base)
-    assert sq == {"a": 7.0, "b": 4.0}      # r13 wins over r9; float form ok
+    sq, dq, warm, bkt = rr._overlay(bench, base)
+    assert sq == {"a": 7.0, "b": 4.0}      # r14 wins over r13; float form ok
     assert dq == {"a": 3.0, "b": 1.0}      # duck_pair override sticks
     assert warm == {"a": 4.0}
-    sq2, dq2, warm2 = rr._overlay({"queries": {"x": 1.0}}, base)
-    assert sq2 == {"x": 1.0} and dq2 == base["queries"] and warm2 == {}
+    assert bkt == {"b": 3.5}               # r14 bucketed posture column
+    sq2, dq2, warm2, bkt2 = rr._overlay({"queries": {"x": 1.0}}, base)
+    assert sq2 == {"x": 1.0} and dq2 == base["queries"]
+    assert warm2 == {} and bkt2 == {}
