@@ -156,6 +156,70 @@ def test_hash_parity_with_degenerate_docs(
     assert not problems, f"{name} (degenerate docs): {'; '.join(problems)}"
 
 
+# ---------------------------------------------------------------------------
+# Embeddings variant: NULL vectors and all-zero vectors (failed or
+# padded embeds — the zero norm hits every cosine denominator). Ragged
+# dims are NOT planted: fixed dimension is a documented precondition
+# of the vector family (see dedup.COSINE_DUCK).
+# ---------------------------------------------------------------------------
+
+VEC_NULL_SENSITIVE = sorted(
+    name
+    for name, sql in _ORACLES.items()
+    if re.search(r"\bembeddings\b", sql)
+)
+
+
+@pytest.fixture(scope="module")
+def null_vecs_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("sf_vec_nulls")
+    for t in oracle.TABLES:
+        src = f"{SRC_SF}/{t}.parquet"
+        if t != "embeddings" and os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    tbl = pq.read_table(f"{SRC_SF}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("embedding").to_pylist()
+    dim = len(vecs[0])
+    planted = []
+    for i, v in zip(ids, vecs):
+        if i % 97 == 0:
+            planted.append(None)  # failed embed
+        elif i % 97 == 1:
+            planted.append([0.0] * dim)  # zero vector (padding)
+        else:
+            planted.append(v)
+    col = pa.array(planted, type=tbl.schema.field("embedding").type)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("embedding"),
+        tbl.schema.field("embedding"),
+        col,
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_vec_nulls(null_vecs_sf_dir):
+    con = oracle.duck_connection(null_vecs_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", VEC_NULL_SENSITIVE)
+def test_hash_parity_with_degenerate_vectors(
+    spark, duck_vec_nulls, null_vecs_sf_dir, name
+):
+    n, problems = oracle.compare_query(
+        spark, duck_vec_nulls, _QUERIES[name], _ORACLES[name], null_vecs_sf_dir
+    )
+    assert not problems, f"{name} (degenerate vectors): {'; '.join(problems)}"
+
+
 def test_null_fixture_actually_plants_nulls(null_sf_dir):
     """Self-check: the derived dir must carry NULLs, an all-NULL day,
     and an all-NULL user — otherwise the sweep above proves nothing."""
