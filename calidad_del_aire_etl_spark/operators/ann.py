@@ -20,6 +20,29 @@ from pyspark.sql import functions as F
 from ..functions import r4
 from .dedup import COSINE_SPARK
 
+# Vector-relation validity for the COSINE family (degenerate-vectors
+# parity sweep, r14): a NULL embedding is a missing row (excluded
+# everywhere), and a zero vector has no direction — cosine against it
+# is undefined — so cosine-based operators exclude it too, the same
+# contract a normalizing vector store (FAISS IP/cosine) enforces at
+# ingest. Geometric operators (k-means, purity, balance, PCA) keep
+# zero vectors and exclude only NULLs. Both predicates are exact
+# integer-free comparisons (a sum of non-negative squares is > 0 iff
+# any element is non-zero), so the engines can't disagree.
+VALID_VEC_SPARK = (
+    "({v} is not null and aggregate(transform({v}, x -> cast(x as double) * x), "
+    "cast(0 as double), (acc, x) -> acc + x) > 0)"
+)
+VALID_VEC_DUCK = (
+    "({v} IS NOT NULL AND list_sum(list_transform({v}, "
+    "x -> CAST(x AS DOUBLE) * x)) > 0)"
+)
+
+
+def valid_vec(vec_col: str):
+    """Spark Column: embedding is present and has a direction."""
+    return F.expr(VALID_VEC_SPARK.format(v=vec_col))
+
 
 def bruteforce_topk(
     df: DataFrame,
@@ -31,7 +54,9 @@ def bruteforce_topk(
     """Exact cosine top-k neighbors for the rows matching
     ``query_ids_pred`` (a Column predicate), excluding self-matches.
     Deterministic: ties broken by neighbor id on the rounded cosine."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.filter(valid_vec(vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     queries = base.filter(query_ids_pred(F.col("id"))).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")
     )
@@ -64,6 +89,8 @@ def bruteforce_topk_sql(
                ORDER BY ROUND({cos} + 1e-9, 4) DESC, c.{id_col} ASC) AS INTEGER) AS rank
       FROM {table} q JOIN {table} c ON q.{id_col} != c.{id_col}
       WHERE {query_pred_sql}
+        AND {VALID_VEC_DUCK.format(v=f"q.{vec_col}")}
+        AND {VALID_VEC_DUCK.format(v=f"c.{vec_col}")}
     ) WHERE rank <= {k}
     """
 
@@ -175,6 +202,9 @@ def _ivf_withcells(df: DataFrame, id_col: str, vec_col: str, cell_col: str):
     ``rk[0].cell`` is the nearest-centroid assignment."""
     import math
 
+    # cosine family: NULL/zero vectors are excluded from BOTH the
+    # codebook training relation and the assigned corpus (valid_vec)
+    df = df.filter(valid_vec(vec_col))
     cents = ivf_centroids(df, vec_col, cell_col).collect()
     codebook = sorted(
         (r["cell"], [float(x) for x in r["cv"]]) for r in cents
@@ -197,7 +227,9 @@ def _ivf_withcells(df: DataFrame, id_col: str, vec_col: str, cell_col: str):
         )
         cell_lit = repr(cell) if isinstance(cell, str) else str(cell)
         structs.append(
-            f"struct(-round({dot} / (nv * {cnorm!r}D) + 1e-9, 4) as nc, "
+            # try_divide: a centroid can in principle average to the
+            # exact zero vector (cancelling cell) — NULL, not a raise
+            f"struct(-round(try_divide({dot}, nv * {cnorm!r}D) + 1e-9, 4) as nc, "
             f"{cell_lit} as cell)"
         )
     ranked_expr = "array_sort(array(" + ", ".join(structs) + "))"
@@ -255,7 +287,7 @@ def ivf_balance_sql(
       SELECT {cell_col} AS cell,
              generate_subscripts({vec_col}, 1) - 1 AS pos,
              unnest({vec_col}) AS x
-      FROM {table}
+      FROM {table} WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), cent AS (
       SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
     ), cvec AS (
@@ -264,6 +296,7 @@ def ivf_balance_sql(
       SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM cvec
     ), b AS (
       SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), ranked AS (
       SELECT b.id, c.cell,
              ROW_NUMBER() OVER (
@@ -304,13 +337,14 @@ def ivf_topk_sql(
       SELECT {cell_col} AS cell,
              generate_subscripts({vec_col}, 1) - 1 AS pos,
              unnest({vec_col}) AS x
-      FROM {table}
+      FROM {table} WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), cent AS (
       SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
     ), cvec AS (
       SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
     ), b AS (
       SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), ranked AS (
       SELECT b.id, b.v, c.cell,
              ROW_NUMBER() OVER (
@@ -362,8 +396,15 @@ def lsh_topk_sql(
     )
     cos = COSINE_DUCK.format(a="p.qv", b="b.v")
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table}
+    WITH valid AS MATERIALIZED (
+      -- MATERIALIZED, not a WHERE on the bucket projection: DuckDB
+      -- inlines plain CTEs and bulk-evaluates list_dot_product over
+      -- the chunk before the selection vector applies, raising on
+      -- NULL lists
+      SELECT {id_col}, {vec_col} FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
+    ), base AS (
+      SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM valid
     ), probes AS (
       SELECT id AS qid, v AS qv, unnest([{probe_list}]) AS qb
       FROM base WHERE ({query_pred_sql})
@@ -422,7 +463,13 @@ def kmeans_fit(
       the classic iterative-algorithm trap).
     Returns (centroids, assigned DataFrame with cluster + sq_dist).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    # NULL embedding = missing row (degenerate-vectors sweep); zero
+    # vectors are legal L2 points and stay
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .persist()
+    )
     init = base.orderBy("id").limit(k).orderBy("id").collect()
     centroids = [list(map(float, r["v"])) for r in init]
     for _ in range(iters):
@@ -471,7 +518,7 @@ def lsh_topk(
     (flipping one hyperplane sign), the standard recall/cost knob.
     Scan fraction ≈ (1 + P) / 2^P of the corpus per query."""
     planes = hyperplanes(num_planes, dim)
-    base = df.select(
+    base = df.filter(valid_vec(vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_col(vec_col, planes).alias("bucket"),
@@ -548,7 +595,7 @@ def sq_topk(
     broadcast-queries / window-rank shape as :func:`bruteforce_topk`;
     the difference is the corpus side streams 4x fewer bytes. Recall vs
     the exact baseline is asserted in tests/test_ann.py."""
-    base = df.select(
+    base = df.filter(valid_vec(vec_col)).select(
         F.col(id_col).alias("id"), F.expr(SQ_QUANT.format(v=vec_col)).alias("code")
     )
     queries = base.filter(query_ids_pred(F.col("id"))).select(
@@ -575,8 +622,11 @@ def sq_topk_sql(
 ) -> str:
     cos = SQ_COS_DUCK.format(a="q.code", b="c.code")
     return f"""
-    WITH qz AS (
-      SELECT {id_col} AS id, {SQ_QUANT_DUCK.format(v=vec_col)} AS code FROM {table}
+    WITH valid AS MATERIALIZED (
+      SELECT {id_col}, {vec_col} FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
+    ), qz AS (
+      SELECT {id_col} AS id, {SQ_QUANT_DUCK.format(v=vec_col)} AS code FROM valid
     )
     SELECT query_id, neighbor_id, sq_cosine, rank FROM (
       SELECT q.id AS query_id, c.id AS neighbor_id,
@@ -750,6 +800,7 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    df = df.filter(valid_vec(vec_col))  # ANN family vector contract
     cents = ivf_centroids(df, vec_col, cell_col).collect()
     codebook = sorted((r["cell"], [float(x) for x in r["cv"]]) for r in cents)
     C = np.array([cv for _, cv in codebook], dtype=np.float64)
@@ -848,7 +899,7 @@ def pq_topk_sql(
       SELECT {cell_col} AS cell,
              generate_subscripts({vec_col}, 1) AS pos,
              unnest({vec_col}) AS x
-      FROM {table}
+      FROM {table} WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), cent AS (
       SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
     ), cvec AS (
@@ -857,6 +908,7 @@ def pq_topk_sql(
       SELECT list(cv ORDER BY cell) AS cbl FROM cvec
     ), b AS (
       SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), dists AS (
       SELECT b.id, b.v, {dl_cols} FROM b CROSS JOIN cb
     ), enc AS (
@@ -917,6 +969,7 @@ def ivfpq_topk(
     import numpy as np
     import pandas as pd
 
+    df = df.filter(valid_vec(vec_col))  # ANN family vector contract
     cents = ivf_centroids(df, vec_col, cell_col).collect()
     codebook = sorted((r["cell"], [float(x) for x in r["cv"]]) for r in cents)
     cells_arr = np.array([c for c, _ in codebook])
@@ -1035,7 +1088,7 @@ def ivfpq_topk_sql(
       SELECT {cell_col} AS cell,
              generate_subscripts({vec_col}, 1) - 1 AS pos,
              unnest({vec_col}) AS x
-      FROM {table}
+      FROM {table} WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), cent AS (
       SELECT cell, pos, AVG(x) AS c FROM ex GROUP BY 1, 2
     ), cvec AS (
@@ -1044,6 +1097,7 @@ def ivfpq_topk_sql(
       SELECT list(cv ORDER BY cell) AS cbl FROM cvec
     ), b AS (
       SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
     ), ranked AS (
       SELECT b.id, b.v, c.cell,
              ROW_NUMBER() OVER (
@@ -1113,7 +1167,11 @@ def kmeans_fit_np(
     import numpy as np
 
     id_t, vec_t = _sql_type(df, id_col), _sql_type(df, vec_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # geometric family: a NULL embedding is a missing row; zero vectors
+    # are legal points for L2 clustering and stay in
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     # TakeOrderedAndProject: per-partition top-cap, no full sort/shuffle
     sample = base.orderBy("id").limit(fit_sample_rows).collect()
     if len(sample) == fit_sample_rows:
@@ -1286,6 +1344,7 @@ def _kmeans_cte_sql(table: str, id_col: str, vec_col: str, k: int, iters: int) -
     parts = [
         f"""b AS (
   SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+  WHERE {vec_col} IS NOT NULL
 )""",
         f"""c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster, v AS cv

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import r4
-from .ann import _np_round4, _sql_type
+from .ann import VALID_VEC_DUCK, _np_round4, _sql_type, valid_vec
 
 
 def _topk_per_node(scored: DataFrame, k: int, id_col: str = "id",
@@ -204,7 +204,10 @@ def nndescent_graph(
         if hit is not None:
             return hit
     id_t = _sql_type(df, id_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # cosine-ANN family contract: NULL/zero vectors are not indexable
+    base = df.filter(valid_vec(vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     hubs = hub_sample(base, n_hubs)
 
     seed_pairs = (
@@ -351,7 +354,9 @@ def graph_beam_topk(
     ≤ beam·graph_k rows; queries are broadcast so the only shuffled
     relation is frontier-sized, never corpus-sized."""
     id_t = _sql_type(df, id_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.filter(valid_vec(vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     queries = base.filter(query_ids_pred(F.col("id"))).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")
     )
@@ -428,7 +433,9 @@ def nndescent_insert(
             "different predicates"
         )
     id_t = _sql_type(df, id_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.filter(valid_vec(vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     old = base.filter(~new_pred(F.col("id")))
     new = base.filter(new_pred(F.col("id")))
 
@@ -545,7 +552,8 @@ def graph_beam_topk_sql(
     ``query_pred_sql`` is a predicate over the aliased column ``id``
     (e.g. ``"id < 10"``)."""
     parts, sprev = _build_and_beam_parts(
-        f"SELECT {id_col} AS id, {vec_col} AS v FROM {table}",
+        f"SELECT {id_col} AS id, {vec_col} AS v FROM {table} "
+        f"WHERE {VALID_VEC_DUCK.format(v=vec_col)}",
         f"SELECT id AS qid, v AS qv FROM base WHERE {query_pred_sql}",
         graph_k=graph_k, iters=iters, sample_k=sample_k,
         beam=beam, hops=hops, n_hubs=n_hubs,
@@ -698,9 +706,9 @@ def nndescent_insert_sql(
         # base = the STANDING index (old rows); arrivals come from the
         # full table and beam-search against it
         f"SELECT {id_col} AS id, {vec_col} AS v FROM {table} "
-        f"WHERE NOT ({new_pred_sql})",
+        f"WHERE NOT ({new_pred_sql}) AND {VALID_VEC_DUCK.format(v=vec_col)}",
         f"SELECT {id_col} AS qid, {vec_col} AS qv FROM {table} "
-        f"WHERE ({new_pred_sql})",
+        f"WHERE ({new_pred_sql}) AND {VALID_VEC_DUCK.format(v=vec_col)}",
         graph_k=k, iters=iters, sample_k=sample_k,
         beam=beam, hops=hops, n_hubs=n_hubs,
     )

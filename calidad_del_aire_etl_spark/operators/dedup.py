@@ -670,10 +670,15 @@ def simhash_sql(table: str, id_col: str, text_col: str, bits: int = 16) -> str:
 
 # --- #29 embedding-cosine near-dups --------------------------------------
 
+# try_divide, not /: a zero vector has zero norm and ANSI division
+# raises where the DuckDB twin yields NULL — cosine with a zero vector
+# is undefined, so NULL on both engines (rank/threshold filters then
+# exclude it). try_divide is bit-identical to / for non-zero norms.
 COSINE_SPARK = (
+    "try_divide("
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
-    " / (sqrt(aggregate(transform({a}, x -> x * x), cast(0 as double), (acc, x) -> acc + x))"
-    " * sqrt(aggregate(transform({b}, x -> x * x), cast(0 as double), (acc, x) -> acc + x)))"
+    ", (sqrt(aggregate(transform({a}, x -> x * x), cast(0 as double), (acc, x) -> acc + x))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), cast(0 as double), (acc, x) -> acc + x))))"
 )
 
 # NOT list_dot_product: DuckDB's native kernel accumulates FLOAT[]

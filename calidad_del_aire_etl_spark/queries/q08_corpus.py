@@ -168,6 +168,7 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_SQL = """
 WITH b AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster, v AS cv
