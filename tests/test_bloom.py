@@ -62,3 +62,17 @@ def test_null_ids_never_poison_the_batch(spark):
     assert len(surviving_ids) >= 0.95 * len(genuinely_new)
     # null-id rows are definitely-new: all kept
     assert sum(1 for r in rows if r.id is None) == 400
+
+
+def test_params_for_rejects_overflow_regime():
+    """The int64 no-overflow argument (h1 + i·h2 < 2^63) only holds for
+    k ≤ 7; smaller fpp must fail loudly instead of silently wrapping in
+    numpy while the DuckDB twin raises BIGINT overflow (ADVICE r13)."""
+    import pytest
+
+    from calidad_del_aire_etl_spark.operators import bloom
+
+    m, k = bloom.params_for(10_000, 0.01)
+    assert 1 <= k <= 7 and m % 64 == 0
+    with pytest.raises(ValueError, match="k <= 7"):
+        bloom.params_for(10_000, 1e-4)

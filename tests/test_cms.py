@@ -52,3 +52,16 @@ def test_null_keys_never_poison_the_probe(spark):
     for k in range(50):
         assert by_key[k] >= 100, (k, by_key[k])
     assert by_key[None] == 0
+
+
+def test_params_for_rejects_overflow_regime():
+    """depth ≤ 7 keeps h1 + i·h2 < 2^63 on both engines; a smaller
+    delta must raise, not silently diverge (ADVICE r13)."""
+    import pytest
+
+    from calidad_del_aire_etl_spark.operators import cms
+
+    w, d = cms.params_for(0.001, 0.01)
+    assert 1 <= d <= 7
+    with pytest.raises(ValueError, match="depth <= 7"):
+        cms.params_for(0.001, 1e-5)
