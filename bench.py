@@ -249,8 +249,12 @@ def main() -> None:
         spark.range(1 << 29).selectExpr("sum(id % 1000003) as s").collect()
         return round(time.perf_counter() - t0, 3)
 
+    # Gate at ~1.6× the 0.21-0.25 s quiet nominal: the r14 refresh run
+    # read 0.497 at start — double nominal, correctly predicting the
+    # ~20 % suite inflation that followed — and sat just under a 0.5
+    # gate, so 0.4.
     spark_probe_gate = float(
-        os.environ.get("SPARK_GRAFT_SPARK_PROBE_GATE", "0.5")
+        os.environ.get("SPARK_GRAFT_SPARK_PROBE_GATE", "0.4")
     )
     spark_probe_start = spark_probe()
 
