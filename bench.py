@@ -171,6 +171,8 @@ HEADLINE = [
     "dash_downsample_lttb",
     # round-13 addition (keep appended)
     "cms_user_counts",
+    # round-14 addition
+    "embed_knn_label_eval",
 ]
 
 

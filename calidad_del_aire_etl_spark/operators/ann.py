@@ -2183,3 +2183,115 @@ def ivf_nprobe_sweep_sql(
     {per_p}
     ORDER BY nprobe
     """
+
+
+# --- k-NN label-consistency eval -------------------------------------------
+
+
+def knn_label_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_ids_pred,
+    k: int = 5,
+) -> DataFrame:
+    """k-NN classifier probe over the embedding space: each query
+    vector's label is predicted by majority vote among its ``k``
+    exact-cosine neighbors (ties → smallest label) and scored against
+    its own label — the standard representation-quality eval (a k-NN
+    probe in the self-supervised-learning sense): a high accuracy means
+    the embedding geometry respects the labels, a collapsed or noisy
+    space scores near chance. Output is one row per label with query
+    count, correct count, and accuracy.
+
+    Composition, not new machinery: candidates come from
+    :func:`bruteforce_topk` (the exactness baseline — at 100 TB swap in
+    the IVF/graph candidate generator, the vote/score stages are
+    unchanged), labels join from the same relation, and the vote is a
+    count + row_number argmax, all partial-aggregated. Deterministic:
+    the neighbor set is the proven r4-rounded-cosine top-k, the vote
+    tie-break is (count DESC, label ASC) on exact integers.
+    """
+    topk = bruteforce_topk(df, id_col, vec_col, query_ids_pred, k=k)
+    labels = df.filter(valid_vec(vec_col)).select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        topk.join(labels, topk.neighbor_id == labels.__lid)
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("__lbl").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("__lbl").alias("pred_label"))
+    )
+    truth = labels.select(
+        F.col("__lid").alias("query_id"), F.col("__lbl").alias("true_label")
+    )
+    scored = pred.join(truth, "query_id")
+    return (
+        scored.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            r4(
+                F.col("n_correct").cast("double")
+                / F.col("n_queries").cast("double")
+            ).alias("accuracy"),
+        )
+    )
+
+
+def knn_label_eval_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_pred_sql: str,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_label_eval` — same exact top-k
+    (bruteforce twin as a subquery), same vote tie-break, same integer
+    counts."""
+    bf = bruteforce_topk_sql(table, id_col, vec_col, query_pred_sql, k=k)
+    return f"""
+    WITH topk AS ({bf}),
+    labels AS (
+      SELECT {id_col} AS lid, {label_col} AS lbl FROM {table}
+      WHERE {VALID_VEC_DUCK.format(v=vec_col)}
+    ),
+    votes AS (
+      SELECT t.query_id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM topk t JOIN labels l ON t.neighbor_id = l.lid
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, lbl AS pred_label FROM (
+        SELECT query_id, lbl,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT l.lbl AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = l.lbl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN p.pred_label = l.lbl THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 4) AS accuracy
+    FROM pred p JOIN labels l ON p.query_id = l.lid
+    GROUP BY 1
+    """

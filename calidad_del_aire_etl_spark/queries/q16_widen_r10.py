@@ -198,3 +198,28 @@ def q_dash_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the struct-list corruption it works around)."""
     ev = load(spark, sf_dir, "events")
     return analytics.downsample_lttb(ev, bucket_size=100)
+
+
+@register(
+    "embed_knn_label_eval",
+    ann.knn_label_eval_sql(
+        "embeddings", "vec_id", "embedding", "label",
+        "q.vec_id % 20 = 0", k=5,
+    ),
+)
+def q_embed_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #31o — k-NN label-consistency probe
+    (operators/ann.py:knn_label_eval): every 20th vector's label is
+    predicted by majority vote among its 5 exact-cosine neighbors and
+    scored against its own label, per-label accuracy out — the
+    standard embedding-quality eval (k-NN probe): it reads near-chance
+    on a collapsed space and high when the geometry respects labels.
+    Pure composition: the proven bruteforce top-k feeds a count +
+    row_number vote argmax (tie → smallest label), all
+    partial-aggregated; swap the candidate generator for IVF/graph at
+    100 TB and the vote/score stages are unchanged."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return ann.knn_label_eval(
+        emb, "vec_id", "embedding", "label",
+        lambda c: c % 20 == 0, k=5,
+    )

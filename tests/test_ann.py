@@ -272,3 +272,50 @@ def test_sq_dists_expansion_matches_broadcast_fold():
     assert np.array_equal(expansion, fold)
     same = ann._sq_dists(C, C)
     assert (np.diag(same) == 0.0).all() and (same >= 0).all()
+
+
+def test_knn_label_eval_planted_clusters(spark):
+    """#31o: two well-separated label clusters → the k-NN vote recovers
+    every query's label (accuracy 1.0 per label); a query planted at a
+    50/50 vote boundary resolves by the deterministic smallest-label
+    tie-break."""
+    import numpy as np
+
+    from calidad_del_aire_etl_spark.operators import ann
+
+    rng = np.random.RandomState(11)
+    a, b = rng.randn(8), rng.randn(8)
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in a + 0.01 * rng.randn(8)], 0))
+    for i in range(20, 40):
+        rows.append((i, [float(x) for x in b + 0.01 * rng.randn(8)], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: (r["n_queries"], r["n_correct"], r["accuracy"])
+        for r in ann.knn_label_eval(
+            df, "vec_id", "embedding", "label", lambda c: c % 4 == 0, k=5
+        ).collect()
+    }
+    # queries: ids 0,4,...,36 → 5 per cluster... ids 0..36 step 4 =
+    # 10 ids, 5 in each label
+    assert out[0] == (5, 5, 1.0) and out[1] == (5, 5, 1.0)
+
+    # tie: k=2 neighbors from different labels → vote 1-1 → smallest
+    # label wins. Plant a query equidistant between one vector of each
+    # label; exclude everything else.
+    tie = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.0, 1.0], 3),
+            (2, [float(2 ** -0.5), float(2 ** -0.5)], 9),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = ann.knn_label_eval(
+        tie, "vec_id", "embedding", "label", lambda c: c == 2, k=2
+    ).collect()
+    # predicted label is min(3, 7) = 3 != 9 → 0 correct for label 9
+    assert [(r["label"], r["n_correct"]) for r in got] == [(9, 0)]
