@@ -952,6 +952,18 @@ def scd2_apply(existing: DataFrame, changes: DataFrame) -> DataFrame:
     Correctness gate: the registry query hash-matches
     ``scd2_build(all events)`` — apply∘build ≡ rebuild, proven by the
     oracle."""
+    # `existing` feeds FOUR consumers below (untouched anti-join, and the
+    # semi-joined ex_t's three readers: closed_pass, closing, base_v) —
+    # without materialization the whole history build (a window over the
+    # full changelog) re-executes once per consumer. Checkpoint it with
+    # its user_id hash partitioning pinned so every downstream
+    # groupBy/window on user_id still rides the existing exchange.
+    # Measured on scd2_apply_incremental at sf0.1: 1.35 s -> 1.07 s (r14).
+    # At 100 TB this is the standard posture anyway: the standing
+    # dimension is a stored table, not a recomputed lineage.
+    from ..session import checkpoint_keeping_partitioning
+
+    existing = checkpoint_keeping_partitioning(existing)
     touched = changes.select("user_id").distinct()
     untouched = existing.join(F.broadcast(touched), "user_id", "left_anti")
     ex_t = existing.join(F.broadcast(touched), "user_id", "left_semi")
