@@ -136,14 +136,17 @@ def guarded_shingles(
     sh = df.select(
         F.col(id_col).alias("id"), F.expr(hashed_shingles_expr(text_col, n)).alias("sh")
     )
-    if max_doc_freq is not None:
-        # The hot-set scan below makes `sh` a multi-consumer relation
-        # (frequency count + pair explode + doc-size count). Checkpoint the
-        # narrow (id, shingle-array) form so the md5 shingle hashing — the
-        # CPU-dominant part — runs exactly once; blocks are ContextCleaner-
-        # managed, so no unpersist bookkeeping leaks (lazy: materialized by
-        # the first job that touches it, i.e. the hot-set broadcast build).
-        sh = sh.localCheckpoint(eager=False)
+    # `sh` is ALWAYS a multi-consumer relation: the doc-size count plus
+    # BOTH sides of the downstream pair self-join (and, when the guard is
+    # on, the hot-set frequency scan too) — so without materialization
+    # the md5 shingle hashing, the CPU-dominant part, runs 3×. Checkpoint
+    # the narrow (id, shingle-array) form so it runs exactly once; blocks
+    # are ContextCleaner-managed, so no unpersist bookkeeping leaks
+    # (lazy: materialized by the first job that touches it). Previously
+    # gated on max_doc_freq; r14 measured the uncapped callers
+    # (dedup_containment 1.85 s -> 1.21 s, dedup_cluster_resolve median
+    # 7.9 -> 4.8 s at sf0.1) and made it unconditional.
+    sh = sh.localCheckpoint(eager=False)
     counts = sh.select("id", F.size("sh").cast("bigint").alias("ns"))
     # explode_outer, not explode: InferFiltersFromGenerate would turn the
     # inner explode into a pushed-down `size(shingles) > 0` filter that
@@ -281,6 +284,15 @@ def pairs_from_bands(banded: DataFrame, num_hashes: int = 16) -> DataFrame:
     join/estimate half of :func:`minhash_lsh_pairs`, split out so a
     caller that already holds the band relation (the streaming sink
     signs each micro-batch exactly once) doesn't re-sign the text."""
+    # Both sides of the self-join read `banded`; when it arrives as a
+    # live lineage (minhash_lsh_pairs), the signature fold — the
+    # expensive K-min aggregate over every shingle hash — would run
+    # twice. One lazy checkpoint halves the signing work (measured at
+    # sf0.1, r14: dedup_minhash_lsh ≤ and dedup_minhash_eval 2.7 s ->
+    # 2.1 s best, better in every interleaved rep); for callers whose
+    # band relation is already a store/leaf it re-persists a leaf,
+    # which is noise.
+    banded = banded.localCheckpoint(eager=False)
     la, lb = banded.alias("la"), banded.alias("lb")
     cand = (
         la.join(
