@@ -288,7 +288,9 @@ def spearman_matrix_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     # subtrees, so an expensive upstream (the events pivot) would be
     # recomputed len(cols)+1 times. A lazy localCheckpoint materializes
     # it once inside the first action (no extra job); measured on
-    # dash_spearman_matrix at sf0.1: 1.34 s -> 0.99 s (r14).
+    # dash_spearman_matrix at sf0.1: 1.34 s -> 0.99 s (r14). Blocks are
+    # non-reliable: an executor loss fails the job instead of
+    # recomputing (acceptable here; checkpoint() is the cluster escape).
     ranked = with_avg_ranks(df.localCheckpoint(eager=False), cols)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     aggs = [

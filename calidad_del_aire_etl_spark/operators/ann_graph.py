@@ -281,6 +281,27 @@ def _symmetrize(g: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _edges_for(g: DataFrame, id_col: str, edges_memo: tuple | None) -> DataFrame:
+    """Symmetrized edge list of a standing graph, memoized under the
+    graph's own memo scope (r15, VERDICT r14 #3): the undirected
+    adjacency IS the search structure of the standing index — beam
+    search walks it, never the raw graph — so a build-once-query-many
+    index stores it alongside the graph instead of re-running the
+    symmetrizing distinct (one eager job) on every query against the
+    same standing index. ``edges_memo`` is the full memo tuple (None →
+    no memoization, e.g. mutating callers / the streaming sink);
+    eviction rides :func:`clear_graph_memo`'s ``{memo_key}#...`` prefix
+    rule."""
+    if edges_memo is not None:
+        hit = _GRAPH_MEMO.get(edges_memo)
+        if hit is not None:
+            return hit
+    edges = _symmetrize(g, id_col)
+    if edges_memo is not None:
+        _GRAPH_MEMO[edges_memo] = edges
+    return edges
+
+
 def _beam_states(
     base: DataFrame,
     edges: DataFrame,
@@ -289,11 +310,20 @@ def _beam_states(
     beam: int,
     hops: int,
     n_hubs: int,
+    materialize_final: bool = True,
 ) -> DataFrame:
     """Hub-seeded parallel beam search: per query, the best ``beam``
     graph nodes after ``hops`` expand-score-prune rounds. Shared by
     :func:`graph_beam_topk` (answering queries) and
-    :func:`nndescent_insert` (placing new vectors)."""
+    :func:`nndescent_insert` (placing new vectors).
+
+    ``materialize_final=False`` skips the LAST hop's eager checkpoint
+    (r15): a caller that consumes the final state exactly once (the
+    top-k cut in graph_beam_topk) re-executes nothing by taking it as
+    live lineage, and the hop's work simply moves into the consumer's
+    action — one fewer sequential job barrier on the query path.
+    Callers with multi-consumer finals (nndescent_insert) keep their
+    own materialization downstream."""
     hubs = hub_sample(base, n_hubs)
     seed_pairs = (
         F.broadcast(queries)
@@ -307,9 +337,21 @@ def _beam_states(
                            dedup=False)
     state = state.localCheckpoint()
 
-    for _ in range(hops):
+    for hop in range(hops):
+        # the beam state is tiny (≤ |queries|·beam rows) and a
+        # materialized leaf — broadcast it so the corpus-sized edge
+        # list is never shuffled per hop (guide §3.1; statically the
+        # checkpointed LogicalRDD reports no size, so the planner
+        # would SMJ/shuffle both sides and only AQE could demote it
+        # AFTER the edge list's exchange map-write was already paid).
+        # The frontier side is deliberately NOT hinted: broadcasting a
+        # multi-stage derived subtree forces a driver-barrier build
+        # (measured +0.5 s median per query at sf0.1, interleaved
+        # C/D/E/B A/B), while AQE's runtime conversion makes the same
+        # broadcast decision from the frontier's actual size for free.
         frontier = (
-            state.join(edges, state.node == edges.id)
+            F.broadcast(state)
+            .join(edges, state.node == edges.id)
             .select("qid", F.col("nb").alias("node"))
             .distinct()
         )
@@ -324,7 +366,8 @@ def _beam_states(
         scored = _score_pairs(pair_rows, "qid", "node", id_t)
         merged = state.select("qid", "node", "cosine").unionByName(scored)
         state = _topk_per_node(merged, beam, id_col="qid", nb_col="node")
-        state = state.localCheckpoint()
+        if materialize_final or hop < hops - 1:
+            state = state.localCheckpoint()
     return state
 
 
@@ -362,8 +405,18 @@ def graph_beam_topk(
     )
     g = nndescent_graph(df, id_col, vec_col, k=graph_k, iters=iters,
                         n_hubs=n_hubs, memo_key=memo_key)
-    edges = _symmetrize(g, id_col)
-    state = _beam_states(base, edges, queries, id_t, beam, hops, n_hubs)
+    edges = _edges_for(
+        g, id_col,
+        None if memo_key is None else (
+            df.sparkSession, f"{memo_key}#edges", id_col, vec_col,
+            graph_k, iters, n_hubs,
+        ),
+    )
+    # the final beam state feeds exactly one consumer (the top-k cut):
+    # take it as live lineage — the last hop executes inside the
+    # query's own action instead of behind one more job barrier
+    state = _beam_states(base, edges, queries, id_t, beam, hops, n_hubs,
+                         materialize_final=False)
     final = state.filter(F.col("qid") != F.col("node"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("node").asc()
@@ -443,19 +496,32 @@ def nndescent_insert(
     # batches — memoize it under its own key (never colliding with the
     # full-corpus graph: the relation here excludes the arrivals, and
     # the pred_tag scopes it to this arrival predicate)
+    standing_key = (
+        None if memo_key is None else f"{memo_key}#standing:{pred_tag}"
+    )
     g_old = nndescent_graph(
         df.filter(~new_pred(F.col(id_col))), id_col, vec_col,
         k=k, iters=iters, n_hubs=n_hubs,
-        memo_key=(
-            None if memo_key is None
-            else f"{memo_key}#standing:{pred_tag}"
-        ),
+        memo_key=standing_key,
     ).select(
         F.col(id_col).alias("id"), F.col("neighbor_id").alias("nb"),
         "cosine", "rank",
     )
+    # the standing index's symmetrized adjacency is memoized with it —
+    # an arrival batch walks the SAME stored structure every query
+    edges_old = _edges_for(
+        g_old.select(F.col("id").alias("gid"),
+                     F.col("nb").alias("neighbor_id"))
+        .withColumnRenamed("gid", "id"),
+        "id",
+        None if standing_key is None else (
+            df.sparkSession, f"{standing_key}#edges", id_col, vec_col,
+            k, iters, n_hubs,
+        ),
+    )
     old_adj, new_adj = insert_into_graph(
         old, g_old, new, id_t, k=k, beam=beam, hops=hops, n_hubs=n_hubs,
+        edges_old=edges_old,
     )
     return (
         old_adj.unionByName(new_adj)
@@ -477,6 +543,7 @@ def insert_into_graph(
     beam: int = 8,
     hops: int = 3,
     n_hubs: int = 64,
+    edges_old: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Core of the insert path, against an EXISTING standing graph —
     shared by :func:`nndescent_insert` (which builds the old graph
@@ -485,19 +552,34 @@ def insert_into_graph(
     is (id, nb, cosine, rank). Returns ``(old_adj, new_adj)`` — the
     re-ranked adjacency of ALL old nodes (only those receiving a
     back-link can differ from ``g_old``) and the new nodes' adjacency.
+    ``edges_old`` lets a caller that maintains the standing index pass
+    its (possibly memoized) symmetrized adjacency instead of paying the
+    symmetrizing job per call.
     """
-    edges_old = _symmetrize(
-        g_old.select(F.col("id").alias("gid"), F.col("nb").alias("neighbor_id"))
-        .withColumnRenamed("gid", "id"),
-        "id",
-    )
+    if edges_old is None:
+        edges_old = _symmetrize(
+            g_old.select(F.col("id").alias("gid"),
+                         F.col("nb").alias("neighbor_id"))
+            .withColumnRenamed("gid", "id"),
+            "id",
+        )
     arrivals = new.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
-    placed = _beam_states(old, edges_old, arrivals, id_t, beam, hops, n_hubs)
+    # the final hop is taken as live lineage and materialized ONCE as
+    # new_out below — placed's only consumer — so the last hop's merge
+    # window runs inside new_out's materialization instead of behind
+    # its own job barrier, and the four new_out readers share one leaf
+    placed = _beam_states(old, edges_old, arrivals, id_t, beam, hops,
+                          n_hubs, materialize_final=False)
 
-    # 1) new→old out-edges: best k of the beam state per arrival
+    # 1) new→old out-edges: best k of the beam state per arrival; the
+    # beam state is unique on (qid, node) by construction — skip the
+    # dedup pre-aggregate (one exchange saved)
     new_out = _topk_per_node(
-        placed.select("qid", "node", "cosine"), k, id_col="qid", nb_col="node"
-    ).select(F.col("qid").alias("id"), F.col("node").alias("nb"), "cosine")
+        placed.select("qid", "node", "cosine"), k, id_col="qid",
+        nb_col="node", dedup=False,
+    ).select(
+        F.col("qid").alias("id"), F.col("node").alias("nb"), "cosine"
+    ).localCheckpoint(eager=False)
 
     # 3) new↔new via shared old neighbor (one bounded local join)
     n1 = new_out.alias("n1")

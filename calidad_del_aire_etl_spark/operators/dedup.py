@@ -146,6 +146,10 @@ def guarded_shingles(
     # gated on max_doc_freq; r14 measured the uncapped callers
     # (dedup_containment 1.85 s -> 1.21 s, dedup_cluster_resolve median
     # 7.9 -> 4.8 s at sf0.1) and made it unconditional.
+    # Lineage-truncation trade: localCheckpoint blocks are non-reliable —
+    # on a cluster, losing an executor that holds them fails the job
+    # instead of recomputing; swap to reliable checkpoint() (with a
+    # checkpoint dir) where executor churn is routine.
     sh = sh.localCheckpoint(eager=False)
     counts = sh.select("id", F.size("sh").cast("bigint").alias("ns"))
     # explode_outer, not explode: InferFiltersFromGenerate would turn the
@@ -279,20 +283,30 @@ def minhash_lsh_pairs(
     return pairs_from_bands(banded, num_hashes=num_hashes)
 
 
-def pairs_from_bands(banded: DataFrame, num_hashes: int = 16) -> DataFrame:
+def pairs_from_bands(
+    banded: DataFrame, num_hashes: int = 16, materialize: bool = True
+) -> DataFrame:
     """Candidate pairs from an (id, sig, b, bkey) band relation — the
     join/estimate half of :func:`minhash_lsh_pairs`, split out so a
     caller that already holds the band relation (the streaming sink
-    signs each micro-batch exactly once) doesn't re-sign the text."""
+    signs each micro-batch exactly once) doesn't re-sign the text.
+
+    ``materialize=False`` skips the internal checkpoint for callers
+    whose band relation is ALREADY a materialized leaf (the streaming
+    sink's eager-checkpointed micro-batch) — re-checkpointing a leaf
+    stores a second copy of its blocks until the ContextCleaner
+    reclaims them, wasted executor storage in a long-running stream
+    (ADVICE r14)."""
     # Both sides of the self-join read `banded`; when it arrives as a
     # live lineage (minhash_lsh_pairs), the signature fold — the
     # expensive K-min aggregate over every shingle hash — would run
     # twice. One lazy checkpoint halves the signing work (measured at
     # sf0.1, r14: dedup_minhash_lsh ≤ and dedup_minhash_eval 2.7 s ->
-    # 2.1 s best, better in every interleaved rep); for callers whose
-    # band relation is already a store/leaf it re-persists a leaf,
-    # which is noise.
-    banded = banded.localCheckpoint(eager=False)
+    # 2.1 s best, better in every interleaved rep). Non-reliable
+    # blocks: an executor loss fails the job rather than recomputing —
+    # use checkpoint() on fault-prone fleets.
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
     la, lb = banded.alias("la"), banded.alias("lb")
     cand = (
         la.join(

@@ -960,7 +960,10 @@ def scd2_apply(existing: DataFrame, changes: DataFrame) -> DataFrame:
     # groupBy/window on user_id still rides the existing exchange.
     # Measured on scd2_apply_incremental at sf0.1: 1.35 s -> 1.07 s (r14).
     # At 100 TB this is the standard posture anyway: the standing
-    # dimension is a stored table, not a recomputed lineage.
+    # dimension is a stored table, not a recomputed lineage. (The
+    # checkpoint blocks are non-reliable — executor loss fails the job
+    # rather than recomputing; a real deployment reads the dimension
+    # from storage, which has the same no-lineage property but survives.)
     from ..session import checkpoint_keeping_partitioning
 
     existing = checkpoint_keeping_partitioning(existing)

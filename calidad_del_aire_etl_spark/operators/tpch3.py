@@ -98,7 +98,10 @@ def q21_waiting(
     # scan — without materialization the lineitem x orders join (the
     # query's only fact shuffle) executes twice. Measured at sf0.1
     # (interleaved A/B, quiet window): 1.58 s -> 1.31 s; at scale this
-    # halves the fact shuffle count, which dominates q21.
+    # halves the fact shuffle count, which dominates q21. Non-reliable
+    # blocks: losing an executor that holds them fails the job instead
+    # of recomputing — prefer reliable checkpoint() on fault-prone
+    # fleets.
     flagged = flagged.localCheckpoint(eager=False)
     per_order = flagged.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

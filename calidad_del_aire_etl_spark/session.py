@@ -9,6 +9,7 @@ is pinned to UTC.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -131,12 +132,27 @@ def checkpoint_keeping_partitioning(df):
     Use when a mid-pipeline relation (a) is expensive, (b) feeds 2+
     consumers, and (c) its partitioning should keep serving downstream
     passes. Blocks are local and released by the ContextCleaner when the
-    DataFrame is garbage-collected — no unpersist bookkeeping.
+    DataFrame is garbage-collected — no unpersist bookkeeping (and
+    non-reliable: executor loss fails the job instead of recomputing —
+    on a real cluster the standing relation lives in storage instead).
+
+    Concurrency (VERDICT r14 #6): the AQE flip is a SESSION-wide conf,
+    so two threads interleaving set/restore could leave AQE off or
+    compile an unrelated query without AQE mid-window. A module lock
+    serializes the flip+materialize window; any future code that PLANS
+    queries from other threads while a checkpoint may be in flight must
+    take this same lock around plan construction (the repo's only
+    concurrent submissions — the ann_graph family's — build their plans
+    on the calling thread before any such window opens).
     """
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+_AQE_TOGGLE_LOCK = threading.RLock()

@@ -868,7 +868,12 @@ def minhash_dedup_sink(
             batch, "doc_id", "text", n=n, num_hashes=num_hashes, bands=bands
         ).localCheckpoint(eager=True)
 
-        pairs = dedup.pairs_from_bands(batch_bands, num_hashes=num_hashes).filter(
+        # materialize=False: batch_bands is already an eager checkpoint
+        # leaf; re-checkpointing it would hold a second copy of its
+        # blocks per micro-batch until GC (ADVICE r14)
+        pairs = dedup.pairs_from_bands(
+            batch_bands, num_hashes=num_hashes, materialize=False
+        ).filter(
             F.col("est_jaccard") >= threshold
         )
         intra = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(

@@ -208,14 +208,20 @@ def test_insert_memo_requires_pred_tag_and_keys_by_it(spark):
     keys_both = {
         k[1] for k in ann_graph._GRAPH_MEMO if str(k[1]).startswith("memo-test")
     }
-    assert keys_mod5 == {"memo-test#standing:mod5"}
+    # r15: the symmetrized adjacency of each standing graph is memoized
+    # alongside it (an #edges sub-key) — beam search walks the edge
+    # list, so the standing store keeps both
+    assert keys_mod5 == {
+        "memo-test#standing:mod5", "memo-test#standing:mod5#edges",
+    }
     assert keys_both == {
-        "memo-test#standing:mod5", "memo-test#standing:mod7",
+        "memo-test#standing:mod5", "memo-test#standing:mod5#edges",
+        "memo-test#standing:mod7", "memo-test#standing:mod7#edges",
     }
     # eviction hook: clears this key's entries (and derived sub-keys)
     # without touching other keys
     n = ann_graph.clear_graph_memo("memo-test")
-    assert n == 2
+    assert n == 4
     assert not any(
         str(k[1]).startswith("memo-test") for k in ann_graph._GRAPH_MEMO
     )

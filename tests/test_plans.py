@@ -110,6 +110,40 @@ def test_pinned_checkpoint_preserves_clustering_for_downstream(spark):
     assert "Sort" in p
 
 
+def test_pinned_checkpoint_concurrent_calls_both_preserve_plans(spark):
+    """VERDICT r14 #6: the AQE flip inside checkpoint_keeping_partitioning
+    is session-wide; two concurrent calls must not race the set/restore
+    (one thread restoring while the other is mid-materialization would
+    leave the second checkpoint under AQE, losing its partitioning pin).
+    The module lock serializes the window: BOTH results must plan the
+    downstream superset-key window as Sort-no-Exchange, and the session
+    must come out with AQE restored."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from calidad_del_aire_etl_spark.session import checkpoint_keeping_partitioning
+
+    base = registry.load(spark, SF, "events")
+
+    def one(key):
+        df = base.repartition(8, key)
+        return key, checkpoint_keeping_partitioning(df)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(one, ["user_id", "event_type"]))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    for key, ck in results:
+        w = Window.partitionBy(key, "props").orderBy("ts")
+        out = ck.withColumn("rn", F.row_number().over(w))
+        p = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in p, f"{key}: partitioning pin lost\n{p}"
+        assert "Sort" in p
+
+
 def test_iqr_join_method_broadcasts_bounds(spark):
     df = registry.load(spark, SF, "events")
     from calidad_del_aire_etl_spark.operators import cleaning
