@@ -317,6 +317,27 @@ _DRIVER_SAMPLED_BY_ROUND: list[frozenset[str]] = [
         "text_hash_features", "top_event_paths", "tpch_q19_disjunctive",
         "user_feature_matrix",
     }),
+    # round 14 (50 keys, from CORRECTNESS_r14.json)
+    frozenset({
+        "ann_graph_recall_eval", "ann_hybrid_rrf", "bloom_ingest_dedup",
+        "cms_user_counts", "cogroup_align_events", "cohort_retention",
+        "column_profile", "corpus_bpe_encode", "corpus_bpe_merges",
+        "corpus_contamination", "corpus_dsir_weights",
+        "corpus_kn_bigram_logprob", "corpus_mixture_sample",
+        "corpus_span_dedup_emit", "cube_type_dow", "cumulative_distinct_users",
+        "dash_rolling_mean_centered", "dash_rolling_median",
+        "dedup_lsh_tuning", "ema_per_user", "embed_knn_label_eval",
+        "er_blocked_match", "etl_locf_fill", "etl_pollution_index",
+        "etl_resample_15min", "etl_sensor_gaps", "etl_temporal_features",
+        "event_transition_matrix", "expectations_report",
+        "geo_nearest_station", "graph_pagerank", "grouping_sets_profile",
+        "hll_rollup_merge", "hour_dow_heatmap", "json_props_stats",
+        "mode_per_user", "psi_drift", "quality_calibration_eval",
+        "rfm_segments", "sample_n_per_user", "scd2_point_in_time",
+        "semi_anti_activity", "text_char_entropy", "text_tfidf_topk",
+        "time_weighted_avg", "topn_with_others", "unpivot_daily_metrics",
+        "value_deciles", "value_histogram", "winsorize_profile",
+    }),
 ]
 
 _DRIVER_SAMPLED = frozenset().union(*_DRIVER_SAMPLED_BY_ROUND)

@@ -33,15 +33,31 @@ def pytest_configure(config):
         "sf1: full-registry sf1 parity sweep (opt-in: pytest -m sf1; "
         "generates /tmp/sf1 via tools/gen_sf1.py if absent)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight per-round gates (multi-build statistical "
+        "invariants, full-plan sweeps, DAG end-to-ends; opt-in: "
+        "pytest -m slow). VERDICT r14 #2: the default suite must fit "
+        "the driver's pytest budget (~15 min); every operator these "
+        "cover stays exercised in the default run by the sf0.001 "
+        "oracle-parity sweep and at least one fast contract test.",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
     # The sf1 sweep runs only when explicitly selected (-m sf1): it
     # sweeps 199 queries at ~6M lineitem / 50k docs and takes ~20-40
     # min wall — a per-round gate (VERDICT r12 #6), not a per-commit one.
-    if "sf1" in (config.getoption("-m") or ""):
-        return
-    skip = pytest.mark.skip(reason="sf1 sweep is opt-in: pytest -m sf1")
-    for item in items:
-        if "sf1" in item.keywords:
-            item.add_marker(skip)
+    mexpr = config.getoption("-m") or ""
+    if "sf1" not in mexpr:
+        skip = pytest.mark.skip(reason="sf1 sweep is opt-in: pytest -m sf1")
+        for item in items:
+            if "sf1" in item.keywords:
+                item.add_marker(skip)
+    if "slow" not in mexpr:
+        skip_slow = pytest.mark.skip(
+            reason="per-round heavyweight gate — opt-in: pytest -m slow"
+        )
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip_slow)

@@ -3,6 +3,8 @@ oracle-checked by tools/compare.py / driver t2)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import __spark_entry__ as entry
@@ -18,6 +20,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_grouping_sets_partition_totals(spark):
     rows = Q["grouping_sets_profile"](spark, SF).collect()
     total = load(spark, SF, "events").count()

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from calidad_del_aire_etl_spark.operators import ann
 from calidad_del_aire_etl_spark.registry import load
 from calidad_del_aire_etl_spark.session import pin_oracle_compat
@@ -157,7 +159,6 @@ def test_pca_project_spectral_invariants(spark):
 def test_pca_project_rejects_empty_and_ragged(spark):
     """Empty input and ragged vector lengths must fail loudly — the
     covariance normalization silently skews otherwise (r3 ADVICE)."""
-    import pytest
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no non-empty vectors"):
@@ -274,6 +275,7 @@ def test_sq_dists_expansion_matches_broadcast_fold():
     assert (np.diag(same) == 0.0).all() and (same >= 0).all()
 
 
+@pytest.mark.slow
 def test_knn_label_eval_planted_clusters(spark):
     """#31o: two well-separated label clusters → the k-NN vote recovers
     every query's label (accuracy 1.0 per label); a query planted at a

@@ -6,6 +6,8 @@ invariants are pinned here instead (the sketch-operator test pattern).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from calidad_del_aire_etl_spark.operators import ann, ann_graph
@@ -17,6 +19,7 @@ def _em(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_nndescent_graph_invariants(spark):
     g = ann_graph.nndescent_graph(_em(spark), "vec_id", "embedding", k=6, iters=2)
     rows = g.collect()
@@ -35,6 +38,7 @@ def test_nndescent_graph_invariants(spark):
         assert all(a >= b for a, b in zip(cos, cos[1:]))
 
 
+@pytest.mark.slow
 def test_nndescent_improves_over_seed_round(spark):
     """NN-Descent's whole point: local joins lift neighbor quality over
     the hub-seeded graph. Mean kept-cosine must strictly improve."""
@@ -46,6 +50,7 @@ def test_nndescent_improves_over_seed_round(spark):
     assert m2 > m0 + 0.01, (m0, m2)
 
 
+@pytest.mark.slow
 def test_graph_beam_recall_vs_bruteforce(spark):
     em = _em(spark)
     exact = ann.bruteforce_topk(em, "vec_id", "embedding", lambda c: c < 10, k=5)
@@ -58,6 +63,7 @@ def test_graph_beam_recall_vs_bruteforce(spark):
     assert recall >= 0.6, recall
 
 
+@pytest.mark.slow
 def test_graph_beam_deterministic(spark):
     em = _em(spark)
     a = sorted(map(tuple, ann_graph.graph_beam_topk(
@@ -81,6 +87,7 @@ def test_graph_beam_output_contract(spark):
         assert all(r["neighbor_id"] != q for r in rows if r["query_id"] == q)
 
 
+@pytest.mark.slow
 def test_nndescent_insert_covers_all_nodes(spark):
     """Inserting a 20% batch yields a full graph: every node (old and
     new) has k ranked neighbors, no self-loops, no edges to nowhere."""
@@ -102,6 +109,7 @@ def test_nndescent_insert_covers_all_nodes(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+@pytest.mark.slow
 def test_nndescent_insert_quality_near_full_rebuild(spark):
     """The incremental graph's kept-neighbor quality (mean cosine) must
     land within a small band of a from-scratch rebuild on the same
@@ -117,6 +125,7 @@ def test_nndescent_insert_quality_near_full_rebuild(spark):
     assert mi > mf - 0.05, (mf, mi)
 
 
+@pytest.mark.slow
 def test_nndescent_insert_preserves_untouched_old_nodes(spark):
     """An old node no insert search visited keeps its adjacency
     byte-identical to the old-only build (locality: inserts only touch
@@ -150,6 +159,7 @@ def test_nndescent_insert_preserves_untouched_old_nodes(spark):
     assert same == len(untouched), (same, len(untouched))
 
 
+@pytest.mark.slow
 def test_graph_recall_eval_matches_manual_intersection(spark):
     """graph_recall_eval's per-query n_hits must equal the literal
     intersection of the two relations it claims to compare (the eval
@@ -179,6 +189,7 @@ def test_graph_recall_eval_matches_manual_intersection(spark):
         assert 0.0 <= rec <= 1.0
 
 
+@pytest.mark.slow
 def test_insert_memo_requires_pred_tag_and_keys_by_it(spark):
     """memo_key without pred_tag must fail loudly (the memo cannot hash
     new_pred, so an untagged standing graph would be silently reused

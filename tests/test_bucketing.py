@@ -8,6 +8,7 @@ each hot key across num_salts sub-keys with identical join results.
 from __future__ import annotations
 
 import pytest
+
 from pyspark.sql import functions as F
 
 from calidad_del_aire_etl_spark.operators import general
@@ -167,6 +168,7 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(path + ".__old__")
 
 
+@pytest.mark.slow
 def test_zorder_tightens_per_file_spans_on_both_dims(spark, tmp_path):
     """Z-order vs single-column clustering: with a lexicographic sort on
     (a) the secondary dim (b) has full-range spans per file; the Morton
@@ -250,6 +252,7 @@ def test_hilbert_walk_matches_reference_and_is_continuous(spark):
         assert abs(x0 - x1) + abs(y0 - y1) == 1, f"curve jumps at d={d}"
 
 
+@pytest.mark.slow
 def test_hilbert_write_tightens_spans_like_zorder(spark, tmp_path):
     """Same contract as the Z-order layout test: both dims' per-file
     spans must be far tighter than a single-column sort's secondary
@@ -336,6 +339,7 @@ def test_versioned_parquet_time_travel(spark, tmp_path):
     assert ids() == ids(2)  # latest
 
 
+@pytest.mark.slow
 def test_merge_versioned_copy_on_write(spark, tmp_path):
     """Delta-style MERGE: update-wins upsert lands as a new snapshot,
     only key-matched data files are rewritten, untouched files carry

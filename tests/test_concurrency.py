@@ -18,10 +18,11 @@ fits inside A's.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import threading
 
-import pytest
 from pyspark.sql import functions as F
 
 from calidad_del_aire_etl_spark.sinks import writers
@@ -134,6 +135,7 @@ def test_append_conflict_rebases_file_list_without_rewrite(spark, tmp_path):
     assert _data_files_on_disk(path) == referenced
 
 
+@pytest.mark.slow
 def test_delete_conflict_retries_on_new_snapshot(spark, tmp_path):
     path = str(tmp_path / "del")
     _mk_base(spark, path)
@@ -155,6 +157,7 @@ def test_delete_conflict_retries_on_new_snapshot(spark, tmp_path):
     assert len(got) == 90 and 0 not in got and got[50] == "B"
 
 
+@pytest.mark.slow
 def test_threaded_merges_both_land(spark, tmp_path):
     """True concurrency (no injected interleave): two threads MERGE
     disjoint key batches; whatever the interleaving — full race or
@@ -190,6 +193,7 @@ def test_threaded_merges_both_land(spark, tmp_path):
     assert _data_files_on_disk(path) == referenced
 
 
+@pytest.mark.slow
 def test_exhausted_retries_raise_and_leave_no_trace(spark, tmp_path):
     """A writer that loses every race raises CommitConflictError and
     deletes everything it staged."""
@@ -219,6 +223,7 @@ def test_exhausted_retries_raise_and_leave_no_trace(spark, tmp_path):
     assert os.listdir(os.path.join(path, "_snapshots")) == ["v=0"]
 
 
+@pytest.mark.slow
 def test_threaded_merge_vacuum_chaos(spark, tmp_path):
     """MERGE writers racing a looping VACUUM and a latest-snapshot
     reader, all genuinely concurrent (threads, no injected interleave —

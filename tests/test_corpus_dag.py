@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from calidad_del_aire_etl_spark.plans.corpus_curation import corpus_curation_dag
 
 SF = "/root/testdata/sf0.001"
@@ -23,6 +25,7 @@ def test_corpus_dag_end_to_end(spark, tmp_path):
     assert {"shard", "bin", "n_docs", "sum_tokens"} <= cols
 
 
+@pytest.mark.slow
 def test_incremental_corpus_daily_cycle(spark, tmp_path):
     """Day-0 bootstrap, then two daily increments: a verbatim dup of a
     corpus doc is dropped by the LSH probe, novel docs merge as new

@@ -88,6 +88,7 @@ ROWS1 = [
 ]
 
 
+@pytest.mark.slow
 def test_cdc_merge_crash_between_commit_and_marker_converges(spark, input_dir, tmp_path):
     """Kill the query after epoch 1's MERGE committed but before its
     marker landed; the restart re-merges the same compacted batch —
@@ -134,6 +135,7 @@ def test_cdc_merge_crash_between_commit_and_marker_converges(spark, input_dir, t
     assert os.path.exists(f"{table}/_commits/batch-1")
 
 
+@pytest.mark.slow
 def test_cdc_merge_crash_on_bootstrap_epoch_converges(spark, input_dir, tmp_path):
     """Crash on epoch 0 — the empty-table bootstrap commit — after its
     merge landed v0 but before its marker. The restart redelivers epoch

@@ -123,6 +123,7 @@ def test_seasonal_anomaly_flags_only_cell_outliers(spark):
     assert got == [99]
 
 
+@pytest.mark.slow
 def test_star_cc_matches_label_prop_and_beats_diameter(spark):
     """Alternating large-star/small-star must label a 64-node chain in a
     round budget far below the chain's diameter (label propagation would

@@ -1,6 +1,9 @@
 """PageRank: NumPy parity on the real sf0.001 graph + scale guards."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import numpy as np
 
@@ -11,6 +14,7 @@ from calidad_del_aire_etl_spark.registry import load
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_pagerank_matches_numpy(spark):
     edges = graph.order_graph_edges(
         load(spark, SF, "orders"), load(spark, SF, "lineitem")
@@ -36,6 +40,7 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 0.01
 
 
+@pytest.mark.slow
 def test_pagerank_query_entry_runs(spark):
     rows = entry.queries()["graph_pagerank"](spark, SF).collect()
     assert 0 < len(rows) <= 50

@@ -1,7 +1,10 @@
 """DAG orchestrator: ordering, retries, failure propagation, and the
 air-quality DAG end-to-end (the reference's Airflow surface)."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import tempfile
 
@@ -85,6 +88,7 @@ def test_unknown_upstream_rejected():
         pass
 
 
+@pytest.mark.slow
 def test_air_quality_dag_end_to_end(spark):
     with tempfile.TemporaryDirectory(prefix="aq_dag_") as d:
         # 5 stations × 10 days × 24 h = 1200 rows — clears the
@@ -99,6 +103,7 @@ def test_air_quality_dag_end_to_end(spark):
         assert out.count() > 0
 
 
+@pytest.mark.slow
 def test_air_quality_dag_scheduled_catchup_runs_real_pipeline(spark):
     """The reference's operational contract end-to-end: daily 08:00
     schedule, host down over a weekend, catch-up replays each missed

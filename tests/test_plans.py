@@ -288,6 +288,41 @@ def test_dash_kpis_single_fact_pass(spark):
     assert "Scan parquet" not in p
 
 
+# The blowup-prone subset: iterative fixpoints, multi-consumer
+# checkpoint boundaries, the composed flagships — historically the only
+# places formatted plans ballooned (r2: 1100+ Exchange mentions from
+# iterative lineage re-expansion). The fast default gate covers these
+# on every run; the full 138-query sweep is the per-round slow gate.
+_BLOWUP_PRONE = [
+    "docs_full_pipeline", "dedup_cluster_resolve", "dedup_cluster_star",
+    "dedup_minhash_eval", "ann_graph_topk", "ann_graph_insert",
+    "ann_graph_recall_eval", "scd2_apply_incremental",
+    "dash_spearman_matrix", "tpch_q21_waiting", "dedup_containment",
+    "graph_triangles", "corpus_bpe_merges", "dedup_incremental_minhash",
+    "etl_full_pipeline",
+]
+
+
+def test_blowup_prone_plans_under_ceiling(spark):
+    """Fast default-run slice of the plan-size gate (VERDICT r14 #2:
+    the full sweep at ~144 s exceeded the driver's pytest budget;
+    it remains the per-round slow gate below)."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import EXCHANGE_MENTION_CEILING
+
+    qs = registry.queries()
+    oversized = []
+    for name in _BLOWUP_PRONE:
+        p_text = plan(spark, name)
+        n = p_text.count("Exchange")
+        if n > EXCHANGE_MENTION_CEILING:
+            oversized.append((name, n))
+    assert not oversized, f"plan-size ceiling exceeded: {oversized}"
+
+
+@pytest.mark.slow
 def test_every_headliner_under_plan_size_ceiling(spark):
     """Hard gate on formatted-plan size for EVERY benched query (r3
     VERDICT #7): plan_audit.py only failed when run as a script, so a

@@ -6,7 +6,10 @@ properties still cover the piecewise boundaries and degenerate inputs
 (runs of nulls, all-duplicate keys) far better than point tests.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -98,6 +101,7 @@ def test_interpolation_fills_between_neighbors(spark, seq):
     st.integers(3, 10),
 )
 @SET
+@pytest.mark.slow
 def test_priority_sample_monotone_in_weight(spark, weights, k):
     """Raising one sampled row's weight can never evict THAT row: its
     priority w/u only grows. (It may displace a different row — that is
@@ -124,6 +128,7 @@ def test_priority_sample_monotone_in_weight(spark, weights, k):
     st.integers(3, 8),
 )
 @SET
+@pytest.mark.slow
 def test_misra_gries_bound_on_random_streams(spark, values, capacity):
     from calidad_del_aire_etl_spark.operators import sketches
 
@@ -147,6 +152,7 @@ edge_lists = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_star_cc_matches_union_find(spark, raw_edges):
     """Alternating-star connected components must agree with a
     pure-Python union-find on arbitrary random graphs — including

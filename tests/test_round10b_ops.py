@@ -4,7 +4,10 @@ reference on a toy corpus (the SURVEY §5 oracle-or-reference
 discipline). Cross-engine hashes are covered by the oracle sweep; these
 tests pin the SEMANTICS."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import math
 
@@ -307,6 +310,7 @@ def test_cents_equals_decimal_cast_property():
     check()
 
 
+@pytest.mark.slow
 def test_ivf_nprobe_sweep_monotone_and_consistent_with_recall_eval(spark, sf_dir):
     pin_oracle_compat(spark)
     from calidad_del_aire_etl_spark.registry import load
@@ -333,6 +337,7 @@ def test_ivf_nprobe_sweep_monotone_and_consistent_with_recall_eval(spark, sf_dir
     assert sweep[2]["n_hits"] == hits and sweep[2]["n_exact"] == n_exact
 
 
+@pytest.mark.slow
 def test_ivf_nprobe_sweep_full_depth_reaches_bruteforce_recall(spark):
     pin_oracle_compat(spark)
     # probing EVERY cell = exact search over the whole corpus, so

@@ -1,10 +1,11 @@
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import shutil
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from calidad_del_aire_etl_spark.streaming import jobs
@@ -198,6 +199,7 @@ def test_foreach_batch_sink_is_idempotent(spark, input_dir, tmp_path):
     assert {r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()} == {0, 1}
 
 
+@pytest.mark.slow
 def test_incremental_rollup_stream_replay_leaves_partitions_unchanged(
     spark, input_dir, tmp_path
 ):
@@ -263,6 +265,7 @@ def test_incremental_rollup_stream_replay_leaves_partitions_unchanged(
     ]
 
 
+@pytest.mark.slow
 def test_streaming_heavy_hitters_state_accumulates_across_batches(
     spark, input_dir, tmp_path
 ):
@@ -406,6 +409,7 @@ def test_late_data_audit_counts_watermark_drops(spark, input_dir):
     assert m["rows_dropped_late"] >= 1
 
 
+@pytest.mark.slow
 def test_streaming_hll_distinct_estimates_and_is_idempotent(spark, input_dir):
     """The per-shard HLL state must estimate the true distinct count
     within sketch tolerance across micro-batches, and REPLAYED rows
@@ -562,6 +566,7 @@ def test_streaming_cdc_merge_versioned(spark, input_dir, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_streaming_quantile_bands_matches_batch_rollup(spark, input_dir):
     """The same 200 rows through (a) streaming histogram state split
     across three micro-batches and (b) the batch
@@ -746,6 +751,7 @@ def test_streaming_minhash_dedup_band_store(spark, input_dir, tmp_path):
     assert stored_after == {1, 3, 5}
 
 
+@pytest.mark.slow
 def test_streaming_ann_index_store(spark, input_dir, tmp_path):
     """#40r: epoch 0 bootstraps the graph from its own batch; later
     epochs insert against the PERSISTED index (the standing corpus is
@@ -834,6 +840,7 @@ def test_streaming_ann_index_store(spark, input_dir, tmp_path):
     assert {r["id"] for r in view2.collect()} == nodes
 
 
+@pytest.mark.slow
 def test_ann_index_compact_preserves_view(spark, input_dir, tmp_path):
     """#40r maintenance: compaction collapses the epoch partitions into
     one snapshot with an IDENTICAL last-writer-wins view, search still

@@ -14,7 +14,10 @@ decision-invisible: the same rows pushed through epochs must yield
 exactly what the batch operators yield on the same rows.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import os
 import sys
@@ -128,6 +131,7 @@ def _mk_vecs(rng, seed_vec, eps, n, start_id):
     return rows
 
 
+@pytest.mark.slow
 def test_ann_index_epoch_split_equals_batch_insert(spark, tmp_path):
     """The persisted-store view after (bootstrap epoch, insert epoch)
     must equal nndescent_graph + insert_into_graph composed directly in
